@@ -1,0 +1,298 @@
+"""LakeTable — a snapshot-versioned, bucket-partitioned parquet table.
+
+The iceberg-spark-runtime jar is not in this image, so this module provides
+the minimal Iceberg-shaped surface the CDC sink needs, built on parquet +
+JSON manifests.  It deliberately mirrors Iceberg's design so a production
+deployment can swap `LakeTable.merge` for a real `MERGE INTO` on Iceberg:
+
+* **Snapshots** — every commit writes an immutable manifest
+  ``manifest/v{N}.json`` listing the current data file set per bucket; a
+  ``VERSION`` pointer file is swapped atomically (os.replace).  Readers see
+  a consistent snapshot; a crash before the pointer swap leaves only orphan
+  data files (harmless), never a torn table.
+* **Bucket partitioning** — rows hash into ``n_buckets`` by key
+  (``pmod(xxhash64(conv_id), n)``, Iceberg's ``bucket(n, conv_id)``
+  transform).  A merge reads and rewrites only the buckets its batch
+  touches: partition pruning for copy-on-write.  At 100 TB you would raise
+  ``n_buckets`` (or move to merge-on-read deletes); the pruning logic is
+  the same.
+* **Epoch ledger** — the manifest carries ``{job_id: {epoch: max_lsn}}``.
+  ``merge`` is a no-op for an already-committed epoch, which together with
+  Structured Streaming's deterministic epoch replay gives exactly-once
+  sink semantics (reference analog: writer client checkpoint + isNewData,
+  /root/reference/src/writer/Writer.cpp:296-298,
+  src/metadata/Metadata.cpp:716-727).
+* **Pending-transaction state** — events of still-open transactions are
+  snapshotted per commit (copy-on-write, usually tiny) so the engine's
+  transaction buffer (reference: src/parser/TransactionBuffer.h) survives
+  restarts in the SAME atomic commit as the data — state and data can
+  never diverge.
+* **Schema evolution** — the manifest owns the column list; ADD COLUMN is
+  a metadata-only commit; old files are read with the new schema and
+  missing columns surface as NULL (Iceberg semantics).
+* **Lineage** — per-epoch per-shard apply records appended as parquet,
+  registered in the manifest (reference analog: Prometheus DML counters,
+  src/common/metrics/Metrics.h:76-139).
+
+Single-writer by design (the foreachBatch driver callback is serialized);
+the manifest write refuses to overwrite an existing version file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _schema_from_manifest(cols: list[dict]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(c["name"], _TYPE_MAP[c["type"]], True) for c in cols]
+    )
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest = self._read_manifest()
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[tuple[str, str]],
+        value_cols: list[tuple[str, str]],
+        n_buckets: int = 16,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        if os.path.exists(os.path.join(path, "VERSION")):
+            if not overwrite:
+                return cls(spark, path)
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "n_buckets": n_buckets,
+            "key_cols": [{"name": n, "type": t} for n, t in key_cols],
+            "value_cols": [{"name": n, "type": t} for n, t in value_cols],
+            "buckets": {},
+            "ledger": {},
+            "pending_dirs": [],
+            "lineage_dirs": [],
+        }
+        cls._write_manifest_static(path, manifest)
+        return cls(spark, path)
+
+    def alter_add_column(self, name: str, coltype: str):
+        """Metadata-only schema evolution (Iceberg ADD COLUMN analog)."""
+        if any(c["name"] == name for c in self.manifest["value_cols"]):
+            return
+        m = dict(self.manifest)
+        m["value_cols"] = self.manifest["value_cols"] + [{"name": name, "type": coltype}]
+        m["version"] = self.manifest["version"] + 1
+        self._write_manifest_static(self.path, m)
+        self.manifest = m
+
+    # ---------------------------------------------------------------- reads
+    @property
+    def key_names(self) -> list[str]:
+        return [c["name"] for c in self.manifest["key_cols"]]
+
+    @property
+    def value_names(self) -> list[str]:
+        return [c["name"] for c in self.manifest["value_cols"]]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["n_buckets"]
+
+    def row_schema(self) -> T.StructType:
+        return _schema_from_manifest(
+            self.manifest["key_cols"] + self.manifest["value_cols"]
+        )
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col(self.key_names[0])), F.lit(self.n_buckets)).cast("int")
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read; optional bucket pruning."""
+        schema = self.row_schema()
+        sel = self.manifest["buckets"]
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            sel = {b: d for b, d in sel.items() if b in want}
+        dirs = [os.path.join(self.path, d) for ds in sel.values() for d in ds]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema → files written before an ADD COLUMN yield NULLs
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    # ---------------------------------------------------------------- merge
+    def merge(
+        self,
+        changes: DataFrame,
+        epoch_id: int,
+        job_id: str = "default",
+        pending: DataFrame | None = None,
+        lineage: DataFrame | None = None,
+    ) -> bool:
+        """Apply one epoch of net changes atomically; idempotent by epoch.
+
+        ``changes`` schema: key cols + ``is_delete`` boolean + ``reset``
+        boolean + ``set_cols`` array<string> + ``vals`` struct over the
+        current value columns.  One row per key (pre-collapsed — the engine
+        guarantees last-writer-wins before the sink, the same contract the
+        reference's Builder gives its Writer).
+
+        Merge semantics per key (sequential-apply equivalent):
+          - is_delete              → row removed
+          - reset (ins-led)       → row replaced: set cols, others NULL
+          - else (upd-only)       → set cols overwrite, others keep target
+          - key absent in target  → insert (set cols, others NULL)
+        """
+        ledger = self.manifest["ledger"].get(job_id, {})
+        if str(epoch_id) in ledger:
+            return False  # already committed — exactly-once replay guard
+
+        key = self.key_names
+        vals = self.value_names
+        version = self.manifest["version"] + 1
+
+        bexpr = self._bucket_expr()
+        ch = changes.withColumn("_bucket", bexpr)
+        affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
+
+        new_dirs: dict[str, list[str]] = {}
+        if affected:
+            target = self.read(affected).withColumn("_bucket", bexpr)
+            t = target.alias("t")
+            c = ch.alias("c")
+            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key]
+            j = t.join(c, cond, "full_outer")
+
+            has_change = F.col(f"c.{key[0]}").isNotNull()
+            has_target = F.col(f"t.{key[0]}").isNotNull()
+            keep = ~(has_change & F.col("c.is_delete"))
+
+            def out_col(v: str):
+                set_v = F.array_contains(F.col("c.set_cols"), v)
+                from_change = F.when(set_v, F.col("c.vals").getField(v)).otherwise(
+                    F.when(F.col("c.reset") | ~has_target, F.lit(None)).otherwise(
+                        F.col(f"t.{v}")
+                    )
+                )
+                return F.when(has_change, from_change).otherwise(F.col(f"t.{v}")).alias(v)
+
+            out_key = [F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k) for k in key]
+            out_bucket = F.coalesce(F.col("t._bucket"), F.col("c._bucket")).alias("_bucket")
+            result = j.filter(keep).select(*out_key, *[out_col(v) for v in vals], out_bucket)
+
+            data_rel = f"data/v{version:06d}"
+            out_path = os.path.join(self.path, data_rel)
+            # one file per bucket partition — AQE coalesces tiny partitions;
+            # at scale you'd let multiple tasks write per bucket
+            result.repartition(max(len(affected), 1), "_bucket").write.partitionBy(
+                "_bucket"
+            ).mode("overwrite").parquet(out_path)
+            for b in affected:
+                d = f"{data_rel}/_bucket={b}"
+                if os.path.isdir(os.path.join(self.path, d)):
+                    new_dirs[str(b)] = [d]
+                else:
+                    new_dirs[str(b)] = []  # bucket emptied by deletes
+
+        # pending-transaction state snapshot (copy-on-write)
+        pending_dirs: list[str] = []
+        if pending is not None:
+            prel = f"pending/v{version:06d}"
+            pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
+            pending_dirs = [prel]
+        else:
+            pending_dirs = self.manifest["pending_dirs"]
+
+        lineage_dirs = list(self.manifest["lineage_dirs"])
+        if lineage is not None:
+            lrel = f"lineage/v{version:06d}"
+            lineage.write.mode("overwrite").parquet(os.path.join(self.path, lrel))
+            lineage_dirs.append(lrel)
+
+        buckets = dict(self.manifest["buckets"])
+        for b, dirs in new_dirs.items():
+            if dirs:
+                buckets[b] = dirs
+            else:
+                buckets.pop(b, None)
+
+        m = dict(self.manifest)
+        m["version"] = version
+        m["buckets"] = buckets
+        m["pending_dirs"] = pending_dirs
+        m["lineage_dirs"] = lineage_dirs
+        new_ledger = {k: dict(v) for k, v in self.manifest["ledger"].items()}
+        new_ledger.setdefault(job_id, {})[str(epoch_id)] = True
+        m["ledger"] = new_ledger
+        self._write_manifest_static(self.path, m)
+        self.manifest = m
+        return True
+
+    # ------------------------------------------------------------- metadata
+    def pending(self, schema: T.StructType) -> DataFrame:
+        dirs = [os.path.join(self.path, d) for d in self.manifest["pending_dirs"]]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def lineage(self) -> DataFrame:
+        from ..schema import LINEAGE_SCHEMA
+
+        dirs = [os.path.join(self.path, d) for d in self.manifest["lineage_dirs"]]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*dirs)
+
+    def committed_epochs(self, job_id: str = "default") -> set[int]:
+        return {int(e) for e in self.manifest["ledger"].get(job_id, {})}
+
+    # ------------------------------------------------------------- internal
+    def _read_manifest(self) -> dict:
+        with open(os.path.join(self.path, "VERSION")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.path, "manifest", f"v{v:06d}.json")) as f:
+            return json.load(f)
+
+    def refresh(self) -> "LakeTable":
+        self.manifest = self._read_manifest()
+        return self
+
+    @staticmethod
+    def _write_manifest_static(path: str, manifest: dict):
+        v = manifest["version"]
+        mpath = os.path.join(path, "manifest", f"v{v:06d}.json")
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        # refuse to clobber an existing snapshot: single-writer guard
+        with open(mpath, "x") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(path, f".VERSION.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(path, "VERSION"))  # atomic pointer swap

@@ -1,0 +1,184 @@
+"""Transaction assembly — the TransactionBuffer rebuilt declaratively.
+
+The reference buffers (undo,redo) pairs per XID in a hash map and flushes at
+commit (/root/reference/src/parser/TransactionBuffer.cpp:62-200,
+src/parser/Transaction.cpp:199-560).  Here the same semantics are a handful
+of DataFrame ops over a batch of change events:
+
+* transaction status  = groupBy(xid) over the (tiny) control events
+  (begin/commit/rollback) — broadcast back onto the payload events;
+* commit-ordered emission = the commit_scn joined onto every payload row
+  (reference: drainPendingBelow sorts committedPending by commitScn,
+  TransactionBuffer.cpp:323-340 — for us a sort key, not a physical sort:
+  the collapse stage orders by (commit_scn, seq_in_txn) per key);
+* "transaction with no begin" (started before the feed) is dropped whole
+  (Parser.cpp:865-872);
+* rolled-back transactions are dropped whole (FLG_ROLLBACK_OP0504,
+  Parser.cpp:792-889);
+* savepoint partial rollback (opcodes 5.6/5.11, Transaction.cpp:73-148
+  rollbackLastOp) — "pop the last unmatched DML on the same key" — is a
+  *stack* per (xid, key).  We solve it with pure window functions instead of
+  per-group Python: scanning events in reverse, a counter c follows
+  c' = max(0, c + x) with x=+1 for a rollback mark and x=-1 for a DML, and
+  a DML is popped iff the counter before it is > 0.  That recurrence has the
+  closed form c_prev = s_prev - min(0, running_min(s)), with s the plain
+  reverse running sum — two window aggregates, fully JVM-side, no shuffle
+  beyond the one hash partition on (xid, key).
+
+Scale notes: control events are ~2 rows/txn — the status side of the join is
+orders of magnitude smaller than the payload and Spark broadcasts it (AQE
+converts to broadcast-hash below the threshold).  All groupings are keyed at
+(xid) or (xid, conv_id, turn_idx) granularity, which spreads hot
+conversations across many keys (the turn/txn dimension is the built-in salt;
+see also collapse_net_changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DML_OPS = ("ins", "upd", "del")
+
+
+def _null_image():
+    from ..schema import IMAGE_TYPE
+
+    return F.struct(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in IMAGE_TYPE.fields]
+    )
+
+
+def transaction_status(events: DataFrame) -> DataFrame:
+    """One row per xid seen in control events: (xid, has_begin, commit_scn,
+    rolled_back)."""
+    ctl = events.filter(F.col("op").isin("begin", "commit", "rollback"))
+    return ctl.groupBy("xid").agg(
+        F.max(F.when(F.col("op") == "begin", F.lit(True))).alias("has_begin"),
+        F.max(F.when(F.col("op") == "commit", F.col("commit_scn"))).alias("txn_commit_scn"),
+        F.max(F.when(F.col("op") == "rollback", F.lit(True))).alias("rolled_back"),
+    )
+
+
+def assemble_transactions(events: DataFrame) -> dict[str, DataFrame]:
+    """Split a batch (new events ∪ pending events) into:
+
+    - ``committed``: payload events (dml/prollback/chunk/ddl) of committed
+      begun transactions, with ``txn_commit_scn`` attached;
+    - ``open``: ALL events of transactions not yet closed (carried to the
+      next epoch as pending state);
+    - ``dropped``: payload DML events of rolled-back or no-begin-committed
+      transactions (for skip accounting only).
+    """
+    status = transaction_status(events)
+    payload = events.filter(F.col("op").isin("ins", "upd", "del", "prollback", "chunk", "ddl"))
+
+    # status has ≤ 2 rows per txn → broadcast side of every join here
+    st = F.broadcast(status)
+    joined = payload.join(st, "xid", "left")
+
+    closed = F.col("txn_commit_scn").isNotNull() | F.col("rolled_back").isNotNull()
+    committed = joined.filter(
+        F.col("txn_commit_scn").isNotNull()
+        & F.col("rolled_back").isNull()
+        & (F.col("has_begin") == F.lit(True))
+    )
+    dropped = joined.filter(
+        closed
+        & (F.col("rolled_back").isNotNull() | F.col("has_begin").isNull())
+        & F.col("op").isin(*DML_OPS)
+    )
+
+    open_events = events.join(
+        st.filter(
+            F.col("txn_commit_scn").isNotNull() | F.col("rolled_back").isNotNull()
+        ).select("xid"),
+        "xid",
+        "left_anti",
+    )
+    return {"committed": committed, "open": open_events, "dropped": dropped}
+
+
+def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
+    """Remove DMLs popped by savepoint partial rollbacks, and the prollback
+    markers themselves.  Pure window formulation (see module docstring)."""
+    w_key = ["xid", "table_name", "conv_id", "turn_idx"]
+    affected = committed.filter(F.col("op").isin("ins", "upd", "del", "prollback"))
+    passthrough = committed.filter(~F.col("op").isin("ins", "upd", "del", "prollback"))
+
+    x = F.when(F.col("op") == "prollback", F.lit(1)).otherwise(F.lit(-1))
+    w = Window.partitionBy(*w_key).orderBy(F.col("seq_in_txn").desc())
+    s = F.sum(x).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    s_prev = s - x
+    min_prev = F.min(s).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    threshold = F.least(F.lit(0), F.coalesce(min_prev, F.lit(0)))
+    popped = (F.col("op") != "prollback") & (s_prev > threshold)
+
+    survivors = (
+        affected.withColumn("_popped", popped)
+        .filter((F.col("op") != "prollback") & ~F.col("_popped"))
+        .drop("_popped")
+    )
+    return survivors.unionByName(passthrough)
+
+
+def reassemble_chunks(survivors: DataFrame) -> DataFrame:
+    """LOB-analog text reassembly (reference: LobCtx page maps,
+    src/common/LobCtx.cpp; invocation Transaction.cpp:286-420).
+
+    Chunks of a (xid, key) concatenate in (seq_in_txn, chunk_no) order and
+    become the ``text`` of the LAST surviving ins/upd on that key in the
+    same transaction.  Built-ins only: collect_list → array_sort → reduce.
+    """
+    chunks = survivors.filter(F.col("op") == "chunk")
+    rest = survivors.filter(F.col("op") != "chunk")
+
+    gk = ["xid", "table_name", "conv_id", "turn_idx"]
+    agg = chunks.groupBy(*gk).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seq_in_txn"),
+                        F.coalesce(F.col("chunk_no"), F.lit(0)).alias("chunk_no"),
+                        F.coalesce(F.col("chunk_text"), F.lit("")).alias("chunk_text"),
+                    )
+                )
+            ),
+            F.lit(""),
+            lambda acc, c: F.concat(acc, c["chunk_text"]),
+        ).alias("_chunked_text")
+    )
+    if agg.isEmpty():
+        return rest
+
+    w = Window.partitionBy(*gk)
+    writes = F.when(F.col("op").isin("ins", "upd"), F.col("seq_in_txn"))
+    rest2 = rest.withColumn("_last_write_seq", F.max(writes).over(w))
+    out = (
+        rest2.join(F.broadcast(agg), gk, "left")
+        .withColumn(
+            "_take_chunk",
+            F.col("_chunked_text").isNotNull()
+            & F.col("op").isin("ins", "upd")
+            & (F.col("seq_in_txn") == F.col("_last_write_seq")),
+        )
+        .withColumn(
+            "after",
+            F.when(
+                F.col("_take_chunk"),
+                F.coalesce(F.col("after"), _null_image()).withField(
+                    "text", F.col("_chunked_text")
+                ),
+            ).otherwise(F.col("after")),
+        )
+        .withColumn(
+            "changed_cols",
+            F.when(
+                F.col("_take_chunk") & ~F.array_contains(F.coalesce(F.col("changed_cols"), F.array()), "text"),
+                F.concat(F.coalesce(F.col("changed_cols"), F.array()), F.array(F.lit("text"))),
+            ).otherwise(F.col("changed_cols")),
+        )
+        .drop("_chunked_text", "_last_write_seq", "_take_chunk")
+    )
+    return out

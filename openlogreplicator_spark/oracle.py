@@ -1,0 +1,186 @@
+"""Sequential reference replay — the test oracle.
+
+Plays the change feed one event at a time in SCN order, exactly the way the
+reference's single parser thread does (/root/reference/src/parser/Parser.cpp
+analyzeLwn → appendToTransaction* → Transaction::flush at commit), and
+produces the expected final table state.  This is our analog of the
+reference's LogMiner differential oracle
+(/root/reference/tests/sql/scripts/compare.py): an independent, obviously
+correct implementation the distributed engine must match.
+
+Pure Python on purpose — O(events), used only at fixture scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Txn:
+    has_begin: bool = False
+    ops: list = field(default_factory=list)  # events incl. chunk; popped ones flagged
+
+
+@dataclass
+class ReplayResult:
+    rows: dict                 # (conv_id, turn_idx) -> {col: value}
+    columns: list              # active schema columns at end
+    n_applied: dict            # op -> count of DML ops actually applied
+    n_skipped: int             # events skipped (no-begin, rolled back, untracked)
+    n_txn_committed: int = 0
+    n_txn_rolled_back: int = 0
+    n_txn_dropped_no_begin: int = 0
+
+    def as_records(self) -> list[dict]:
+        out = []
+        for (conv_id, turn_idx), cols in sorted(self.rows.items()):
+            rec = {"conv_id": conv_id, "turn_idx": turn_idx}
+            for c in self.columns:
+                rec[c] = cols.get(c)
+            out.append(rec)
+        return out
+
+
+def replay(
+    events: list[dict],
+    tracked_tables: set[str] | None = None,
+    initial_columns: list[str] | None = None,
+    schema_columns_by_version: dict[int, list[str]] | None = None,
+    initial_rows: dict | None = None,
+) -> ReplayResult:
+    """events: list of dicts shaped like CHANGE_EVENT_SCHEMA rows, any order
+    (sorted here by scn)."""
+    tracked = tracked_tables or {"transcripts"}
+    columns = list(initial_columns or ["role", "text", "tool", "ts"])
+    versions = dict(schema_columns_by_version or {})
+    versions.setdefault(0, list(columns))
+
+    table: dict = dict(initial_rows or {})
+    txns: dict[str, _Txn] = {}
+    n_applied = {"ins": 0, "upd": 0, "del": 0}
+    n_skipped = 0
+    n_commit = n_rb = n_nobegin = 0
+
+    for ev in sorted(events, key=lambda e: e["scn"]):
+        op = ev["op"]
+        xid = ev["xid"]
+        if op == "begin":
+            txns.setdefault(xid, _Txn()).has_begin = True
+        elif op in ("ins", "upd", "del", "chunk", "ddl"):
+            txns.setdefault(xid, _Txn()).ops.append(dict(ev, _popped=False))
+        elif op == "prollback":
+            # pop last unpopped DML on same (table, key) in this txn
+            # (Transaction.cpp:73-148 rollbackLastOp searches from the end)
+            t = txns.setdefault(xid, _Txn())
+            key = (ev.get("table_name"), ev.get("conv_id"), ev.get("turn_idx"))
+            for prior in reversed(t.ops):
+                if (
+                    not prior["_popped"]
+                    and prior["op"] in ("ins", "upd", "del")
+                    and (prior.get("table_name"), prior.get("conv_id"), prior.get("turn_idx")) == key
+                ):
+                    prior["_popped"] = True
+                    break
+        elif op == "rollback":
+            t = txns.pop(xid, _Txn())
+            n_rb += 1
+            n_skipped += sum(1 for o in t.ops if o["op"] in ("ins", "upd", "del"))
+        elif op == "commit":
+            t = txns.pop(xid, _Txn())
+            if not t.has_begin:
+                # txn began before feed start → dropped whole
+                # (Parser.cpp:865-872)
+                n_nobegin += 1
+                n_skipped += sum(1 for o in t.ops if o["op"] in ("ins", "upd", "del"))
+                continue
+            n_commit += 1
+            _apply_txn(t, table, tracked, columns, versions, n_applied,
+                       skipped=lambda: None)
+            # count skipped untracked within _apply_txn via closure is
+            # awkward; recount here:
+            n_skipped += sum(
+                1 for o in t.ops
+                if o["op"] in ("ins", "upd", "del") and not o["_popped"]
+                and o.get("table_name") not in tracked
+            )
+            # DDL inside this txn may have evolved the schema
+            for o in t.ops:
+                if o["op"] == "ddl":
+                    new_ver = o["schema_version"] + 1
+                    if new_ver in versions:
+                        columns[:] = versions[new_ver]
+                    else:
+                        # "ADD COLUMN <name> <type>"
+                        parts = (o.get("ddl_stmt") or "").split()
+                        if len(parts) >= 3 and parts[0].upper() == "ADD":
+                            columns.append(parts[2])
+                            versions[new_ver] = list(columns)
+        # other ops ignored
+
+    return ReplayResult(
+        rows=table,
+        columns=columns,
+        n_applied=n_applied,
+        n_skipped=n_skipped,
+        n_txn_committed=n_commit,
+        n_txn_rolled_back=n_rb,
+        n_txn_dropped_no_begin=n_nobegin,
+    )
+
+
+def _apply_txn(t: _Txn, table: dict, tracked, columns, versions, n_applied, skipped):
+    ops = [o for o in t.ops if not o["_popped"]]
+
+    # chunk reassembly: chunks for a key concat in (seq_in_txn, chunk_no)
+    # order and become the text of the LAST surviving ins/upd on that key
+    # (LobCtx page-map analog; our text column plays the CLOB role)
+    chunks: dict = {}
+    for o in ops:
+        if o["op"] == "chunk":
+            key = (o.get("table_name"), o["conv_id"], o["turn_idx"])
+            chunks.setdefault(key, []).append(o)
+    for key, cs in chunks.items():
+        cs.sort(key=lambda o: (o["seq_in_txn"], o.get("chunk_no") or 0))
+        text = "".join(c["chunk_text"] or "" for c in cs)
+        target = None
+        for o in ops:
+            if o["op"] in ("ins", "upd") and (o.get("table_name"), o["conv_id"], o["turn_idx"]) == key:
+                target = o
+        if target is not None:
+            after = dict(target.get("after") or {})
+            after["text"] = text
+            target["after"] = after
+            cc = list(target.get("changed_cols") or [])
+            if "text" not in cc:
+                cc.append("text")
+            target["changed_cols"] = cc
+
+    for o in ops:
+        if o["op"] not in ("ins", "upd", "del"):
+            continue
+        if o.get("table_name") not in tracked:
+            continue
+        key = (o["conv_id"], o["turn_idx"])
+        if o["op"] == "del":
+            if key in table:
+                del table[key]
+                n_applied["del"] += 1
+            continue
+        after = o.get("after") or {}
+        changed = [c for c in (o.get("changed_cols") or []) if c in columns]
+        if o["op"] == "ins":
+            # insert defines the whole row: unset active columns → NULL
+            row = {c: None for c in columns}
+            for c in changed:
+                row[c] = after.get(c)
+            table[key] = row
+            n_applied["ins"] += 1
+        else:  # upd — upsert semantics on missing key
+            row = table.get(key)
+            if row is None:
+                row = {c: None for c in columns}
+                table[key] = row
+            for c in changed:
+                row[c] = after.get(c)
+            n_applied["upd"] += 1

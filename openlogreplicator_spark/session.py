@@ -1,0 +1,57 @@
+"""SparkSession builders tuned for the CDC engine.
+
+Local mode here is a stand-in for a multi-executor cluster: shuffle
+partitions scale with cores, AQE is on (runtime coalesce + skew-join), and
+Arrow is enabled for every pandas interchange.  On a real cluster the same
+conf applies — only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "openlogreplicator_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~1-2x cores for local mode; on a 1000-executor cluster this would
+        # be sized so post-shuffle partitions land near 128-256 MB (AQE
+        # coalesce trims the rest).
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # File-source micro-batches: bound per-trigger admission like the
+        # reference's bounded ring buffer (src/reader/Reader.cpp buffer
+        # scan) bounds parser intake.
+        .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_or_create(app_name: str = "openlogreplicator_spark") -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return build_session(app_name)

@@ -1,0 +1,112 @@
+"""Job wiring — the Replicator main loop rebuilt on Structured Streaming.
+
+The reference alternates archived-log catch-up and online tailing on one
+thread (/root/reference/src/replicator/Replicator.cpp:245-268); in Spark the
+same loop is ONE streaming query: the file source discovers new ``seq-*``
+feed files (archived-log analog), micro-batch admission
+(maxFilesPerTrigger) replaces the bounded ring buffer, the engine
+checkpoint directory replaces position checkpoints
+(src/metadata/Metadata.cpp:457-509), and foreachBatch applies each epoch
+exactly once via the lake manifest ledger.
+
+``replay_batch`` is the bounded mode (reference: ReplicatorBatch.cpp:33-63)
+used by tests and the throughput benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..lake import LakeTable
+from ..schema import CHANGE_EVENT_SCHEMA, TRANSCRIPTS_SCHEMA_V0
+from .apply import apply_epoch
+
+DEFAULT_VALUE_COLS = [
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+KEY_COLS = [("conv_id", "string"), ("turn_idx", "int")]
+
+
+def create_target(
+    spark: SparkSession, table_path: str, n_buckets: int = 16, overwrite: bool = True
+) -> LakeTable:
+    return LakeTable.create(
+        spark, table_path, KEY_COLS, DEFAULT_VALUE_COLS, n_buckets=n_buckets, overwrite=overwrite
+    )
+
+
+def replay_batch(
+    spark: SparkSession,
+    feed: DataFrame | str,
+    table_path: str,
+    job_id: str = "batch",
+    epoch_id: int = 0,
+    tracked_pattern: str = "^transcripts$",
+    n_buckets: int = 16,
+    create: bool = True,
+) -> LakeTable:
+    """Bounded replay: whole feed as one epoch (ReplicatorBatch analog)."""
+    if isinstance(feed, str):
+        feed = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed)
+    if create:
+        table = create_target(spark, table_path, n_buckets=n_buckets)
+    else:
+        table = LakeTable(spark, table_path)
+    apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern)
+    return table.refresh()
+
+
+def run_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    job_id: str = "stream",
+    tracked_pattern: str = "^transcripts$",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    create: bool = True,
+    fail_at_epoch: int | None = None,
+    fail_after_apply: bool = False,
+):
+    """Streaming replay with availableNow (drains the backlog then stops).
+
+    ``fail_at_epoch`` / ``fail_after_apply`` inject a crash for the
+    kill-and-resume tests: before the apply (epoch fully replayed on
+    restart) or after it (ledger makes the replay a no-op).
+    """
+    if create and not os.path.exists(os.path.join(table_path, "VERSION")):
+        create_target(spark, table_path, n_buckets=n_buckets)
+
+    reader = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("latestFirst", "false")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger or 1000))
+        .parquet(feed_dir)
+    )
+
+    def fb(batch_df: DataFrame, epoch_id: int):
+        if fail_at_epoch is not None and epoch_id == fail_at_epoch and not fail_after_apply:
+            raise RuntimeError(f"injected crash before apply of epoch {epoch_id}")
+        table = LakeTable(spark, table_path)
+        apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern)
+        if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
+            raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
+
+    q = (
+        reader.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return LakeTable(spark, table_path)
+
+
+def read_final_state(spark: SparkSession, table_path: str) -> DataFrame:
+    return LakeTable(spark, table_path).read()
