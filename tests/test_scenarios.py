@@ -1,0 +1,328 @@
+"""Scenario corpus — mirrors the reference's fixture matrix
+(/root/reference/PLAN.md:366-391, tests/sql/inputs/*.sql) mapped onto the
+transcripts payload.  Each test builds a seeded feed, replays it through the
+engine (bounded batch mode) AND the sequential oracle, and asserts final
+state equality (per-turn text equality, stable turn ordering)."""
+
+from datetime import datetime, timezone
+
+import pytest
+
+from helpers import run_and_compare
+from openlogreplicator_spark.feedgen import FeedBuilder
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_null_handling(spark, tmpdir_path):
+    """null insert, value→null, null→value (null-handling.sql analog)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text=None, tool=None, ts=TS)
+    t.ins("c1", 1, role=None, text="has text", tool="calc", ts=None)
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("c1", 1, tool=None)          # value → NULL (changed_cols carries it)
+    t.upd("c1", 0, text="now set")     # NULL → value
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 1)]["tool"] is None
+    assert rows[("c1", 1)]["text"] == "has text"  # untouched col kept
+    assert rows[("c1", 0)]["text"] == "now set"
+
+
+def test_full_rollback(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="kept", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.ins("c2", 0, role="user", text="discarded")
+    t.upd("c1", 0, text="discarded too")
+    fb.rollback(t)
+    table, exp = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "kept"
+    assert ("c2", 0) not in rows
+    assert exp.n_txn_rolled_back == 1
+    lin = table.lineage().collect()
+    assert sum(r["n_skipped"] for r in lin) == 2  # the 2 rolled-back DMLs
+
+
+def test_partial_rollback_savepoint(spark, tmpdir_path):
+    """Savepoint pops: last matching op per key (Transaction.cpp:73-148)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v1", ts=TS)
+    t.upd("c1", 0, text="v2")
+    t.prollback("c1", 0)      # pops the upd → text stays v1
+    t.ins("c1", 1, role="assistant", text="other", ts=TS)
+    fb.commit(t)
+
+    t = fb.begin()
+    t.upd("c1", 1, text="e1")
+    t.upd("c1", 1, text="e2")
+    t.prollback("c1", 1)      # pops e2
+    t.prollback("c1", 1)      # pops e1 → row untouched this txn
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "v1"
+    assert rows[("c1", 1)]["text"] == "other"
+
+
+def test_partial_rollback_then_more_ops(spark, tmpdir_path):
+    """Pop is positional: later ops on the same key are unaffected."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="a", ts=TS)
+    t.upd("c1", 0, text="b")
+    t.prollback("c1", 0)      # pops b
+    t.upd("c1", 0, text="c")  # applies after the pop
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().collect()[0]["text"] == "c"
+
+
+def test_prollback_of_insert_then_reinsert(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="first", ts=TS)
+    t.prollback("c1", 0)      # pops the insert entirely
+    t.ins("c1", 0, role="tool", text="second", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    row = table.read().collect()[0]
+    assert (row["role"], row["text"]) == ("tool", "second")
+
+
+def test_concurrent_updates_last_writer_wins(spark, tmpdir_path):
+    """Same key updated across many rapid commits — last writer by
+    (commit_scn, seq_in_txn) wins (concurrent-updates.sql analog)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("hot", 0, role="user", text="v0", ts=TS)
+    fb.commit(t)
+    for i in range(1, 30):
+        t = fb.begin()
+        t.upd("hot", 0, text=f"v{i}")
+        fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().collect()[0]["text"] == "v29"
+
+
+def test_interleaved_transactions(spark, tmpdir_path):
+    """≥3 open txns with interleaved events; application follows commit
+    order, not event order (interleaved-transactions.sql analog)."""
+    fb = FeedBuilder()
+    a, b, c = fb.begin(), fb.begin(), fb.begin()
+    a.ins("x", 0, role="user", text="a1", ts=TS)
+    b.ins("x", 1, role="user", text="b1", ts=TS)
+    c.upd("x", 0, text="c-wins")      # c touches a's key
+    a.upd("x", 1, text="a-first")     # a touches b's key
+    b.upd("x", 0, text="b-mid")
+    # commit order: a, b, c  → x0: a1 → b-mid → c-wins ; x1: a-first? NO:
+    # a commits first, then b's ins of x1 overwrites (ins = row boundary)
+    fb.commit(a)
+    fb.commit(b)
+    fb.commit(c)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("x", 0)]["text"] == "c-wins"
+    assert rows[("x", 1)]["text"] == "b1"  # b's ins replaced a's earlier upd
+
+
+def test_multi_table_tracking(spark, tmpdir_path):
+    """Only tracked tables applied; untracked DML counted skipped (F1)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="tracked", ts=TS)
+    t.dml_other_table("audit_log", "c1", 0, op="ins", role="x", text="untracked")
+    t.dml_other_table("metrics", "c9", 5, op="ins", text="untracked2")
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().count() == 1
+    lin = table.lineage().collect()
+    assert sum(r["n_skipped"] for r in lin) == 2
+
+
+def test_large_transaction(spark, tmpdir_path):
+    """200+ ops in one commit (large-transaction.sql analog)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(120):
+        t.ins("big", i, role="user", text=f"turn {i}", ts=TS)
+    for i in range(0, 120, 3):
+        t.upd("big", i, text=f"edited {i}")
+    for i in range(0, 120, 10):
+        t.delete("big", i)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().count() == 120 - 12
+
+
+def test_no_begin_txn_dropped(spark, tmpdir_path):
+    """Txn whose begin precedes feed start → dropped whole
+    (Parser.cpp:865-872)."""
+    fb = FeedBuilder()
+    orphan = fb.begin_without_begin_event()
+    orphan.ins("ghost", 0, role="user", text="must not appear")
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="real", ts=TS)
+    fb.commit(t)
+    orphan.upd("ghost", 0, text="still nothing")
+    fb.commit(orphan)
+    table, exp = run_and_compare(spark, fb, tmpdir_path)
+    rows = [r["conv_id"] for r in table.read().collect()]
+    assert rows == ["c1"]
+    assert exp.n_txn_dropped_no_begin == 1
+    assert sum(r["n_skipped"] for r in table.lineage().collect()) == 2
+
+
+def test_special_chars(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    weird = 'quote" back\\slash\ttab\nnewline\r\ncrlf émoji 🦜 中文 \x00null'
+    t.ins("c1", 0, role="user", text=weird, tool="a'b", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().collect()[0]["text"] == weird
+
+
+def test_wide_rows(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="W" * 4000, ts=TS)
+    t.upd("c1", 0, text="X" * 4000)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().collect()[0]["text"] == "X" * 4000
+
+
+def test_chunked_text_reassembly(spark, tmpdir_path):
+    """text delivered as ordered chunk events reassembled before apply
+    (lob-operations.sql / LobCtx analog)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="assistant", text=None, ts=TS)
+    t.chunk("c1", 0, 0, "Lorem ")
+    t.chunk("c1", 0, 1, "ipsum ")
+    t.chunk("c1", 0, 2, "dolor")
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("c1", 1, role="tool")
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "Lorem ipsum dolor"
+
+
+def test_empty_transactions(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    fb.commit(t)
+    t = fb.begin()
+    fb.rollback(t)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="only real row", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().count() == 1
+
+
+def test_multi_shard_interleaved(spark, tmpdir_path):
+    """2 shards, independent per-shard LSNs, global commit_scn order
+    (rac-interleaved analog, Replicator.cpp:1142-1210)."""
+    fb = FeedBuilder(n_shards=2)
+    a = fb.begin(shard=0)
+    b = fb.begin(shard=1)
+    a.ins("s", 0, role="user", text="from shard0", ts=TS)
+    b.ins("s", 1, role="user", text="from shard1", ts=TS)
+    b.upd("s", 0, text="shard1 wins s0")
+    fb.commit(a)   # commit_scn lower
+    fb.commit(b)   # commit_scn higher → b's upd applies after a's ins
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("s", 0)]["text"] == "shard1 wins s0"
+    lin = {r["shard"]: r for r in table.lineage().collect()}
+    assert lin[0]["last_applied_lsn"] == 3  # begin, ins, commit on shard 0
+    assert lin[1]["last_applied_lsn"] == 4
+
+
+def test_shard2_only(spark, tmpdir_path):
+    """All DML on the non-primary shard (rac-thread2-only analog)."""
+    fb = FeedBuilder(n_shards=2)
+    t = fb.begin(shard=1)
+    t.ins("c1", 0, role="user", text="shard1", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.read().count() == 1
+
+
+def test_skewed_hot_conversation(spark, tmpdir_path):
+    """80% of events on one conv_id — correctness under skew; key
+    granularity (conv_id, turn_idx) spreads the hot conversation."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(10):
+        t.ins("hot", i, role="user", text=f"h{i}", ts=TS)
+        t.ins(f"cold-{i}", 0, role="user", text=f"c{i}", ts=TS)
+    fb.commit(t)
+    for r in range(8):
+        t = fb.begin()
+        for i in range(10):
+            t.upd("hot", i, text=f"h{i}-r{r}")
+        fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert len(rows) == 20
+    assert rows[("hot", 3)]["text"] == "h3-r7"
+
+
+def test_ddl_add_column_batch(spark, tmpdir_path):
+    """Mid-feed DDL adds `meta`; later events use it; earlier rows read
+    NULL (ddl-add-column.sql analog; Iceberg-style metadata-only ALTER)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="pre-ddl", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb.begin()
+    t.ins("c1", 1, role="assistant", text="post-ddl", meta='{"model":"x"}', ts=TS)
+    t.upd("c1", 0, meta='{"added":"later"}')
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.value_names == ["role", "text", "tool", "ts", "meta"]
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 1)]["meta"] == '{"model":"x"}'
+    assert rows[("c1", 0)]["meta"] == '{"added":"later"}'
+    assert rows[("c1", 0)]["text"] == "pre-ddl"
+
+
+def test_meta_column_ignored_before_ddl(spark, tmpdir_path):
+    """Events carrying a not-yet-added column must not leak it (dictionary
+    gates decode, SystemTransaction analog)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x", ts=TS)
+    # upd claims to set meta before the DDL exists → projected away
+    t.upd("c1", 0, meta="should be ignored")
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.value_names == ["role", "text", "tool", "ts"]
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_bucket_count_invariance(spark, tmpdir_path, n_buckets):
+    """Final state independent of physical bucketing."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(20):
+        t.ins(f"c{i % 5}", i, role="user", text=f"t{i}", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.delete("c0", 0)
+    t.upd("c1", 1, text="edited")
+    fb.commit(t)
+    run_and_compare(spark, fb, tmpdir_path, n_buckets=n_buckets)
