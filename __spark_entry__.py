@@ -1,38 +1,752 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline operator), runnable on the driver-generated parquet
+tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.  The CDC
+operators are exercised by DERIVING a change feed from the ``events`` table
+with a deterministic, SQL-expressible mapping, so the engine's distributed
+implementation is differentially tested against an independent sequential
+SQL formulation — the same strategy as the reference's LogMiner comparison
+(/root/reference/tests/sql/scripts/compare.py).
+
+Derived-feed mapping (shared by Spark and the oracle):
+    op:   signup → ins, error → del, else upd
+    key:  (conv_id = 'u'||user_id, turn_idx = (props.k)::int % 4)
+    ord:  event_id (globally unique, monotone)
+    ins sets {role=event_type, text=props};  upd sets {text=props};  del removes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Derived CDC feed over the `events` table
+# ---------------------------------------------------------------------------
+
+def _derived_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "ins")
+        .when(F.col("event_type") == "error", "del")
+        .otherwise("upd")
+    )
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias("turn_idx"),
+        F.col("event_type"),
+        F.col("props"),
+        F.col("ts"),
+    )
+
+
+def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change-event feed (begin/dml/commit per source event) in the
+    engine's wire schema — single-op auto-commit transactions."""
+    from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
+
+    ops = _derived_ops(spark, sf_dir)
+    base = ops.select(
+        F.col("event_id"),
+        F.col("op"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("event_type"),
+        F.col("props"),
+        F.col("ts"),
+    )
+
+    def row(kind: str):
+        scn = F.col("event_id") * 3 + {"begin": 0, "dml": 1, "commit": 2}[kind]
+        is_dml = kind == "dml"
+        is_commit = kind == "commit"
+        after = F.when(
+            F.lit(is_dml) & F.col("op").isin("ins", "upd"),
+            F.struct(
+                F.when(F.col("op") == "ins", F.col("event_type")).alias("role"),
+                F.col("props").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit(None).cast("string").alias("meta"),
+            ),
+        )
+        changed = F.when(
+            F.lit(is_dml) & (F.col("op") == "ins"), F.array(F.lit("role"), F.lit("text"))
+        ).when(F.lit(is_dml) & (F.col("op") == "upd"), F.array(F.lit("text")))
+        return base.select(
+            scn.alias("lsn"),
+            F.lit(0).alias("shard"),
+            F.lit(0).cast("long").alias("seq"),
+            scn.alias("scn"),
+            F.when(F.lit(is_commit), scn).alias("commit_scn"),
+            F.concat(F.lit("x"), F.col("event_id")).alias("xid"),
+            F.lit({"begin": 0, "dml": 1, "commit": 2}[kind]).alias("seq_in_txn"),
+            (F.lit(kind) if kind != "dml" else F.col("op")).alias("op"),
+            F.when(F.lit(is_dml), F.lit("transcripts")).alias("table_name"),
+            F.when(F.lit(is_dml), F.col("conv_id")).alias("conv_id"),
+            F.when(F.lit(is_dml), F.col("turn_idx")).alias("turn_idx"),
+            F.lit(None).cast("struct<role:string,text:string,tool:string,ts:timestamp,meta:string>").alias("before"),
+            after.alias("after"),
+            changed.alias("changed_cols"),
+            F.lit(None).cast("int").alias("chunk_no"),
+            F.lit(None).cast("string").alias("chunk_text"),
+            F.lit(0).alias("schema_version"),
+            F.lit(None).cast("string").alias("ddl_stmt"),
+            F.col("ts"),
+        )
+
+    _ = CHANGE_EVENT_SCHEMA  # wire shape documented there
+    return row("begin").unionByName(row("dml")).unionByName(row("commit"))
+
+
+_ORACLE_DERIVED = """
+WITH ev AS (
+  SELECT event_id,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS turn_idx,
+         CASE WHEN event_type = 'signup' THEN 'ins'
+              WHEN event_type = 'error' THEN 'del'
+              ELSE 'upd' END AS op,
+         event_type, props, ts
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (SURVEY.md §2) — Spark side
+# ---------------------------------------------------------------------------
+
+def q_s6_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full engine path (assemble → prollback match → collapse)
+    over the derived feed; final table state (target starts empty).
+    Exercises S6/T1-T4/T7-T9/T11/P3."""
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+    from openlogreplicator_spark.operators.collapse import collapse_net_changes
+
+    feed = _derived_feed(spark, sf_dir)
+    parts = assemble_transactions(feed)
+    survivors = match_partial_rollbacks(parts["committed"])
+    dml = survivors.filter(F.col("op").isin("ins", "upd", "del"))
+    net = collapse_net_changes(dml, ["role", "text", "tool", "ts"])
+    return net.filter(~F.col("is_delete")).select(
+        "conv_id",
+        "turn_idx",
+        F.col("vals").getField("role").alias("role"),
+        F.col("vals").getField("text").alias("text"),
+    )
+
+
+def q_t11_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 — keyed last-writer-wins dedup over the raw events."""
+    from openlogreplicator_spark.functions.dedup import lww_dedup
+
+    ops = _derived_ops(spark, sf_dir)
+    last = lww_dedup(ops, ["conv_id", "turn_idx"], ["event_id"])
+    return last.select("conv_id", "turn_idx", F.col("event_id").alias("last_event_id"),
+                       F.col("event_type").alias("last_event_type"))
+
+
+def q_t5_partial_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — savepoint stack matching: 'error' events pop the latest prior
+    unpopped non-error event of the same user; return survivors."""
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.when(F.col("event_type") == "error", F.lit(1)).otherwise(F.lit(-1)).alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    s = F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    min_prev = F.min(s).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    d = ev.withColumn("s", s).withColumn("mp", min_prev)
+    popped = (F.col("s") - F.col("x")) > F.least(F.lit(0), F.coalesce(F.col("mp"), F.lit(0)))
+    return d.filter((F.col("x") == -1) & ~popped).select("user_id", "event_id")
+
+
+def q_t2_txn_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T4 — per-transaction grouping/stats (xid := event_id div 20)."""
+    ev = _load(spark, sf_dir, "events")
+    g = ev.groupBy(F.floor(F.col("event_id") / 20).cast("long").alias("xid"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.min("event_id").alias("first_eid"),
+        F.max("event_id").alias("last_eid"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+
+
+def q_t7_commit_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7/P1 — ordered emission: global sequence per user by (ts, event_id)
+    (the LWN heap-sort analog as a window)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq_no")
+    )
+
+
+def q_t9_op_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — op-type coalescing per key: net op from first/last ops
+    (INSERT+DELETE→none, else last op wins; Transaction.cpp:435-449)."""
+    ops = _derived_ops(spark, sf_dir)
+    g = ops.groupBy("conv_id", "turn_idx").agg(
+        F.min_by("op", "event_id").alias("first_op"),
+        F.max_by("op", "event_id").alias("last_op"),
+    )
+    net = (
+        F.when((F.col("first_op") == "ins") & (F.col("last_op") == "del"), "none")
+        .when(F.col("last_op") == "del", "del")
+        .when(F.col("first_op") == "ins", "ins")
+        .otherwise("upd")
+    )
+    return g.select("conv_id", "turn_idx", net.alias("net_op"))
+
+
+def q_p9_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — LOB-style ordered reassembly: concat event_type per user in
+    (ts, event_id) order (collect_list + array_sort + fold)."""
+    ev = _load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("event_type").alias("t")))
+            ),
+            F.lit(""),
+            lambda acc, r: F.concat(acc, F.lit("|"), r["t"]),
+        ).alias("event_chain")
+    )
+    return agg
+
+
+def q_f2_condition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — expression-language row filter (Expression.cpp analog)."""
+    from openlogreplicator_spark.operators.filters import condition_filter
+
+    ev = _load(spark, sf_dir, "events")
+    out = condition_filter(ev, "event_type != 'error' AND value > 150.0")
+    return out.select("event_id", "user_id", "event_type",
+                      F.col("value").cast("decimal(12,2)").alias("value"))
+
+
+def q_f1_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — regex table selection analog over event_type."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").rlike("^(click|view)$"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_p4_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P6 — typed value decode: decimal pinning + JSON field extraction."""
+    from openlogreplicator_spark.functions.decode import decode_number, json_field
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        decode_number(F.col("value")).alias("value_dec"),
+        json_field(F.col("props"), "k").cast("int").alias("k"),
+    )
+
+
+def q_p8_xid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — XID identity formatting (hex render)."""
+    from openlogreplicator_spark.functions.decode import format_xid
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        format_xid(
+            F.col("user_id"), F.col("event_id") % 8, F.col("event_id")
+        ).alias("xid_str"),
+    )
+
+
+def q_w8_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/§2.8 — per-shard op counters (shard := user_id % 4)."""
+    ops = _derived_ops(spark, sf_dir)
+    return (
+        ops.groupBy((F.col("user_id") % 4).alias("shard"))
+        .agg(
+            F.max("event_id").alias("last_lsn"),
+            F.count(F.when(F.col("op") == "ins", 1)).alias("n_ins"),
+            F.count(F.when(F.col("op") == "upd", 1)).alias("n_upd"),
+            F.count(F.when(F.col("op") == "del", 1)).alias("n_del"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.dedup import minhash_bands
+
+    return minhash_bands(_load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(
+        _load(spark, sf_dir, "documents"), n_hashes=8, n_bands=4
+    )
+
+
+def q_dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, n_hashes=8, n_bands=4)
+    return ngram_jaccard_pairs(docs, pairs, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.dedup import simhash
+
+    from openlogreplicator_spark.functions.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    # zero-token docs excluded to match the SQL twin (no unnested rows)
+    return docs.filter(F.size(tokens(F.col("text"))) > 0).select(
+        "doc_id", simhash(F.col("text"), 16).alias("simhash16")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.text import quality_score, token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.text import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.text import lang_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openlogreplicator_spark.functions.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return brute_force_topk(corpus, queries, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — no SQL oracle (hyperplane hashing is engine-side);
+    accuracy asserted in tests against brute force."""
+    from openlogreplicator_spark.functions.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return lsh_topk(corpus, queries, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Classical operator inventory evidence (§2.7): agg / join / window / sort
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension probe joins — the reference's obj→table dictionary lookups
+    (broadcast hash in Spark)."""
+    cust = _load(spark, sf_dir, "customer")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    j = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_acctbal"),
+    )
+
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (derived feed → assembled transactions →
+    net state) on sf0.001."""
+    return q_s6_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
+        "t11_lww_dedup": q_t11_lww_dedup,
+        "t5_partial_rollback": q_t5_partial_rollback,
+        "t2_txn_group_stats": q_t2_txn_group_stats,
+        "t7_commit_order": q_t7_commit_order,
+        "t9_op_lattice": q_t9_op_lattice,
+        "p9_chunk_reassembly": q_p9_chunk_reassembly,
+        "f1_regex_filter": q_f1_regex_filter,
+        "f2_condition_filter": q_f2_condition_filter,
+        "p4_value_decode": q_p4_value_decode,
+        "p8_xid_format": q_p8_xid_format,
+        "w8_lineage_counts": q_w8_lineage_counts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_jaccard_verify": q_dedup_jaccard_verify,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_broadcast_dims": q_join_broadcast_dims,
+        "window_topk_per_group": q_window_topk_per_group,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = (
+        "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),"
+        " t -> t <> '')"
+    )
+    return {
+        "s6_cdc_replay_final_state": _ORACLE_DERIVED + """
+, st AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,
+         max(event_id) AS last_eid
+  FROM ev GROUP BY conv_id, turn_idx
+), last_op AS (
+  SELECT e.conv_id, e.turn_idx, e.op AS last_op
+  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+                      AND e.event_id = s.last_eid
+), surv AS (
+  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+  WHERE e.op <> 'del' AND e.event_id >= s.boundary
+), sv AS (
+  SELECT conv_id, turn_idx, max(event_id) AS me,
+         max(CASE WHEN op = 'ins' THEN event_type END) AS role
+  FROM surv GROUP BY conv_id, turn_idx
+)
+SELECT l.conv_id, l.turn_idx, s.role, e.props AS text
+FROM last_op l
+JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
+WHERE l.last_op <> 'del'
+""",
+        "t11_lww_dedup": _ORACLE_DERIVED + """
+SELECT conv_id, turn_idx, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY event_id DESC) AS rn
+  FROM ev
+) WHERE rn = 1
+""",
+        "t5_partial_rollback": """
+WITH e AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE -1 END AS x
+  FROM events
+), s1 AS (
+  SELECT *,
+    sum(x) OVER (PARTITION BY user_id ORDER BY event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM e
+), w AS (
+  SELECT *,
+    min(s) OVER (PARTITION BY user_id ORDER BY event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+  FROM s1
+)
+SELECT user_id, event_id FROM w
+WHERE x = -1 AND NOT ((s - x) > least(0, coalesce(mp, 0)))
+""",
+        "t2_txn_group_stats": """
+SELECT CAST(floor(event_id / 20.0) AS BIGINT) AS xid,
+       count(*) AS n_ops,
+       min(event_id) AS first_eid,
+       max(event_id) AS last_eid,
+       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+FROM events GROUP BY 1
+""",
+        "t7_commit_order": """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no
+FROM events
+""",
+        "t9_op_lattice": _ORACLE_DERIVED + """
+, g AS (
+  SELECT conv_id, turn_idx,
+         min(event_id) AS fe, max(event_id) AS le
+  FROM ev GROUP BY conv_id, turn_idx
+), fl AS (
+  SELECT g.conv_id, g.turn_idx, ef.op AS first_op, el.op AS last_op
+  FROM g
+  JOIN ev ef ON ef.conv_id = g.conv_id AND ef.turn_idx = g.turn_idx AND ef.event_id = g.fe
+  JOIN ev el ON el.conv_id = g.conv_id AND el.turn_idx = g.turn_idx AND el.event_id = g.le
+)
+SELECT conv_id, turn_idx,
+       CASE WHEN first_op = 'ins' AND last_op = 'del' THEN 'none'
+            WHEN last_op = 'del' THEN 'del'
+            WHEN first_op = 'ins' THEN 'ins'
+            ELSE 'upd' END AS net_op
+FROM fl
+""",
+        "p9_chunk_reassembly": """
+SELECT user_id, '|' || string_agg(event_type, '|' ORDER BY ts, event_id) AS event_chain
+FROM events GROUP BY user_id
+""",
+        "f1_regex_filter": """
+SELECT event_type, count(*) AS n FROM events
+WHERE regexp_matches(event_type, '^(click|view)$')
+GROUP BY event_type
+""",
+        "f2_condition_filter": """
+SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+FROM events WHERE event_type <> 'error' AND value > 150.0
+""",
+        "p4_value_decode": """
+SELECT event_id, CAST(value AS DECIMAL(18,2)) AS value_dec,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+        "p8_xid_format": """
+SELECT event_id, printf('0x%04x.%03x.%08x', user_id, event_id % 8, event_id) AS xid_str
+FROM events
+""",
+        "w8_lineage_counts": _ORACLE_DERIVED + """
+SELECT (e2.user_id % 4) AS shard,
+       max(e.event_id) AS last_lsn,
+       count(CASE WHEN e.op = 'ins' THEN 1 END) AS n_ins,
+       count(CASE WHEN e.op = 'upd' THEN 1 END) AS n_upd,
+       count(CASE WHEN e.op = 'del' THEN 1 END) AS n_del
+FROM ev e JOIN events e2 USING (event_id)
+GROUP BY 1
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_bands": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS tok FROM documents
+), sig AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+       md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+FROM sig GROUP BY doc_id, i // 2
+""",
+        "dedup_minhash_pairs": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS tok FROM documents
+), sig AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+""",
+        "dedup_jaccard_verify": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS tok FROM documents
+), sig AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, count(DISTINCT ta.tok) AS n_inter
+  FROM pairs p
+  JOIN toks ta ON ta.doc_id = p.id_a
+  JOIN toks tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+  GROUP BY p.id_a, p.id_b
+), sizes AS (
+  SELECT doc_id, count(DISTINCT tok) AS n FROM toks GROUP BY doc_id
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) /
+             greatest(CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 1.0), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / greatest(CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 1.0) >= 0.5
+""",
+        "dedup_simhash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS tok FROM documents
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (CAST(floor((strpos('0123456789abcdef',
+                       substr(md5(tok), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+                       / power(2, b % 4)) AS INTEGER) % 2) = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM toks CROSS JOIN (SELECT unnest(range(16)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash16
+FROM bits GROUP BY doc_id
+""",
+        "text_quality": f"""
+SELECT doc_id,
+       len({tok}) AS n_tokens,
+       round((
+         0.4 * ((length(text) - (length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))))
+                / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       + 0.2 * (1.0 - least(((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 4, 1.0))
+       ) * least(CAST(length(text) AS DOUBLE) / 20.0, 1.0), 6) AS quality
+FROM documents
+""",
+        "text_fingerprint": f"""
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct({tok})), ' ')) AS fp
+FROM documents
+""",
+        "ann_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
+), scored AS (
+  SELECT q.q_id, c.n_id,
+    round(
+      list_sum(list_transform(range(1, len(c.n_vec) + 1),
+               i -> CAST(c.n_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, len(c.n_vec) + 1),
+               i -> CAST(c.n_vec[i] AS DOUBLE) * CAST(c.n_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, len(q.q_vec) + 1),
+               i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))),
+          1e-12), 6) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_broadcast_dims": """
+SELECT r_name, count(*) AS n_customers,
+       sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "window_topk_per_group": """
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    }

@@ -1,0 +1,176 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: CDC replay throughput (the reference's discard-writer benchmark
+analog plus the full tail→merge path) over a deterministic scaled feed,
+plus the heaviest training-data operators at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_TXNS           override feed size (default 120000 txns ≈ 1.2M events)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_TXNS = int(os.environ.get("BENCH_TXNS", "120000"))
+
+
+def feed_cache_dir(n_txns: int, skew: float) -> str:
+    d = f"/tmp/olr_bench_feed_t{n_txns}_s{skew}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        from openlogreplicator_spark.feedgen import generate_scaled_feed
+
+        generate_scaled_feed(
+            d, n_txns=n_txns, avg_ops_per_txn=8, n_convs=max(n_txns // 10, 100),
+            n_shards=4, n_files=32, skew=skew, seed=42,
+        )
+        open(marker, "w").write("ok")
+    return d
+
+
+def main():
+    from openlogreplicator_spark.session import build_session
+
+    spark = build_session("olr-bench", cores=CPUS, shuffle_partitions=CPUS)
+    times: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    feed_dir = feed_cache_dir(N_TXNS, 0.0)
+    feed_skew_dir = feed_cache_dir(max(N_TXNS // 2, 1000), 2.0)
+
+    feed = spark.read.parquet(feed_dir)
+    n_events = feed.count()  # also warms the JVM / file listing
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1) parse+assemble only (Discard-writer analog): full assembly +
+    #    collapse, noop sink — measures the engine minus the table rewrite
+    def parse_assemble():
+        from openlogreplicator_spark.operators.assemble import (
+            assemble_transactions,
+            match_partial_rollbacks,
+        )
+        from openlogreplicator_spark.operators.collapse import collapse_net_changes
+
+        parts = assemble_transactions(feed)
+        surv = match_partial_rollbacks(parts["committed"])
+        net = collapse_net_changes(
+            surv.filter(F.col("op").isin("ins", "upd", "del")),
+            ["role", "text", "tool", "ts"],
+        )
+        net.write.format("noop").mode("overwrite").save()
+
+    timed("cdc_parse_assemble", parse_assemble)
+
+    # 2) full tail→merge into the lake table (one bounded epoch)
+    work = tempfile.mkdtemp(prefix="olrbench-")
+
+    def full_merge():
+        from openlogreplicator_spark.streaming.job import replay_batch
+
+        replay_batch(spark, feed, os.path.join(work, "tbl"), n_buckets=64)
+
+    timed("cdc_full_merge", full_merge)
+    extra["events_per_sec_full_merge"] = round(n_events / times["cdc_full_merge"], 1)
+    extra["events_per_sec_parse_assemble"] = round(
+        n_events / times["cdc_parse_assemble"], 1
+    )
+    extra["n_events"] = n_events
+
+    # 3) skewed feed (hot conversation) through the full path
+    skew_feed = spark.read.parquet(feed_skew_dir)
+    n_skew = skew_feed.count()
+
+    def skew_merge():
+        from openlogreplicator_spark.streaming.job import replay_batch
+
+        replay_batch(spark, skew_feed, os.path.join(work, "tbl_skew"), n_buckets=64)
+
+    timed("cdc_full_merge_skewed", skew_merge)
+    extra["events_per_sec_skewed"] = round(n_skew / times["cdc_full_merge_skewed"], 1)
+
+    # 4) training-data operators at SF_DIR
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.exists(docs_path):
+        docs = spark.read.parquet(docs_path)
+
+        def minhash():
+            from openlogreplicator_spark.functions.dedup import minhash_candidate_pairs
+
+            minhash_candidate_pairs(docs, n_hashes=8, n_bands=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        timed("dedup_minhash_pairs", minhash)
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path)
+
+        def ann():
+            from openlogreplicator_spark.functions.similarity import brute_force_topk
+
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            brute_force_topk(emb.filter(F.col("vec_id") >= 10), q, k=5).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        timed("ann_cosine_topk", ann)
+
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    if os.path.exists(li_path):
+        li = spark.read.parquet(li_path)
+
+        def pricing():
+            (
+                li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity").alias("sum_qty"),
+                    F.sum("l_extendedprice").alias("sum_base"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+
+        timed("agg_pricing_summary", pricing)
+
+    shutil.rmtree(work, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "cdc_full_merge_sec",
+        "value": times["cdc_full_merge"],
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **extra,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""spark-submit entry point.
+
+Usage (cluster):
+  spark-submit --py-files openlogreplicator_spark.zip job.py stream \\
+      --feed /data/feed --table /lake/transcripts --checkpoint /ckpt/run1
+
+  zip -r openlogreplicator_spark.zip openlogreplicator_spark/
+
+Subcommands:
+  gen-feed  — write a deterministic synthetic change feed
+  replay    — bounded replay (ReplicatorBatch analog)
+  stream    — tail the feed with Structured Streaming (availableNow by
+              default; --continuous keeps the query running)
+  show      — print final table state / lineage
+
+In local mode the SparkSession is built here; under spark-submit an
+existing session/conf is respected (getOrCreate).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="openlogreplicator-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen-feed")
+    g.add_argument("--out", required=True)
+    g.add_argument("--txns", type=int, default=10000)
+    g.add_argument("--shards", type=int, default=4)
+    g.add_argument("--files", type=int, default=16)
+    g.add_argument("--skew", type=float, default=0.0)
+    g.add_argument("--seed", type=int, default=42)
+
+    for name in ("replay", "stream"):
+        s = sub.add_parser(name)
+        s.add_argument("--feed", required=True)
+        s.add_argument("--table", required=True)
+        s.add_argument("--tracked", default="^transcripts$")
+        s.add_argument("--buckets", type=int, default=64)
+        s.add_argument("--no-create", action="store_true")
+        if name == "stream":
+            s.add_argument("--checkpoint", required=True)
+            s.add_argument("--max-files-per-trigger", type=int, default=None)
+            s.add_argument("--job-id", default="stream")
+
+    sh = sub.add_parser("show")
+    sh.add_argument("--table", required=True)
+    sh.add_argument("--lineage", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-feed":
+        from openlogreplicator_spark.feedgen import generate_scaled_feed
+
+        out = generate_scaled_feed(
+            args.out, n_txns=args.txns, n_shards=args.shards,
+            n_files=args.files, skew=args.skew, seed=args.seed,
+        )
+        print(f"feed written: {out}")
+        return
+
+    from openlogreplicator_spark.session import get_or_create
+
+    spark = get_or_create("openlogreplicator-spark-job")
+
+    if args.cmd == "replay":
+        from openlogreplicator_spark.streaming.job import replay_batch
+
+        table = replay_batch(
+            spark, args.feed, args.table, tracked_pattern=args.tracked,
+            n_buckets=args.buckets, create=not args.no_create,
+        )
+        print(f"replayed; table version {table.manifest['version']}, "
+              f"rows={table.read().count()}")
+    elif args.cmd == "stream":
+        from openlogreplicator_spark.streaming.job import run_stream
+
+        table = run_stream(
+            spark, args.feed, args.table, args.checkpoint,
+            job_id=args.job_id, tracked_pattern=args.tracked,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_buckets=args.buckets, create=not args.no_create,
+        )
+        print(f"stream drained; table version {table.manifest['version']}, "
+              f"rows={table.read().count()}")
+    elif args.cmd == "show":
+        from openlogreplicator_spark.lake import LakeTable
+
+        t = LakeTable(spark, args.table)
+        if args.lineage:
+            t.lineage().orderBy("epoch_id", "shard").show(100, truncate=False)
+        else:
+            t.read().orderBy("conv_id", "turn_idx").show(50, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+* exact            — one hash-groupBy; map-side partial agg; no skew (hash keys)
+* minhash          — signature is ROW-LOCAL (array exprs, no explode/shuffle);
+                     LSH banding turns near-dup search into an equi-join on
+                     band hashes — the only shuffle is by band key
+* simhash          — row-local bit aggregation over tokens, then banding or
+                     hamming verify on candidates
+* n-gram jaccard   — verification joins run only on LSH candidate pairs,
+                     never all-pairs
+
+Hash choice: lexicographic min of md5(seed || ':' || token) — portable to
+the DuckDB oracle bit-for-bit (Spark md5 == DuckDB md5), uniform enough for
+banding.  At production scale you'd swap in xxhash64 for speed; the operator
+shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Representative (min id) + count per exact text hash."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 16) -> Column:
+    """Array of n minhash values — computed row-locally (nested array
+    transforms, zero shuffle): sig[i] = min over tokens of
+    md5(i || ':' || token)."""
+    toks = F.array_distinct(tokens(text))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(i.cast("string"), F.lit(":"), t)))
+        ),
+    )
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
+    """(id, band, band_hash): band_hash = md5 of the band's signature slice.
+    Docs sharing a band_hash are near-dup candidates (classic LSH)."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(F.col(text_col), n_hashes)
+    # zero-token docs have no signature — excluded (matches the SQL twin,
+    # where unnest of an empty token list yields no rows)
+    out = df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+        F.col(id_col), sig.alias("sig")
+    )
+    return out.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            "|",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n_hashes: int = 16,
+                            n_bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 LSH band.  The self-join
+    shuffles on band_hash only; hot buckets (boilerplate docs) are the skew
+    risk — AQE skew-join splits them."""
+    bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Verify candidate pairs with exact token-set Jaccard (the n-gram
+    Jaccard verifier; unigram token sets here — swap `tokens` for shingles
+    to widen n).  Joins only the candidate ids against the corpus
+    (broadcast when candidates are small)."""
+    tok = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks")
+    )
+    j = (
+        pairs.join(tok.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+        .join(tok.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, n_bits: int = 16) -> Column:
+    """Row-local SimHash: for each bit b, sum ±1 over tokens according to
+    bit b of md5(token); sign → bit.  Bits derived from hex nibbles so the
+    DuckDB oracle reproduces them exactly.  n_bits ≤ 32 keeps the nibble
+    arithmetic in ints."""
+    toks = F.array_distinct(tokens(text))
+
+    def bit_of(tok: Column, b: int) -> Column:
+        # nibble = hex digit (b // 4) of md5(tok); bit = (nibble >> (b%4)) & 1
+        ch = F.substring(F.md5(tok), b // 4 + 1, 1)
+        nib = F.instr(F.lit("0123456789abcdef"), ch) - 1
+        return F.floor(nib / (2 ** (b % 4))) % 2
+
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + (bit_of(t, b) * 2 - 1).cast("int"),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b)
+
+    out = F.lit(0)
+    for b in range(n_bits):
+        out = out + bit_vote(b)
+    return out.cast("long")
+
+
+def hamming_distance(a: Column, b: Column, n_bits: int = 16) -> Column:
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for b_ in range(n_bits):
+        out = out + F.shiftright(x, b_).bitwiseAND(F.lit(1))
+    return out
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.95,
+                        bucket_col: Column | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  Default is the exact quadratic
+    verifier — ONLY for bucketed candidates; pass bucket_col (e.g. an LSH
+    sign-bucket from similarity.hyperplane_bucket) so the self-join is
+    per-bucket, not all-pairs."""
+    from .similarity import cosine
+
+    work = df.select(F.col(id_col), F.col(vec_col).alias("v"))
+    if bucket_col is not None:
+        work = work.withColumn("_bkt", bucket_col)
+        cond = ["_bkt"]
+        a, b = work.alias("a"), work.alias("b")
+        j = a.join(b, cond)
+    else:
+        a, b = work.alias("a"), work.alias("b")
+        j = a.crossJoin(b)
+    j = j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return j.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(sim, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def lww_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Generic keyed last-writer-wins dedup (T11 analog as a standalone
+    operator): keep the max-order row per key."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

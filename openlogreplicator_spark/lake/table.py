@@ -177,7 +177,9 @@ class LakeTable:
         version = self.manifest["version"] + 1
 
         bexpr = self._bucket_expr()
-        ch = changes.withColumn("_bucket", bexpr)
+        # persist: the changes plan is the whole assemble+collapse DAG; it
+        # feeds both the bucket discovery and the rewrite — never run twice
+        ch = changes.withColumn("_bucket", bexpr).persist()
         affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
 
         new_dirs: dict[str, list[str]] = {}
@@ -218,6 +220,8 @@ class LakeTable:
                     new_dirs[str(b)] = [d]
                 else:
                     new_dirs[str(b)] = []  # bucket emptied by deletes
+
+        ch.unpersist()
 
         # pending-transaction state snapshot (copy-on-write)
         pending_dirs: list[str] = []

@@ -101,10 +101,21 @@ def assemble_transactions(events: DataFrame) -> dict[str, DataFrame]:
 
 def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
     """Remove DMLs popped by savepoint partial rollbacks, and the prollback
-    markers themselves.  Pure window formulation (see module docstring)."""
+    markers themselves.  Pure window formulation (see module docstring).
+
+    Scale shape: the stack-matching window shuffles only the (xid, key)
+    groups that actually CONTAIN a prollback — located by a broadcast
+    semi-join on the (tiny, filter-pushdown) prollback key set.  Feeds with
+    no savepoints pay two broadcast probes and zero shuffle."""
     w_key = ["xid", "table_name", "conv_id", "turn_idx"]
     affected = committed.filter(F.col("op").isin("ins", "upd", "del", "prollback"))
     passthrough = committed.filter(~F.col("op").isin("ins", "upd", "del", "prollback"))
+
+    pr_keys = (
+        committed.filter(F.col("op") == "prollback").select(*w_key).distinct()
+    )
+    untouched = affected.join(F.broadcast(pr_keys), w_key, "left_anti")
+    contested = affected.join(F.broadcast(pr_keys), w_key, "left_semi")
 
     x = F.when(F.col("op") == "prollback", F.lit(1)).otherwise(F.lit(-1))
     w = Window.partitionBy(*w_key).orderBy(F.col("seq_in_txn").desc())
@@ -115,11 +126,11 @@ def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
     popped = (F.col("op") != "prollback") & (s_prev > threshold)
 
     survivors = (
-        affected.withColumn("_popped", popped)
+        contested.withColumn("_popped", popped)
         .filter((F.col("op") != "prollback") & ~F.col("_popped"))
         .drop("_popped")
     )
-    return survivors.unionByName(passthrough)
+    return survivors.unionByName(untouched).unionByName(passthrough)
 
 
 def reassemble_chunks(survivors: DataFrame) -> DataFrame:
@@ -129,6 +140,11 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
     Chunks of a (xid, key) concatenate in (seq_in_txn, chunk_no) order and
     become the ``text`` of the LAST surviving ins/upd on that key in the
     same transaction.  Built-ins only: collect_list → array_sort → reduce.
+
+    Scale shape: the per-(xid, key) "last write" is aggregated ONLY over
+    groups that have chunks (broadcast semi-join on the chunk key set), so
+    chunk-free feeds pay one pushed-down op='chunk' scan and a broadcast
+    probe — no shuffle or window over the DML stream.
     """
     chunks = survivors.filter(F.col("op") == "chunk")
     rest = survivors.filter(F.col("op") != "chunk")
@@ -149,14 +165,18 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
             lambda acc, c: F.concat(acc, c["chunk_text"]),
         ).alias("_chunked_text")
     )
-    if agg.isEmpty():
-        return rest
 
-    w = Window.partitionBy(*gk)
-    writes = F.when(F.col("op").isin("ins", "upd"), F.col("seq_in_txn"))
-    rest2 = rest.withColumn("_last_write_seq", F.max(writes).over(w))
+    # last surviving write per chunked group only
+    last_write = (
+        rest.join(F.broadcast(agg.select(*gk)), gk, "left_semi")
+        .filter(F.col("op").isin("ins", "upd"))
+        .groupBy(*gk)
+        .agg(F.max("seq_in_txn").alias("_last_write_seq"))
+    )
+    patch = agg.join(last_write, gk)
+
     out = (
-        rest2.join(F.broadcast(agg), gk, "left")
+        rest.join(F.broadcast(patch), gk, "left")
         .withColumn(
             "_take_chunk",
             F.col("_chunked_text").isNotNull()

@@ -1,4 +1,4 @@
-"""Net-change collapse — last-writer-wins per key, column-wise.
+"""Net-change collapse — last-writer-wins per key, column-wise, skew-proof.
 
 The reference applies each transaction's ops sequentially and relies on an
 op-type lattice to merge row pieces (INSERT+DELETE→UPDATE etc.,
@@ -17,16 +17,25 @@ Sequential-apply equivalence, per key over ops ordered by
 * the net op is delete iff the last op is ``del``;
 * ``reset`` (row replace, not coalesce-with-target) iff a boundary exists.
 
-All of this is one window + one aggregation on the SAME key, so Catalyst
-plans a single hash exchange on (conv_id, turn_idx).  That key granularity
-is also the skew defense: a hot conversation fans out across its turn_idx
-values (north-star "salted repartition on conv_id" — the turn dimension is
-the salt, and the final merge re-aggregates per bucket).
+Skew design (north-star requirement): hot conversations must not serialize.
+This stage is ONE ALGEBRAIC AGGREGATION — no window, no join.  Every
+aggregate (conditional max over a struct order) supports partial
+aggregation, so Spark's map-side combine collapses a hot key's traffic to
+one row per input partition *before* the shuffle: the built-in equivalent
+of salted two-level aggregation.  A window formulation would ship every
+row of the hot key to a single reducer; this ships O(partitions).
+
+Single-pass boundary gating: the boundary test ("setter must be at/after
+the last ins/del") can be applied AFTER aggregation, because a column's
+max-ord setter is the only candidate that can ever pass it — every other
+setter has lower ord, so if the max setter precedes the boundary, no
+setter follows it.  Aggregate {boundary, per-column max setter, last op}
+in one pass, gate in the projection.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schema import TRANSCRIPT_COLUMNS_ALL
@@ -34,62 +43,66 @@ from ..schema import TRANSCRIPT_COLUMNS_ALL
 KEY = ["conv_id", "turn_idx"]
 
 
+def _ord():
+    # (commit_scn, seq_in_txn) is a total order per key: commit_scn is
+    # unique per txn, seq_in_txn orders within (reference: drainPendingBelow
+    # commit sort + chunk append order)
+    return F.struct(F.col("txn_commit_scn"), F.col("seq_in_txn"))
+
+
 def collapse_net_changes(dml: DataFrame, active_columns: list[str]) -> DataFrame:
     """dml: surviving committed ins/upd/del rows of ONE tracked table with
     ``txn_commit_scn`` attached.  Returns one row per key:
     (conv_id, turn_idx, is_delete, reset, set_cols, vals, last_shard,
     last_lsn)."""
-    ordk = F.struct(F.col("txn_commit_scn"), F.col("seq_in_txn")).alias("_ord")
-    d = dml.withColumn("_ord", ordk)
-
-    w = Window.partitionBy(*KEY)
-    boundary = F.max(
-        F.when(F.col("op").isin("ins", "del"), F.col("_ord"))
-    ).over(w)
-    d = d.withColumn("_boundary", boundary)
-
+    d = dml.withColumn("_ord", _ord())
     is_write = F.col("op").isin("ins", "upd")
-    after_boundary = F.col("_boundary").isNull() | (F.col("_ord") >= F.col("_boundary"))
 
     aggs = [
-        F.max_by(F.col("op"), F.col("_ord")).alias("_last_op"),
-        F.max(F.when(F.col("op").isin("ins", "del"), F.lit(1)).otherwise(F.lit(0))).alias("_has_boundary"),
-        F.max_by(F.col("shard"), F.col("_ord")).alias("last_shard"),
+        F.max(F.struct(F.col("_ord"), F.col("op"), F.col("shard"))).alias("_last"),
+        F.max(F.when(F.col("op").isin("ins", "del"), F.col("_ord"))).alias("_boundary"),
         F.max(F.col("lsn")).alias("last_lsn"),
     ]
     for c in TRANSCRIPT_COLUMNS_ALL:
-        active = c in active_columns
-        set_here = (
-            is_write
-            & after_boundary
-            & F.array_contains(F.coalesce(F.col("changed_cols"), F.array()), c)
-            & F.lit(active)
-        )
-        # max_by skips rows whose ordering value is NULL → only rows that
-        # actually set column c compete
+        if c in active_columns:
+            sets_c = is_write & F.array_contains(
+                F.coalesce(F.col("changed_cols"), F.array()), c
+            )
+        else:
+            sets_c = F.lit(False)
+        # max over structs is lexicographic on (_ord, value); _ord is unique
+        # per key, so this is exactly "value of the max-ord setter"
         aggs.append(
-            F.max_by(F.col("after").getField(c), F.when(set_here, F.col("_ord"))).alias(f"_v_{c}")
+            F.max(
+                F.when(sets_c, F.struct(F.col("_ord"), F.col("after").getField(c).alias("v")))
+            ).alias(f"_m_{c}")
         )
-        aggs.append(F.max(F.when(set_here, F.lit(1)).otherwise(F.lit(0))).alias(f"_s_{c}"))
 
     g = d.groupBy(*KEY).agg(*aggs)
 
-    set_cols = F.array_compact(
-        F.array(
-            *[
-                F.when(F.col(f"_s_{c}") == 1, F.lit(c))
-                for c in TRANSCRIPT_COLUMNS_ALL
-            ]
+    def gated(c: str):
+        m = F.col(f"_m_{c}")
+        ok = m.isNotNull() & (
+            F.col("_boundary").isNull() | (m.getField("_ord") >= F.col("_boundary"))
         )
+        return ok
+
+    set_cols = F.array_compact(
+        F.array(*[F.when(gated(c), F.lit(c)) for c in TRANSCRIPT_COLUMNS_ALL])
     )
-    vals = F.struct(*[F.col(f"_v_{c}").alias(c) for c in TRANSCRIPT_COLUMNS_ALL])
+    vals = F.struct(
+        *[
+            F.when(gated(c), F.col(f"_m_{c}").getField("v")).alias(c)
+            for c in TRANSCRIPT_COLUMNS_ALL
+        ]
+    )
     return g.select(
         *KEY,
-        (F.col("_last_op") == "del").alias("is_delete"),
-        (F.col("_has_boundary") == 1).alias("reset"),
+        (F.col("_last").getField("op") == "del").alias("is_delete"),
+        F.col("_boundary").isNotNull().alias("reset"),
         set_cols.alias("set_cols"),
         vals.alias("vals"),
-        F.col("last_shard"),
+        F.col("_last").getField("shard").alias("last_shard"),
         F.col("last_lsn"),
     )
 

@@ -15,6 +15,12 @@ position, then the ALTER applies — never mid-merge.  Segment merges use
 ledger keys "{epoch}:{i}" so a crash between segments replays idempotently
 (re-merging identical net changes is a no-op by construction).
 
+Action budget per epoch (scale-relevant): one materialization of the
+batch∪pending events (persist), one of the committed payload, one pass per
+segment for collapse+merge (persisted, so bucket discovery and the rewrite
+share it), plus tiny driver collects (DDL list, per-shard counts ≤ shards,
+affected buckets ≤ n_buckets).  No O(rows) driver traffic anywhere.
+
 The reference serializes all of this on one writer thread
 (/root/reference/src/writer/Writer.cpp:213-360) with a client-checkpoint
 dedup (Writer.cpp:296-298); here foreachBatch gives the serialization and
@@ -32,9 +38,9 @@ from ..operators.assemble import (
     match_partial_rollbacks,
     reassemble_chunks,
 )
-from ..operators.collapse import collapse_net_changes, lineage_from_batch
+from ..operators.collapse import collapse_net_changes
 from ..operators.filters import split_tracked
-from ..schema import CHANGE_EVENT_SCHEMA
+from ..schema import CHANGE_EVENT_SCHEMA, LINEAGE_SCHEMA
 
 
 def apply_epoch(
@@ -58,13 +64,20 @@ def apply_epoch(
     events = events.persist()
     try:
         parts = assemble_transactions(events)
-        committed = parts["committed"].persist()
+        # cache only the columns downstream stages read (before-images,
+        # raw scn/seq and schema_version are not needed past this point)
+        committed = parts["committed"].select(
+            "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
+            "conv_id", "turn_idx", "after", "changed_cols", "chunk_no",
+            "chunk_text", "ddl_stmt", "txn_commit_scn",
+        ).persist()
         survivors = match_partial_rollbacks(committed)
         tracked, untracked = split_tracked(
             survivors.filter(F.col("op").isin("ins", "upd", "del", "chunk")),
             tracked_pattern,
         )
-        tracked = reassemble_chunks(tracked).persist()
+        tracked = reassemble_chunks(tracked)
+        tracked_dml = tracked.filter(F.col("op") != "chunk")
 
         # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
         ddls = sorted(
@@ -75,35 +88,71 @@ def apply_epoch(
         )
         boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
 
-        from ..schema import TRANSCRIPT_COLUMNS_ALL
-
-        lineage = lineage_from_batch(
-            collapse_net_changes(
-                tracked.filter(F.col("op") != "chunk"), TRANSCRIPT_COLUMNS_ALL
-            ),
-            parts["dropped"],
-            untracked.filter(F.col("op").isin("ins", "upd", "del")),
-            batch_df,
-            epoch_id,
+        # per-shard skip counts + consumed-LSN frontier (one small agg each)
+        skip_rows = (
+            parts["dropped"]
+            .select("shard")
+            .unionByName(untracked.filter(F.col("op").isin("ins", "upd", "del")).select("shard"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_skipped"))
+            .collect()
+        )
+        last_rows = (
+            batch_df.groupBy("shard").agg(F.max("lsn").alias("last_applied_lsn")).collect()
         )
 
         lo = None
         n_merged = 0
+        seg_counts: dict[int, list[int]] = {}
         for i, hi in enumerate(boundaries):
-            seg = tracked.filter(F.col("op") != "chunk")
+            seg = tracked_dml
             if lo is not None:
                 seg = seg.filter(F.col("txn_commit_scn") > lo)
             if hi is not None:
                 seg = seg.filter(F.col("txn_commit_scn") <= hi)
             final = hi is None
-            changes = collapse_net_changes(seg, table.value_names)
+            changes = collapse_net_changes(seg, table.value_names).persist()
+            for r in changes.groupBy("last_shard").agg(
+                F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
+                F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
+                F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
+            ).collect():
+                acc = seg_counts.setdefault(r["last_shard"], [0, 0, 0])
+                acc[0] += r["n_ins"]
+                acc[1] += r["n_upd"]
+                acc[2] += r["n_del"]
+
+            lineage = None
+            if final:
+                shards = (
+                    {r["shard"] for r in last_rows}
+                    | {r["shard"] for r in skip_rows}
+                    | set(seg_counts)
+                )
+                skip_by = {r["shard"]: r["n_skipped"] for r in skip_rows}
+                last_by = {r["shard"]: r["last_applied_lsn"] for r in last_rows}
+                lineage = spark.createDataFrame(
+                    [
+                        (
+                            int(epoch_id),
+                            s,
+                            last_by.get(s),
+                            *(seg_counts.get(s, [0, 0, 0])),
+                            skip_by.get(s, 0),
+                        )
+                        for s in sorted(shards, key=lambda x: (x is None, x))
+                    ],
+                    LINEAGE_SCHEMA,
+                )
+
             applied = table.merge(
                 changes,
                 epoch_id=f"{epoch_id}:{i}",
                 job_id=job_id,
                 pending=parts["open"] if final else None,
-                lineage=lineage if final else None,
+                lineage=lineage,
             )
+            changes.unpersist()
             if applied:
                 n_merged += 1
             if not final:
@@ -123,7 +172,6 @@ def apply_epoch(
         LakeTable._write_manifest_static(table.path, m)
         table.manifest = m
         committed.unpersist()
-        tracked.unpersist()
         return {"applied": True, "segments": len(boundaries), "merged": n_merged}
     finally:
         events.unpersist()

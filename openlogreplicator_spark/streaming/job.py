@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..lake import LakeTable
-from ..schema import CHANGE_EVENT_SCHEMA, TRANSCRIPTS_SCHEMA_V0
+from ..sources.feed import read_feed_batch, read_feed_stream
 from .apply import apply_epoch
 
 DEFAULT_VALUE_COLS = [
@@ -52,7 +52,7 @@ def replay_batch(
 ) -> LakeTable:
     """Bounded replay: whole feed as one epoch (ReplicatorBatch analog)."""
     if isinstance(feed, str):
-        feed = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(feed)
+        feed = read_feed_batch(spark, feed)
     if create:
         table = create_target(spark, table_path, n_buckets=n_buckets)
     else:
@@ -83,12 +83,7 @@ def run_stream(
     if create and not os.path.exists(os.path.join(table_path, "VERSION")):
         create_target(spark, table_path, n_buckets=n_buckets)
 
-    reader = (
-        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-        .option("latestFirst", "false")
-        .option("maxFilesPerTrigger", str(max_files_per_trigger or 1000))
-        .parquet(feed_dir)
-    )
+    reader = read_feed_stream(spark, feed_dir, max_files_per_trigger)
 
     def fb(batch_df: DataFrame, epoch_id: int):
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and not fail_after_apply:

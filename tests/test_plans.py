@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast.
+
+These lock in the Catalyst behaviors the 100 TB design depends on — a
+regression here means a full-feed scan or an all-pairs shuffle at scale.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_pushed_filters,
+    plan_string,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _feed_on_disk(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x")
+    fb.commit(t)
+    path = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, path)
+    return spark.read.parquet(path)
+
+
+def test_op_filter_pushed_to_scan(spark, tmpdir_path):
+    """The control/payload splits must reach the parquet scan as
+    PushedFilters (the reference's early dictionary probe analog,
+    Parser.cpp:696-708)."""
+    feed = _feed_on_disk(spark, tmpdir_path)
+    ctl = feed.filter(F.col("op").isin("begin", "commit", "rollback"))
+    assert_pushed_filters(ctl, "In(op")
+
+
+def test_control_scan_prunes_payload_columns(spark, tmpdir_path):
+    """Transaction-status aggregation must not read before/after images."""
+    from openlogreplicator_spark.operators.assemble import transaction_status
+
+    feed = _feed_on_disk(spark, tmpdir_path)
+    st = transaction_status(feed)
+    assert_column_pruned(st, "after")
+    assert_column_pruned(st, "chunk_text")
+
+
+def test_status_join_broadcasts(spark, tmpdir_path):
+    """The txn-status side of the assembly join is tiny → broadcast hash
+    join, no shuffle of the payload."""
+    from openlogreplicator_spark.operators.assemble import assemble_transactions
+
+    feed = _feed_on_disk(spark, tmpdir_path)
+    committed = assemble_transactions(feed)["committed"]
+    assert_broadcast_join(committed, 1)
+
+
+def test_dimension_joins_broadcast(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    assert_broadcast_join(j, 1)
+
+
+def test_projection_prunes_parquet_columns(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    two = li.select("l_orderkey", "l_quantity")
+    assert_column_pruned(two, "l_comment")
+    assert_column_pruned(two, "l_extendedprice")
+
+
+def test_collapse_plan_shape(spark, tmpdir_path):
+    """The collapse stage must stay JVM-side (no Python eval nodes), be a
+    SINGLE shuffle over the key (one Exchange beyond the broadcast), and
+    aggregate with a partial/final pair (map-side combine = the skew
+    defense: a hot key ships one row per input partition, not every row)."""
+    from openlogreplicator_spark.operators.assemble import assemble_transactions
+    from openlogreplicator_spark.operators.collapse import collapse_net_changes
+
+    feed = _feed_on_disk(spark, tmpdir_path)
+    committed = assemble_transactions(feed)["committed"]
+    net = collapse_net_changes(
+        committed.filter(F.col("op").isin("ins", "upd", "del")),
+        ["role", "text", "tool", "ts"],
+    )
+    plan = plan_string(net)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # hash exchanges: one for the tiny status agg, ONE for the key groupBy —
+    # the payload shuffles exactly once; the status join is broadcast
+    assert plan.count("+- Exchange") <= 2, plan[:1500]
+    assert plan.count("BroadcastExchange") >= 1, plan[:1500]
+    # partial + final aggregate pair around the exchange (map-side combine =
+    # the skew defense: a hot key ships one row per input partition)
+    tree = plan.split("(1) Scan")[0]
+    n_aggs = sum(
+        1 for line in tree.splitlines()
+        if "SortAggregate" in line or "HashAggregate" in line
+    )
+    assert n_aggs >= 4, tree  # 2 for status agg + 2 for collapse agg
