@@ -26,6 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TXNS = int(os.environ.get("BENCH_TXNS", "120000"))
+ONLY = os.environ.get("BENCH_ONLY", "")  # "cdc" → skip non-CDC queries (scaling runs)
 
 
 def feed_cache_dir(n_txns: int, skew: float) -> str:
@@ -109,8 +110,8 @@ def main():
     extra["events_per_sec_skewed"] = round(n_skew / times["cdc_full_merge_skewed"], 1)
 
     # 4) training-data operators at SF_DIR
-    docs_path = os.path.join(SF_DIR, "documents.parquet")
-    if os.path.exists(docs_path):
+    docs_path = "" if ONLY == "cdc" else os.path.join(SF_DIR, "documents.parquet")
+    if docs_path and os.path.exists(docs_path):
         docs = spark.read.parquet(docs_path)
 
         def minhash():
@@ -122,7 +123,7 @@ def main():
 
         timed("dedup_minhash_pairs", minhash)
 
-    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    emb_path = "" if ONLY == "cdc" else os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.exists(emb_path):
         emb = spark.read.parquet(emb_path)
 
@@ -138,7 +139,7 @@ def main():
 
         timed("ann_cosine_topk", ann)
 
-    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    li_path = "" if ONLY == "cdc" else os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
         li = spark.read.parquet(li_path)
 

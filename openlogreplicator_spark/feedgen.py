@@ -312,49 +312,86 @@ def generate_scaled_feed(
     pad = "x" * max(text_len - 24, 0)
     is_dml = kind == 1
     is_write = is_dml & (op_s != "del")
+    is_ins = is_dml & (op_s == "ins")
 
-    df = pd.DataFrame({
-        "lsn": lsn,
-        "shard": shard,
-        "seq": np.zeros(n_total, np.int64),
-        "scn": scn,
-        "commit_scn": pd.array(np.where(kind == 2, scn, None), dtype="Int64"),
-        "xid": xid,
-        "seq_in_txn": seq_in_txn,
-        "op": op_s,
-        "table_name": np.where(is_dml, "transcripts", None),
-        "conv_id": np.where(is_dml, np.char.add("conv-", conv_s.astype(str)), None),
-        "turn_idx": pd.array(np.where(is_dml, turn_s, None), dtype="Int32"),
-    })
-    roles = np.array(["user", "assistant", "tool", "system"])
-    df["before"] = None
-    after_role = np.where(is_write, roles[scn % 4], None)
-    after_text = np.where(is_write, np.char.add(np.char.add("t-", scn.astype(str)), pad), None)
-    df["after"] = [
-        {"role": r, "text": t, "tool": None, "ts": None, "meta": None} if w else None
-        for r, t, w in zip(after_role, after_text, is_write)
-    ]
-    df["changed_cols"] = [
-        (["role", "text", "tool", "ts"] if o == "ins" else ["role", "text"]) if w else None
-        for o, w in zip(op_s, is_write)
-    ]
-    df["chunk_no"] = pd.array([None] * n_total, dtype="Int32")
-    df["chunk_text"] = None
-    df["schema_version"] = np.zeros(n_total, np.int32)
-    df["ddl_stmt"] = None
-    df["ts"] = pd.to_datetime(BASE_TS) + pd.to_timedelta(scn - 1000, unit="s")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # fully vectorized arrow construction — no per-row Python objects, so
+    # 10M+-event scaling feeds generate in seconds
+    roles = np.array(["user", "assistant", "tool", "system"], dtype=object)
+    after_role = roles[scn % 4]
+    after_text = np.char.add(np.char.add("t-", scn.astype(str)), pad).astype(object)
+
+    def str_arr(values, valid):
+        return pa.array(values, pa.string(), mask=~valid)
+
+    null_str = pa.nulls(n_total, pa.string())
+    null_ts = pa.nulls(n_total, pa.timestamp("us", tz="UTC"))
+    after = pa.StructArray.from_arrays(
+        [
+            str_arr(after_role, is_write),
+            str_arr(after_text, is_write),
+            null_str,
+            null_ts,
+            null_str,
+        ],
+        names=["role", "text", "tool", "ts", "meta"],
+        mask=pa.array(~is_write),
+    )
+
+    # changed_cols as a ListArray built from a row-major token mask:
+    # ins → [role,text,tool,ts], upd → [role,text], others → empty
+    token_matrix = np.broadcast_to(
+        np.array(["role", "text", "tool", "ts"], dtype=object), (n_total, 4)
+    )
+    tok_mask = np.zeros((n_total, 4), dtype=bool)
+    tok_mask[is_write, :2] = True
+    tok_mask[is_ins, 2:] = True
+    tok_values = pa.array(token_matrix[tok_mask], pa.string())
+    offsets = np.zeros(n_total + 1, dtype=np.int32)
+    np.cumsum(tok_mask.sum(axis=1, dtype=np.int32), out=offsets[1:])
+    changed_cols = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tok_values)
+
+    ts_us = ((scn - 1000) * 1_000_000 + int(BASE_TS.timestamp() * 1_000_000))
+    table = pa.table(
+        {
+            "lsn": pa.array(lsn, pa.int64()),
+            "shard": pa.array(shard, pa.int32()),
+            "seq": pa.array(np.zeros(n_total, np.int64), pa.int64()),
+            "scn": pa.array(scn, pa.int64()),
+            "commit_scn": pa.array(scn, pa.int64(), mask=kind != 2),
+            "xid": pa.array(xid.astype(object), pa.string()),
+            "seq_in_txn": pa.array(seq_in_txn, pa.int32()),
+            "op": pa.array(op_s, pa.string()),
+            "table_name": str_arr(np.full(n_total, "transcripts", dtype=object), is_dml),
+            "conv_id": str_arr(
+                np.char.add("conv-", conv_s.astype(str)).astype(object), is_dml
+            ),
+            "turn_idx": pa.array(turn_s, pa.int32(), mask=~is_dml),
+            "before": pa.nulls(n_total, after.type),
+            "after": after,
+            "changed_cols": changed_cols,
+            "chunk_no": pa.nulls(n_total, pa.int32()),
+            "chunk_text": null_str,
+            "schema_version": pa.array(np.zeros(n_total, np.int32), pa.int32()),
+            "ddl_stmt": null_str,
+            "ts": pa.array(ts_us, pa.timestamp("us", tz="UTC")),
+        }
+    ).cast(_arrow_schema())
 
     os.makedirs(out_dir, exist_ok=True)
     # split into n_files contiguous LSN-order files (seq analog)
     bounds = np.linspace(0, n_total, n_files + 1).astype(int)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    arrow_schema = _arrow_schema()
+    seq_np = np.zeros(n_total, np.int64)
     for k in range(n_files):
-        part = df.iloc[bounds[k]: bounds[k + 1]].copy()
-        part["seq"] = k
-        tbl = pa.Table.from_pandas(part, schema=arrow_schema, preserve_index=False)
-        pq.write_table(tbl, os.path.join(out_dir, f"seq-{k:05d}.parquet"))
+        seq_np[bounds[k]: bounds[k + 1]] = k
+    table = table.set_column(2, "seq", pa.array(seq_np, pa.int64()))
+    for k in range(n_files):
+        pq.write_table(
+            table.slice(bounds[k], bounds[k + 1] - bounds[k]),
+            os.path.join(out_dir, f"seq-{k:05d}.parquet"),
+        )
     return out_dir
 
 

@@ -183,8 +183,23 @@ class LakeTable:
         affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
 
         new_dirs: dict[str, list[str]] = {}
-        if affected:
-            target = self.read(affected).withColumn("_bucket", bexpr)
+        touched_existing = [b for b in affected if str(b) in self.manifest["buckets"]]
+        if affected and not touched_existing:
+            # fast path — none of the touched buckets has data yet (initial
+            # load / pure-insert epochs): no join, just project the puts
+            result = ch.filter(~F.col("is_delete")).select(
+                *key,
+                *[
+                    F.when(
+                        F.array_contains(F.col("set_cols"), v),
+                        F.col("vals").getField(v),
+                    ).alias(v)
+                    for v in vals
+                ],
+                F.col("_bucket"),
+            )
+        elif affected:
+            target = self.read(touched_existing).withColumn("_bucket", bexpr)
             t = target.alias("t")
             c = ch.alias("c")
             cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key]
@@ -207,6 +222,7 @@ class LakeTable:
             out_bucket = F.coalesce(F.col("t._bucket"), F.col("c._bucket")).alias("_bucket")
             result = j.filter(keep).select(*out_key, *[out_col(v) for v in vals], out_bucket)
 
+        if affected:
             data_rel = f"data/v{version:06d}"
             out_path = os.path.join(self.path, data_rel)
             # one file per bucket partition — AQE coalesces tiny partitions;

@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cpus: int, txns: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TXNS=str(txns))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TXNS=str(txns), BENCH_ONLY="cdc")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600, check=True,
