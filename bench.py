@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_TXNS = int(os.environ.get("BENCH_TXNS", "120000"))
 ONLY = os.environ.get("BENCH_ONLY", "")  # "cdc" → skip non-CDC queries (scaling runs)
+SHUFFLE = int(os.environ.get("BENCH_SHUFFLE", "0"))  # 0 → default (= cpus)
 
 
 def feed_cache_dir(n_txns: int, skew: float) -> str:
@@ -47,7 +48,7 @@ def feed_cache_dir(n_txns: int, skew: float) -> str:
 def main():
     from openlogreplicator_spark.session import build_session
 
-    spark = build_session("olr-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = build_session("olr-bench", cores=CPUS, shuffle_partitions=SHUFFLE or CPUS)
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
 

@@ -153,6 +153,7 @@ class LakeTable:
         job_id: str = "default",
         pending: DataFrame | None = None,
         lineage: DataFrame | None = None,
+        shard_frontier: dict | None = None,
     ) -> bool:
         """Apply one epoch of net changes atomically; idempotent by epoch.
 
@@ -266,6 +267,10 @@ class LakeTable:
         m["buckets"] = buckets
         m["pending_dirs"] = pending_dirs
         m["lineage_dirs"] = lineage_dirs
+        if shard_frontier is not None:
+            # per-shard read frontier (RAC SCN watermark state) — atomic
+            # with the data commit
+            m["shard_frontier"] = {str(k): int(v) for k, v in shard_frontier.items()}
         new_ledger = {k: dict(v) for k, v in self.manifest["ledger"].items()}
         new_ledger.setdefault(job_id, {})[str(epoch_id)] = True
         m["ledger"] = new_ledger

@@ -60,7 +60,9 @@ def transaction_status(events: DataFrame) -> DataFrame:
     )
 
 
-def assemble_transactions(events: DataFrame) -> dict[str, DataFrame]:
+def assemble_transactions(
+    events: DataFrame, commit_watermark: int | None = None
+) -> dict[str, DataFrame]:
     """Split a batch (new events ∪ pending events) into:
 
     - ``committed``: payload events (dml/prollback/chunk/ddl) of committed
@@ -69,8 +71,24 @@ def assemble_transactions(events: DataFrame) -> dict[str, DataFrame]:
       next epoch as pending state);
     - ``dropped``: payload DML events of rolled-back or no-begin-committed
       transactions (for skip accounting only).
+
+    ``commit_watermark``: RAC-analog SCN gate (reference:
+    Replicator.cpp:1142-1210 updateScnWatermark / emitWatermarkedTransactions
+    — a transaction is emitted only once every shard has read past its
+    commit SCN).  Transactions with commit_scn above the watermark are
+    treated as still open: they ride the pending snapshot into the next
+    epoch, so cross-shard delivery skew can never apply commits out of
+    global SCN order.  None (default) = single-ordered-source contract.
     """
     status = transaction_status(events)
+    if commit_watermark is not None:
+        status = status.withColumn(
+            "txn_commit_scn",
+            F.when(
+                F.col("txn_commit_scn") <= F.lit(commit_watermark),
+                F.col("txn_commit_scn"),
+            ),
+        )
     payload = events.filter(F.col("op").isin("ins", "upd", "del", "prollback", "chunk", "ddl"))
 
     # status has ≤ 2 rows per txn → broadcast side of every join here

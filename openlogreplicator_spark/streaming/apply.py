@@ -49,8 +49,19 @@ def apply_epoch(
     epoch_id: int,
     job_id: str = "default",
     tracked_pattern: str = "^transcripts$",
+    max_txn_ops: int | None = None,
+    shard_watermark: bool = False,
+    expected_shards: list[int] | None = None,
 ) -> dict:
-    """Apply one epoch of change events; returns apply stats."""
+    """Apply one epoch of change events; returns apply stats.
+
+    ``shard_watermark``: enable the RAC-analog commit-SCN gate for feeds
+    whose shards arrive from independent sources (per-shard topics/dirs):
+    a transaction applies only when every known shard's read frontier has
+    passed its commit SCN; gated transactions ride the pending snapshot.
+    The per-shard frontier persists in the lake manifest, atomically with
+    the data (reference: Replicator.cpp:1142-1210).
+    """
     spark = table.spark
     table.refresh()
 
@@ -63,7 +74,24 @@ def apply_epoch(
     )
     events = events.persist()
     try:
-        parts = assemble_transactions(events)
+        wm = None
+        frontier = None
+        if shard_watermark:
+            old_front = {
+                int(k): int(v)
+                for k, v in table.manifest.get("shard_frontier", {}).items()
+            }
+            # shards that exist but have not delivered yet must pin the
+            # watermark at 0 (reference: RAC thread list known upfront)
+            for s_ in expected_shards or []:
+                old_front.setdefault(int(s_), 0)
+            for r in events.groupBy("shard").agg(F.max("scn").alias("m")).collect():
+                s = int(r["shard"])
+                old_front[s] = max(old_front.get(s, 0), int(r["m"]))
+            frontier = old_front
+            wm = min(frontier.values()) if frontier else None
+
+        parts = assemble_transactions(events, commit_watermark=wm)
         # cache only the columns downstream stages read (before-images,
         # raw scn/seq and schema_version are not needed past this point)
         committed = parts["committed"].select(
@@ -71,6 +99,24 @@ def apply_epoch(
             "conv_id", "turn_idx", "after", "changed_cols", "chunk_no",
             "chunk_text", "ddl_stmt", "txn_commit_scn",
         ).persist()
+
+        oversize_dml = None
+        if max_txn_ops is not None:
+            # T6 — transaction size cap: oversize txns dropped whole and
+            # counted skipped (reference: ctx->transactionSizeMax,
+            # Parser.cpp:610-620, 716-726).  The per-xid count is a tiny
+            # aggregate; the drop is a broadcast anti-join.
+            dml_ops = F.col("op").isin("ins", "upd", "del")
+            oversize = (
+                committed.filter(dml_ops)
+                .groupBy("xid")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > max_txn_ops)
+                .select("xid")
+            )
+            oversize_dml = committed.join(F.broadcast(oversize), "xid", "left_semi").filter(dml_ops)
+            committed = committed.join(F.broadcast(oversize), "xid", "left_anti")
+
         survivors = match_partial_rollbacks(committed)
         tracked, untracked = split_tracked(
             survivors.filter(F.col("op").isin("ins", "upd", "del", "chunk")),
@@ -89,11 +135,13 @@ def apply_epoch(
         boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
 
         # per-shard skip counts + consumed-LSN frontier (one small agg each)
+        skipped_src = parts["dropped"].select("shard").unionByName(
+            untracked.filter(F.col("op").isin("ins", "upd", "del")).select("shard")
+        )
+        if oversize_dml is not None:
+            skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
         skip_rows = (
-            parts["dropped"]
-            .select("shard")
-            .unionByName(untracked.filter(F.col("op").isin("ins", "upd", "del")).select("shard"))
-            .groupBy("shard")
+            skipped_src.groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_skipped"))
             .collect()
         )
@@ -151,6 +199,7 @@ def apply_epoch(
                 job_id=job_id,
                 pending=parts["open"] if final else None,
                 lineage=lineage,
+                shard_frontier=frontier if final else None,
             )
             changes.unpersist()
             if applied:

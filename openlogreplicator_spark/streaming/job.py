@@ -49,6 +49,7 @@ def replay_batch(
     tracked_pattern: str = "^transcripts$",
     n_buckets: int = 16,
     create: bool = True,
+    max_txn_ops: int | None = None,
 ) -> LakeTable:
     """Bounded replay: whole feed as one epoch (ReplicatorBatch analog)."""
     if isinstance(feed, str):
@@ -57,7 +58,8 @@ def replay_batch(
         table = create_target(spark, table_path, n_buckets=n_buckets)
     else:
         table = LakeTable(spark, table_path)
-    apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern)
+    apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
+                max_txn_ops=max_txn_ops)
     return table.refresh()
 
 
@@ -73,6 +75,9 @@ def run_stream(
     create: bool = True,
     fail_at_epoch: int | None = None,
     fail_after_apply: bool = False,
+    max_txn_ops: int | None = None,
+    shard_watermark: bool = False,
+    expected_shards: list[int] | None = None,
 ):
     """Streaming replay with availableNow (drains the backlog then stops).
 
@@ -89,7 +94,9 @@ def run_stream(
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and not fail_after_apply:
             raise RuntimeError(f"injected crash before apply of epoch {epoch_id}")
         table = LakeTable(spark, table_path)
-        apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern)
+        apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
+                    max_txn_ops=max_txn_ops, shard_watermark=shard_watermark,
+                    expected_shards=expected_shards)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 
