@@ -244,7 +244,9 @@ def generate_scaled_feed(
     # positions: txn start + op index * stride → interleaved global order
     start = rng.uniform(0, 1000.0 * n_txns, n_txns)
     stride = rng.uniform(0.5, 50.0, n_txns)
-    op_idx_in_txn = np.concatenate([np.arange(k) for k in ops_per_txn])
+    # vectorized ragged-range: global index minus each txn's start offset
+    starts = np.concatenate([[0], np.cumsum(ops_per_txn)[:-1]])
+    op_idx_in_txn = np.arange(total_dml) - np.repeat(starts, ops_per_txn)
     pos_dml = start[txn_of] + (op_idx_in_txn + 1) * stride[txn_of]
     pos_begin = start
     pos_commit = start + (ops_per_txn + 1) * stride
@@ -317,81 +319,78 @@ def generate_scaled_feed(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # fully vectorized arrow construction — no per-row Python objects, so
-    # 10M+-event scaling feeds generate in seconds
-    roles = np.array(["user", "assistant", "tool", "system"], dtype=object)
-    after_role = roles[scn % 4]
-    after_text = np.char.add(np.char.add("t-", scn.astype(str)), pad).astype(object)
-
-    def str_arr(values, valid):
-        return pa.array(values, pa.string(), mask=~valid)
-
-    null_str = pa.nulls(n_total, pa.string())
-    null_ts = pa.nulls(n_total, pa.timestamp("us", tz="UTC"))
-    after = pa.StructArray.from_arrays(
-        [
-            str_arr(after_role, is_write),
-            str_arr(after_text, is_write),
-            null_str,
-            null_ts,
-            null_str,
-        ],
-        names=["role", "text", "tool", "ts", "meta"],
-        mask=pa.array(~is_write),
-    )
-
-    # changed_cols as a ListArray built from a row-major token mask:
-    # ins → [role,text,tool,ts], upd → [role,text], others → empty
-    token_matrix = np.broadcast_to(
-        np.array(["role", "text", "tool", "ts"], dtype=object), (n_total, 4)
-    )
-    tok_mask = np.zeros((n_total, 4), dtype=bool)
-    tok_mask[is_write, :2] = True
-    tok_mask[is_ins, 2:] = True
-    tok_values = pa.array(token_matrix[tok_mask], pa.string())
-    offsets = np.zeros(n_total + 1, dtype=np.int32)
-    np.cumsum(tok_mask.sum(axis=1, dtype=np.int32), out=offsets[1:])
-    changed_cols = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tok_values)
-
-    ts_us = ((scn - 1000) * 1_000_000 + int(BASE_TS.timestamp() * 1_000_000))
-    table = pa.table(
-        {
-            "lsn": pa.array(lsn, pa.int64()),
-            "shard": pa.array(shard, pa.int32()),
-            "seq": pa.array(np.zeros(n_total, np.int64), pa.int64()),
-            "scn": pa.array(scn, pa.int64()),
-            "commit_scn": pa.array(scn, pa.int64(), mask=kind != 2),
-            "xid": pa.array(xid.astype(object), pa.string()),
-            "seq_in_txn": pa.array(seq_in_txn, pa.int32()),
-            "op": pa.array(op_s, pa.string()),
-            "table_name": str_arr(np.full(n_total, "transcripts", dtype=object), is_dml),
-            "conv_id": str_arr(
-                np.char.add("conv-", conv_s.astype(str)).astype(object), is_dml
-            ),
-            "turn_idx": pa.array(turn_s, pa.int32(), mask=~is_dml),
-            "before": pa.nulls(n_total, after.type),
-            "after": after,
-            "changed_cols": changed_cols,
-            "chunk_no": pa.nulls(n_total, pa.int32()),
-            "chunk_text": null_str,
-            "schema_version": pa.array(np.zeros(n_total, np.int32), pa.int32()),
-            "ddl_stmt": null_str,
-            "ts": pa.array(ts_us, pa.timestamp("us", tz="UTC")),
-        }
-    ).cast(_arrow_schema())
-
     os.makedirs(out_dir, exist_ok=True)
-    # split into n_files contiguous LSN-order files (seq analog)
     bounds = np.linspace(0, n_total, n_files + 1).astype(int)
-    seq_np = np.zeros(n_total, np.int64)
+    roles = np.array(["user", "assistant", "tool", "system"], dtype=object)
+    ts_us_all = (scn - 1000) * 1_000_000 + int(BASE_TS.timestamp() * 1_000_000)
+    schema = _arrow_schema()
+
+    # build per file (seq analog): string/struct materialization is the
+    # memory hog, so it happens on bounded slices — 100M+-event feeds
+    # generate in O(file) memory
     for k in range(n_files):
-        seq_np[bounds[k]: bounds[k + 1]] = k
-    table = table.set_column(2, "seq", pa.array(seq_np, pa.int64()))
-    for k in range(n_files):
-        pq.write_table(
-            table.slice(bounds[k], bounds[k + 1] - bounds[k]),
-            os.path.join(out_dir, f"seq-{k:05d}.parquet"),
+        sl = slice(bounds[k], bounds[k + 1])
+        n = bounds[k + 1] - bounds[k]
+        if n == 0:
+            continue
+        w = is_write[sl]
+        d = is_dml[sl]
+        i_ = is_ins[sl]
+        scn_k = scn[sl]
+        op_k = op_s[sl]
+
+        def str_arr(values, valid):
+            return pa.array(values, pa.string(), mask=~valid)
+
+        null_str = pa.nulls(n, pa.string())
+        null_ts = pa.nulls(n, pa.timestamp("us", tz="UTC"))
+        after_role = roles[scn_k % 4]
+        after_text = np.char.add(np.char.add("t-", scn_k.astype(str)), pad).astype(object)
+        after = pa.StructArray.from_arrays(
+            [str_arr(after_role, w), str_arr(after_text, w), null_str, null_ts, null_str],
+            names=["role", "text", "tool", "ts", "meta"],
+            mask=pa.array(~w),
         )
+
+        # changed_cols ListArray from a row-major token mask:
+        # ins → [role,text,tool,ts], upd → [role,text], others → empty
+        token_matrix = np.broadcast_to(
+            np.array(["role", "text", "tool", "ts"], dtype=object), (n, 4)
+        )
+        tok_mask = np.zeros((n, 4), dtype=bool)
+        tok_mask[w, :2] = True
+        tok_mask[i_, 2:] = True
+        tok_values = pa.array(token_matrix[tok_mask], pa.string())
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(tok_mask.sum(axis=1, dtype=np.int32), out=offsets[1:])
+        changed_cols = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), tok_values)
+
+        table = pa.table(
+            {
+                "lsn": pa.array(lsn[sl], pa.int64()),
+                "shard": pa.array(shard[sl], pa.int32()),
+                "seq": pa.array(np.full(n, k, np.int64), pa.int64()),
+                "scn": pa.array(scn_k, pa.int64()),
+                "commit_scn": pa.array(scn_k, pa.int64(), mask=kind[sl] != 2),
+                "xid": pa.array(xid[sl].astype(object), pa.string()),
+                "seq_in_txn": pa.array(seq_in_txn[sl], pa.int32()),
+                "op": pa.array(op_k, pa.string()),
+                "table_name": str_arr(np.full(n, "transcripts", dtype=object), d),
+                "conv_id": str_arr(
+                    np.char.add("conv-", conv_s[sl].astype(str)).astype(object), d
+                ),
+                "turn_idx": pa.array(turn_s[sl], pa.int32(), mask=~d),
+                "before": pa.nulls(n, after.type),
+                "after": after,
+                "changed_cols": changed_cols,
+                "chunk_no": pa.nulls(n, pa.int32()),
+                "chunk_text": null_str,
+                "schema_version": pa.array(np.zeros(n, np.int32), pa.int32()),
+                "ddl_stmt": null_str,
+                "ts": pa.array(ts_us_all[sl], pa.timestamp("us", tz="UTC")),
+            }
+        ).cast(schema)
+        pq.write_table(table, os.path.join(out_dir, f"seq-{k:05d}.parquet"))
     return out_dir
 
 

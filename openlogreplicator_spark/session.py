@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_local_dir() -> str:
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return "/tmp"
+
+
 def build_session(
     app_name: str = "openlogreplicator_spark",
     cores: int | None = None,
@@ -38,7 +47,13 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # 16g measured optimal on this box: a 48g heap TRIPLED parse time
+        # at 16 cores (GC geometry) — bigger is not better in local mode
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # shuffle/spill on tmpfs when available: local-mode shuffles are
+        # disk-bound otherwise, which caps multi-core scaling (on a real
+        # cluster this is instance-local NVMe / disaggregated shuffle)
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", _default_local_dir()))
         # File-source micro-batches: bound per-trigger admission like the
         # reference's bounded ring buffer (src/reader/Reader.cpp buffer
         # scan) bounds parser intake.

@@ -22,8 +22,11 @@ def run_bench(cpus: int, txns: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TXNS=str(txns), BENCH_ONLY="cdc")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, check=True,
+        env=env, capture_output=True, text=True, timeout=3600,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench.py failed at cpus={cpus}")
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
