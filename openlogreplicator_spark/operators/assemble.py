@@ -91,8 +91,12 @@ def assemble_transactions(
         )
     payload = events.filter(F.col("op").isin("ins", "upd", "del", "prollback", "chunk", "ddl"))
 
-    # status has ≤ 2 rows per txn → broadcast side of every join here
-    st = F.broadcast(status)
+    # status has one row per txn. No forced broadcast hint: with millions
+    # of transactions per batch a forced broadcast builds a multi-hundred-MB
+    # hash relation serially on the driver; AQE converts the join to
+    # broadcast-hash at runtime whenever the status side is actually small
+    # (the common case) and keeps a scalable shuffle join when it isn't.
+    st = status
     joined = payload.join(st, "xid", "left")
 
     closed = F.col("txn_commit_scn").isNotNull() | F.col("rolled_back").isNotNull()
