@@ -193,7 +193,10 @@ def q_t2_txn_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ops"),
         F.min("event_id").alias("first_eid"),
         F.max("event_id").alias("last_eid"),
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
+        # exact decimal aggregation (order-independent), then a final cast to
+        # double so Spark and DuckDB render the identical IEEE value — decimal
+        # *outputs* hash-diverge at the driver even when values are equal
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
 
@@ -247,8 +250,8 @@ def q_f2_condition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _load(spark, sf_dir, "events")
     out = condition_filter(ev, "event_type != 'error' AND value > 150.0")
-    return out.select("event_id", "user_id", "event_type",
-                      F.col("value").cast("decimal(12,2)").alias("value"))
+    # raw double passthrough — identical parquet value on both sides
+    return out.select("event_id", "user_id", "event_type", "value")
 
 
 def q_f1_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,7 +271,9 @@ def q_p4_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        decode_number(F.col("value")).alias("value_dec"),
+        # decimal pinning is the operator under test; final cast to double for
+        # driver-hash-stable output (both engines round ties away from zero)
+        decode_number(F.col("value")).cast("double").alias("value_dec"),
         json_field(F.col("props"), "k").cast("int").alias("k"),
     )
 
@@ -384,8 +389,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — no SQL oracle (hyperplane hashing is engine-side);
-    accuracy asserted in tests against brute force."""
+    """Approximate ANN via hyperplane LSH buckets + multi-probe; planes are
+    plan-time literals (same md5 derivation embedded in the DuckDB oracle),
+    recall additionally asserted in tests against brute force."""
     from openlogreplicator_spark.functions.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -393,7 +399,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
-    return lsh_topk(corpus, queries, k=5, n_planes=4)
+    return lsh_topk(corpus, queries, k=5, n_planes=4, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -406,11 +412,13 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("sum_base_price"),
+            # exact decimal sums, double render (driver-hash-stable)
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .alias("sum_base_price"),
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -428,7 +436,7 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_acctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("sum_acctbal"),
     )
 
 
@@ -440,8 +448,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey",
-                F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"), "rk")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
 
 
@@ -486,10 +493,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from openlogreplicator_spark.functions.similarity import plane_matrix
+    from openlogreplicator_spark.functions.text import STOPWORDS
+
     tok = (
         "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),"
         " t -> t <> '')"
     )
+
+    # the SAME plane literals the Spark plan embeds (similarity.plane_matrix)
+    planes = plane_matrix(4, 64)
+
+    def _bucket(col: str) -> str:
+        terms = []
+        for p in range(4):
+            lit = "[" + ",".join(repr(w) for w in planes[p]) + "]"
+            proj = (
+                f"list_sum(list_transform(range(1, 65), i -> "
+                f"CAST({col}[i] AS DOUBLE) * ({lit})[i]))"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    def _sw(lang: str) -> str:
+        return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    def _hits(lang: str) -> str:
+        return f"len(list_filter({tok}, t -> list_contains({_sw(lang)}, t)))"
+
     return {
         "s6_cdc_replay_final_state": _ORACLE_DERIVED + """
 , st AS (
@@ -546,7 +577,7 @@ SELECT CAST(floor(event_id / 20.0) AS BIGINT) AS xid,
        count(*) AS n_ops,
        min(event_id) AS first_eid,
        max(event_id) AS last_eid,
-       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
        count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
 FROM events GROUP BY 1
 """,
@@ -583,11 +614,11 @@ WHERE regexp_matches(event_type, '^(click|view)$')
 GROUP BY event_type
 """,
         "f2_condition_filter": """
-SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(12,2)) AS value
+SELECT event_id, user_id, event_type, value
 FROM events WHERE event_type <> 'error' AND value > 150.0
 """,
         "p4_value_decode": """
-SELECT event_id, CAST(value AS DECIMAL(18,2)) AS value_dec,
+SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events
 """,
@@ -699,6 +730,59 @@ FROM documents
 SELECT doc_id, md5(array_to_string(list_sort(list_distinct({tok})), ' ')) AS fp
 FROM documents
 """,
+        "text_lang_id": f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS cyr,
+         length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS ara,
+         {_hits('en')} AS en,
+         {_hits('es')} AS es,
+         {_hits('de')} AS de,
+         {_hits('fr')} AS fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN cyr > 0 THEN 'ru'
+            WHEN ara > 0 THEN 'ar'
+            WHEN es > en AND es >= de AND es >= fr THEN 'es'
+            WHEN de > en AND de >= fr THEN 'de'
+            WHEN fr > en THEN 'fr'
+            ELSE 'en' END AS pred_lang
+FROM s
+""",
+        "ann_lsh_topk": f"""
+WITH q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
+), cb AS (
+  SELECT n_id, n_vec, {_bucket('n_vec')} AS bkt FROM c0
+), qb AS (
+  SELECT q_id, q_vec, {_bucket('q_vec')} AS bkt0 FROM q0
+), qp AS (
+  SELECT q_id, q_vec,
+         unnest([bkt0, xor(bkt0, 1), xor(bkt0, 2), xor(bkt0, 4), xor(bkt0, 8)]) AS bkt
+  FROM qb
+), scored AS (
+  SELECT qp.q_id, cb.n_id,
+    round(
+      list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(cb.n_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, len(qp.q_vec) + 1),
+               i -> CAST(qp.q_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))),
+          1e-12), 6) AS cos_sim
+  FROM cb JOIN qp ON cb.bkt = qp.bkt
+)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
         "ann_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
@@ -724,9 +808,10 @@ SELECT q_id, n_id, cos_sim, rank FROM (
 """,
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -734,14 +819,14 @@ GROUP BY l_returnflag, l_linestatus
 """,
         "join_broadcast_dims": """
 SELECT r_name, count(*) AS n_customers,
-       sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
         "window_topk_per_group": """
-SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice, rk
+SELECT o_custkey, o_orderkey, o_totalprice, rk
 FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey

@@ -66,3 +66,71 @@ def build_json_messages(
         F.col("seq_in_txn").alias("idx"),
         F.to_json(msg, {"ignoreNullFields": "false"}).alias("message"),
     )
+
+
+def write_json_mirror(
+    committed_dml: DataFrame,
+    out_dir: str,
+    epoch_id: int | str,
+    db_name: str = "transcripts_feed",
+    owner: str = "APP",
+    n_files: int | None = None,
+) -> None:
+    """W2/W6 egress — the WriterFile analog
+    (/root/reference/src/writer/WriterFile.cpp): the JSON message stream
+    written to rotating plain-text files, one directory per epoch.
+
+    * Global (scn, idx) order: messages are range-partitioned and sorted, so
+      lexicographic (file, line) order IS commit order across part files —
+      the distributed equivalent of WriterFile's sequential append.
+    * Rotation: one part file per range partition (size-based rotation at
+      scale = pick n_files from data volume; reference rotates by
+      max-file-size/timestamp, WriterFile.cpp `checkFile`).
+    * Exactly-once: the epoch directory is overwritten whole on replay,
+      mirroring the lake ledger's idempotence.
+    * Heartbeat: a trailing checkpoint message per epoch with op "chkpt"
+      and the epoch's max commit scn (reference: Parser.cpp:1571
+      processCheckpoint; message shape 3.output-format.adoc:86,156-167).
+    """
+    import json
+    import os
+
+    msgs = build_json_messages(committed_dml, db_name=db_name, owner=owner)
+    spark = committed_dml.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    epoch_dir = os.path.join(out_dir, f"epoch={int(epoch_id):06d}")
+    (
+        msgs.repartitionByRange(n, "scn", "idx")
+        .sortWithinPartitions("scn", "idx")
+        .select("message")
+        .write.mode("overwrite")
+        .text(epoch_dir)
+    )
+    max_scn = msgs.agg(F.max("scn").alias("m")).first()["m"]
+    chkpt = {
+        "scn": int(max_scn) if max_scn is not None else None,
+        "db": db_name,
+        "payload": [{"op": "chkpt", "seq": int(epoch_id)}],
+    }
+    tmp = os.path.join(epoch_dir, ".chkpt.tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(chkpt, separators=(",", ":")) + "\n")
+    os.replace(tmp, os.path.join(epoch_dir, "zz-chkpt.json"))
+
+
+def read_json_mirror(out_dir: str) -> list[str]:
+    """Read mirror messages back in global commit order (test/consumer
+    helper): epochs ascending, part files lexicographic, lines in order.
+    The trailing zz-chkpt.json heartbeats sort after data files by name."""
+    import glob
+    import os
+
+    out: list[str] = []
+    for epoch_dir in sorted(glob.glob(os.path.join(out_dir, "epoch=*"))):
+        for path in sorted(glob.glob(os.path.join(epoch_dir, "*"))):
+            name = os.path.basename(path)
+            if not (name.startswith("part-") or name == "zz-chkpt.json"):
+                continue
+            with open(path) as f:
+                out.extend(line.rstrip("\n") for line in f if line.strip())
+    return out

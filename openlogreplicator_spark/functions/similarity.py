@@ -54,25 +54,33 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _plane_component(plane: Column | int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random plane component in [-0.5, 0.5): derived
-    from md5(plane:dim) first 6 hex digits."""
-    p = plane if isinstance(plane, Column) else F.lit(plane)
-    h = F.md5(F.concat(p.cast("string"), F.lit(":"), dim_idx.cast("string")))
-    v = F.conv(F.substring(h, 1, 6), 16, 10).cast("double")
-    return v / F.lit(16777216.0) - F.lit(0.5)
+def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, component p,i in [-0.5, 0.5)
+    derived from md5(f"{p}:{i}") first 6 hex digits.  Computed ONCE in Python
+    and embedded as literals in the plan — determinism does not require
+    per-row hashing (the round-1 version evaluated n_planes*dim md5 calls per
+    row; this removes them without changing a single bucket assignment)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:6], 16) / 16777216.0 - 0.5
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """LSH bucket id: integer of sign bits of <vec, plane_p>."""
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """LSH bucket id: integer of sign bits of <vec, plane_p>.  Plane weights
+    are plan-time literals; the per-row cost is n_planes fused
+    multiply-accumulate passes over the vector (whole-stage codegen)."""
+    planes = plane_matrix(n_planes, dim)
     out = F.lit(0)
     for p in range(n_planes):
+        lits = F.array(*[F.lit(w) for w in planes[p]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * _plane_component(p, i),
-            ),
+            F.zip_with(vec, lits, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -83,21 +91,24 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8) -> Column:
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 6, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "q_id",
-             multiprobe: bool = True) -> DataFrame:
+             multiprobe: bool = True, dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket;
     the join is an equi-join on bucket (shuffle by bucket, not all-pairs).
     Multi-probe expands each query to its bucket plus all hamming-1
     neighbors (n_planes+1 probes) — the standard recall/cost dial; recall is
     verified in tests against brute_force_topk."""
+    if dim is None:
+        # one tiny plan-time job against the (small) query side
+        dim = queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bkt"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bkt"),
     )
     q = queries.select(
         F.col(q_id_col),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_bucket(F.col(vec_col), n_planes).alias("bkt0"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bkt0"),
     )
     if multiprobe:
         probes = F.array(

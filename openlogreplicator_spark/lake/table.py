@@ -78,7 +78,7 @@ class LakeTable:
         path: str,
         key_cols: list[tuple[str, str]],
         value_cols: list[tuple[str, str]],
-        n_buckets: int = 16,
+        n_buckets: int = 64,
         overwrite: bool = False,
     ) -> "LakeTable":
         if os.path.exists(os.path.join(path, "VERSION")):
@@ -101,15 +101,52 @@ class LakeTable:
         cls._write_manifest_static(path, manifest)
         return cls(spark, path)
 
-    def alter_add_column(self, name: str, coltype: str):
+    def _ddl_commit(self, m: dict, ledger_mark: tuple[str, str] | None = None):
+        """Commit a metadata mutation; optionally record a ledger mark in the
+        SAME atomic manifest write so non-idempotent DDL (truncate) replays
+        exactly once on crash-recovery."""
+        if ledger_mark is not None:
+            job_id, mark = ledger_mark
+            ledger = {k: dict(v) for k, v in m["ledger"].items()}
+            ledger.setdefault(job_id, {})[mark] = True
+            m["ledger"] = ledger
+        m["version"] = self.manifest["version"] + 1
+        self._write_manifest_static(self.path, m)
+        self.manifest = m
+
+    def alter_add_column(
+        self, name: str, coltype: str, ledger_mark: tuple[str, str] | None = None
+    ):
         """Metadata-only schema evolution (Iceberg ADD COLUMN analog)."""
         if any(c["name"] == name for c in self.manifest["value_cols"]):
             return
         m = dict(self.manifest)
         m["value_cols"] = self.manifest["value_cols"] + [{"name": name, "type": coltype}]
-        m["version"] = self.manifest["version"] + 1
-        self._write_manifest_static(self.path, m)
-        self.manifest = m
+        self._ddl_commit(m, ledger_mark)
+
+    def alter_drop_column(
+        self, name: str, ledger_mark: tuple[str, str] | None = None
+    ):
+        """Metadata-only column removal (Iceberg DROP COLUMN analog):
+        existing data files keep the bytes, the read schema stops selecting
+        them.  Key columns cannot be dropped.  Reference: DDL opcode routing
+        in Builder.cpp:1738-1830 (alter variants)."""
+        if name in self.key_names:
+            raise ValueError(f"cannot drop key column {name!r}")
+        if not any(c["name"] == name for c in self.manifest["value_cols"]):
+            return
+        m = dict(self.manifest)
+        m["value_cols"] = [c for c in self.manifest["value_cols"] if c["name"] != name]
+        self._ddl_commit(m, ledger_mark)
+
+    def truncate(self, ledger_mark: tuple[str, str] | None = None):
+        """Remove all rows: a metadata-only commit that empties the bucket
+        file map (old files become unreferenced orphans, like Iceberg's
+        truncate snapshot).  Open-transaction pending state is untouched.
+        Reference: DDL type 85 TRUNCATE at Builder.cpp:1815."""
+        m = dict(self.manifest)
+        m["buckets"] = {}
+        self._ddl_commit(m, ledger_mark)
 
     # ---------------------------------------------------------------- reads
     @property
@@ -226,11 +263,24 @@ class LakeTable:
         if affected:
             data_rel = f"data/v{version:06d}"
             out_path = os.path.join(self.path, data_rel)
-            # one file per bucket partition — AQE coalesces tiny partitions;
-            # at scale you'd let multiple tasks write per bucket
-            result.repartition(max(len(affected), 1), "_bucket").write.partitionBy(
-                "_bucket"
-            ).mode("overwrite").parquet(out_path)
+            # Write parallelism is decoupled from bucket count: rows are
+            # salted within their bucket (second-level key hash) so a hot
+            # bucket's rewrite spreads over many tasks instead of funneling
+            # through one.  partitionBy("_bucket") keeps the file layout
+            # bucket-aligned; a bucket directory may hold many files.
+            par = self.spark.sparkContext.defaultParallelism
+            salt_n = max(1, (2 * par) // max(len(affected), 1))
+            salt = F.pmod(
+                F.xxhash64(*[F.col(k) for k in key], F.lit(1)), F.lit(salt_n)
+            ).alias("_salt")
+            (
+                result.withColumn("_salt", salt)
+                .repartition(max(len(affected), 1) * salt_n, "_bucket", "_salt")
+                .drop("_salt")
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
             for b in affected:
                 d = f"{data_rel}/_bucket={b}"
                 if os.path.isdir(os.path.join(self.path, d)):
@@ -296,7 +346,17 @@ class LakeTable:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*dirs)
 
     def committed_epochs(self, job_id: str = "default") -> set[int]:
-        return {int(e) for e in self.manifest["ledger"].get(job_id, {})}
+        """Epochs fully committed for a job.  Ledger keys are either plain
+        epoch numbers or ``{epoch}:{segment}`` / ``{epoch}:done`` markers
+        (segmented applies); an epoch counts only when plain or ``:done``."""
+        out: set[int] = set()
+        for k in self.manifest["ledger"].get(job_id, {}):
+            s = str(k)
+            if s.isdigit():
+                out.add(int(s))
+            elif s.endswith(":done"):
+                out.add(int(s.split(":", 1)[0]))
+        return out
 
     # ------------------------------------------------------------- internal
     def _read_manifest(self) -> dict:
@@ -312,11 +372,35 @@ class LakeTable:
     @staticmethod
     def _write_manifest_static(path: str, manifest: dict):
         v = manifest["version"]
-        mpath = os.path.join(path, "manifest", f"v{v:06d}.json")
-        os.makedirs(os.path.dirname(mpath), exist_ok=True)
-        # refuse to clobber an existing snapshot: single-writer guard
-        with open(mpath, "x") as f:
+        mdir = os.path.join(path, "manifest")
+        mpath = os.path.join(mdir, f"v{v:06d}.json")
+        os.makedirs(mdir, exist_ok=True)
+        # Crash-safe + single-writer: the manifest is fully written to a temp
+        # file, then *linked* into place — link fails if the snapshot exists
+        # (concurrent-writer guard) and a crash mid-write leaves only the
+        # ignored temp file, never a truncated v{N}.json.
+        tmp_m = os.path.join(mdir, f".tmp.{uuid.uuid4().hex}")
+        with open(tmp_m, "w") as f:
             json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp_m, mpath)
+        except FileExistsError:
+            # A manifest above the VERSION pointer is provably an orphan from
+            # a crash between manifest-link and pointer-swap: overwrite it.
+            # At or below the pointer it is a live snapshot: real conflict.
+            vfile = os.path.join(path, "VERSION")
+            current = -1
+            if os.path.exists(vfile):
+                with open(vfile) as vf:
+                    current = int(vf.read().strip())
+            if v <= current:
+                os.unlink(tmp_m)
+                raise
+            os.replace(tmp_m, mpath)
+        else:
+            os.unlink(tmp_m)
         tmp = os.path.join(path, f".VERSION.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(v))

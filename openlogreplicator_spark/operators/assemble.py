@@ -126,9 +126,12 @@ def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
     markers themselves.  Pure window formulation (see module docstring).
 
     Scale shape: the stack-matching window shuffles only the (xid, key)
-    groups that actually CONTAIN a prollback — located by a broadcast
-    semi-join on the (tiny, filter-pushdown) prollback key set.  Feeds with
-    no savepoints pay two broadcast probes and zero shuffle."""
+    groups that actually CONTAIN a prollback — located by a semi-join on the
+    (filter-pushdown) prollback key set.  No forced broadcast hint: a
+    savepoint-heavy feed makes the key set unbounded, and AQE converts the
+    join to broadcast-hash at runtime whenever it IS small (the common
+    case).  Feeds with no savepoints pay two cheap probes and no
+    stack-matching shuffle."""
     w_key = ["xid", "table_name", "conv_id", "turn_idx"]
     affected = committed.filter(F.col("op").isin("ins", "upd", "del", "prollback"))
     passthrough = committed.filter(~F.col("op").isin("ins", "upd", "del", "prollback"))
@@ -136,8 +139,8 @@ def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
     pr_keys = (
         committed.filter(F.col("op") == "prollback").select(*w_key).distinct()
     )
-    untouched = affected.join(F.broadcast(pr_keys), w_key, "left_anti")
-    contested = affected.join(F.broadcast(pr_keys), w_key, "left_semi")
+    untouched = affected.join(pr_keys, w_key, "left_anti")
+    contested = affected.join(pr_keys, w_key, "left_semi")
 
     x = F.when(F.col("op") == "prollback", F.lit(1)).otherwise(F.lit(-1))
     w = Window.partitionBy(*w_key).orderBy(F.col("seq_in_txn").desc())
@@ -164,9 +167,13 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
     same transaction.  Built-ins only: collect_list → array_sort → reduce.
 
     Scale shape: the per-(xid, key) "last write" is aggregated ONLY over
-    groups that have chunks (broadcast semi-join on the chunk key set), so
-    chunk-free feeds pay one pushed-down op='chunk' scan and a broadcast
-    probe — no shuffle or window over the DML stream.
+    groups that have chunks (semi-join on the chunk key set), so chunk-free
+    feeds pay one pushed-down op='chunk' scan and a cheap probe — no shuffle
+    or window over the DML stream.  NO forced broadcast anywhere here: the
+    patch rows carry the fully-reassembled chunk text — the largest values
+    in the feed — and a forced broadcast of them is a driver OOM on a
+    LOB-heavy epoch.  AQE picks broadcast-hash at runtime when the relations
+    are actually small.
     """
     chunks = survivors.filter(F.col("op") == "chunk")
     rest = survivors.filter(F.col("op") != "chunk")
@@ -190,7 +197,7 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
 
     # last surviving write per chunked group only
     last_write = (
-        rest.join(F.broadcast(agg.select(*gk)), gk, "left_semi")
+        rest.join(agg.select(*gk), gk, "left_semi")
         .filter(F.col("op").isin("ins", "upd"))
         .groupBy(*gk)
         .agg(F.max("seq_in_txn").alias("_last_write_seq"))
@@ -198,7 +205,7 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
     patch = agg.join(last_write, gk)
 
     out = (
-        rest.join(F.broadcast(patch), gk, "left")
+        rest.join(patch, gk, "left")
         .withColumn(
             "_take_chunk",
             F.col("_chunked_text").isNotNull()

@@ -31,6 +31,9 @@ class ReplayResult:
     n_txn_committed: int = 0
     n_txn_rolled_back: int = 0
     n_txn_dropped_no_begin: int = 0
+    # the committed op stream (W6 wire-mirror expectation): every surviving
+    # tracked DML in commit order, chunk patches applied
+    emitted: list = field(default_factory=list)
 
     def as_records(self) -> list[dict]:
         out = []
@@ -61,6 +64,7 @@ def replay(
     n_applied = {"ins": 0, "upd": 0, "del": 0}
     n_skipped = 0
     n_commit = n_rb = n_nobegin = 0
+    emitted: list = []
 
     for ev in sorted(events, key=lambda e: e["scn"]):
         op = ev["op"]
@@ -96,7 +100,9 @@ def replay(
                 continue
             n_commit += 1
             _apply_txn(t, table, tracked, columns, versions, n_applied,
-                       skipped=lambda: None)
+                       skipped=lambda: None,
+                       emitted=emitted, xid=xid,
+                       commit_scn=ev.get("commit_scn"))
             # count skipped untracked within _apply_txn via closure is
             # awkward; recount here:
             n_skipped += sum(
@@ -104,18 +110,27 @@ def replay(
                 if o["op"] in ("ins", "upd", "del") and not o["_popped"]
                 and o.get("table_name") not in tracked
             )
-            # DDL inside this txn may have evolved the schema
+            # DDL inside this txn applies after its DML (the engine's
+            # segment fence puts same-commit DML in the pre-DDL segment)
             for o in t.ops:
                 if o["op"] == "ddl":
+                    parts = (o.get("ddl_stmt") or "").split()
+                    verb = parts[0].upper() if parts else ""
+                    if verb == "TRUNCATE":
+                        table.clear()
+                        continue
                     new_ver = o["schema_version"] + 1
                     if new_ver in versions:
                         columns[:] = versions[new_ver]
-                    else:
+                    elif verb == "ADD" and len(parts) >= 3:
                         # "ADD COLUMN <name> <type>"
-                        parts = (o.get("ddl_stmt") or "").split()
-                        if len(parts) >= 3 and parts[0].upper() == "ADD":
-                            columns.append(parts[2])
-                            versions[new_ver] = list(columns)
+                        columns.append(parts[2])
+                        versions[new_ver] = list(columns)
+                    elif verb == "DROP" and len(parts) >= 3:
+                        # "DROP COLUMN <name>"
+                        if parts[2] in columns:
+                            columns.remove(parts[2])
+                        versions[new_ver] = list(columns)
         # other ops ignored
 
     return ReplayResult(
@@ -126,10 +141,12 @@ def replay(
         n_txn_committed=n_commit,
         n_txn_rolled_back=n_rb,
         n_txn_dropped_no_begin=n_nobegin,
+        emitted=emitted,
     )
 
 
-def _apply_txn(t: _Txn, table: dict, tracked, columns, versions, n_applied, skipped):
+def _apply_txn(t: _Txn, table: dict, tracked, columns, versions, n_applied, skipped,
+               emitted=None, xid=None, commit_scn=None):
     ops = [o for o in t.ops if not o["_popped"]]
 
     # chunk reassembly: chunks for a key concat in (seq_in_txn, chunk_no)
@@ -161,6 +178,20 @@ def _apply_txn(t: _Txn, table: dict, tracked, columns, versions, n_applied, skip
             continue
         if o.get("table_name") not in tracked:
             continue
+        if emitted is not None:
+            emitted.append(
+                {
+                    "xid": xid,
+                    "commit_scn": commit_scn,
+                    "seq_in_txn": o["seq_in_txn"],
+                    "op": o["op"],
+                    "table_name": o.get("table_name"),
+                    "conv_id": o["conv_id"],
+                    "turn_idx": o["turn_idx"],
+                    "after": o.get("after"),
+                    "changed_cols": o.get("changed_cols"),
+                }
+            )
         key = (o["conv_id"], o["turn_idx"])
         if o["op"] == "del":
             if key in table:

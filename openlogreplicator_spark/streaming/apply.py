@@ -52,6 +52,8 @@ def apply_epoch(
     max_txn_ops: int | None = None,
     shard_watermark: bool = False,
     expected_shards: list[int] | None = None,
+    max_open_scn_lag: int | None = None,
+    json_mirror_dir: str | None = None,
 ) -> dict:
     """Apply one epoch of change events; returns apply stats.
 
@@ -61,6 +63,13 @@ def apply_epoch(
     passed its commit SCN; gated transactions ride the pending snapshot.
     The per-shard frontier persists in the lake manifest, atomically with
     the data (reference: Replicator.cpp:1142-1210).
+
+    ``max_open_scn_lag``: expiry horizon for abandoned open transactions
+    (reference analog: stale uncommitted txns discarded at forced
+    checkpoint).  An open txn whose newest event scn trails the batch's max
+    scn by more than the lag — and which has NO commit event (so
+    watermark-gated committed txns are never touched) — is dropped whole and
+    counted skipped, instead of riding the pending snapshot forever.
     """
     spark = table.spark
     table.refresh()
@@ -92,12 +101,33 @@ def apply_epoch(
             wm = min(frontier.values()) if frontier else None
 
         parts = assemble_transactions(events, commit_watermark=wm)
+        open_events = parts["open"]
+        expired_dml = None
+        if max_open_scn_lag is not None:
+            hz = batch_df.agg(F.max("scn").alias("m")).first()["m"]
+            if hz is not None:
+                stale = (
+                    open_events.groupBy("xid")
+                    .agg(
+                        F.max("scn").alias("_m"),
+                        F.max(F.when(F.col("op") == "commit", 1)).alias("_committed"),
+                    )
+                    .filter(
+                        (F.col("_m") < hz - max_open_scn_lag)
+                        & F.col("_committed").isNull()
+                    )
+                    .select("xid")
+                )
+                expired_dml = open_events.join(stale, "xid", "left_semi").filter(
+                    F.col("op").isin("ins", "upd", "del")
+                )
+                open_events = open_events.join(stale, "xid", "left_anti")
         # cache only the columns downstream stages read (before-images,
         # raw scn/seq and schema_version are not needed past this point)
         committed = parts["committed"].select(
             "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
-            "conv_id", "turn_idx", "after", "changed_cols", "chunk_no",
-            "chunk_text", "ddl_stmt", "txn_commit_scn",
+            "conv_id", "turn_idx", "before", "after", "changed_cols",
+            "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
         ).persist()
 
         oversize_dml = None
@@ -125,6 +155,13 @@ def apply_epoch(
         tracked = reassemble_chunks(tracked)
         tracked_dml = tracked.filter(F.col("op") != "chunk")
 
+        if json_mirror_dir is not None:
+            # W6 wire-format egress: the committed op stream as JSON
+            # messages (the reference's primary output), epoch-idempotent
+            from ..functions.json_output import write_json_mirror
+
+            write_json_mirror(tracked_dml, json_mirror_dir, epoch_id)
+
         # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
         ddls = sorted(
             committed.filter(F.col("op") == "ddl")
@@ -140,6 +177,8 @@ def apply_epoch(
         )
         if oversize_dml is not None:
             skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
+        if expired_dml is not None:
+            skipped_src = skipped_src.unionByName(expired_dml.select("shard"))
         skip_rows = (
             skipped_src.groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_skipped"))
@@ -197,7 +236,7 @@ def apply_epoch(
                 changes,
                 epoch_id=f"{epoch_id}:{i}",
                 job_id=job_id,
-                pending=parts["open"] if final else None,
+                pending=open_events if final else None,
                 lineage=lineage,
                 shard_frontier=frontier if final else None,
             )
@@ -205,10 +244,24 @@ def apply_epoch(
             if applied:
                 n_merged += 1
             if not final:
-                stmt = (ddls[i]["ddl_stmt"] or "").split()
-                # supported DDL: "ADD COLUMN <name> <type>"
-                if len(stmt) >= 4 and stmt[0].upper() == "ADD" and stmt[1].upper() == "COLUMN":
-                    table.alter_add_column(stmt[2], stmt[3].lower())
+                # supported DDL verbs (reference: Builder.cpp:1738-1830):
+                #   ADD COLUMN <name> <type>   — metadata-only widen
+                #   DROP COLUMN <name>         — metadata-only removal
+                #   TRUNCATE [TABLE <name>]    — empty the bucket map
+                # Each applies at most once per epoch position (ledger mark
+                # in the same atomic manifest commit) so a crash-replay of
+                # the epoch cannot re-truncate data merged by later segments.
+                mark = f"{epoch_id}:ddl{i}"
+                if mark not in table.manifest["ledger"].get(job_id, {}):
+                    stmt = (ddls[i]["ddl_stmt"] or "").split()
+                    verb = stmt[0].upper() if stmt else ""
+                    lm = (job_id, mark)
+                    if verb == "ADD" and len(stmt) >= 4 and stmt[1].upper() == "COLUMN":
+                        table.alter_add_column(stmt[2], stmt[3].lower(), ledger_mark=lm)
+                    elif verb == "DROP" and len(stmt) >= 3 and stmt[1].upper() == "COLUMN":
+                        table.alter_drop_column(stmt[2], ledger_mark=lm)
+                    elif verb == "TRUNCATE":
+                        table.truncate(ledger_mark=lm)
             lo = hi
 
         # final marker: lets a replayed epoch short-circuit entirely

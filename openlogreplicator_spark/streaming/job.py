@@ -78,6 +78,8 @@ def run_stream(
     max_txn_ops: int | None = None,
     shard_watermark: bool = False,
     expected_shards: list[int] | None = None,
+    max_open_scn_lag: int | None = None,
+    json_mirror_dir: str | None = None,
 ):
     """Streaming replay with availableNow (drains the backlog then stops).
 
@@ -96,7 +98,8 @@ def run_stream(
         table = LakeTable(spark, table_path)
         apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
                     max_txn_ops=max_txn_ops, shard_watermark=shard_watermark,
-                    expected_shards=expected_shards)
+                    expected_shards=expected_shards, max_open_scn_lag=max_open_scn_lag,
+                    json_mirror_dir=json_mirror_dir)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 

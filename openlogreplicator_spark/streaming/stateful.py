@@ -50,6 +50,8 @@ EMITTED_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("after_json", T.StringType()),
         T.StructField("changed_cols", T.ArrayType(T.StringType())),
+        T.StructField("chunk_no", T.IntegerType()),
+        T.StructField("chunk_text", T.StringType()),
         T.StructField("txn_commit_scn", T.LongType()),
     ]
 )
@@ -94,9 +96,14 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
 
         commit_scn = None
         rolled_back = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["seq_in_txn"])
-            for r in pdf.itertuples(index=False):
+        # applyInPandasWithState guarantees NO ordering across Arrow chunks
+        # of a group: accumulate every chunk first, sort ONCE by seq_in_txn,
+        # then replay — otherwise a txn spanning batches can interleave and
+        # prollback stack-matching pops the wrong DML.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values(["seq_in_txn"])
+            for r in whole.itertuples(index=False):
                 if r.op == "begin":
                     has_begin = True
                 elif r.op == "commit":
@@ -127,6 +134,8 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
                             turn_idx=None if pd.isna(r.turn_idx) else int(r.turn_idx),
                             after_json=r.after_json,
                             changed_cols=list(r.changed_cols) if r.changed_cols is not None else None,
+                            chunk_no=None if pd.isna(r.chunk_no) else int(r.chunk_no),
+                            chunk_text=None if not isinstance(r.chunk_text, str) else r.chunk_text,
                             popped=False,
                         )
                     )
@@ -147,6 +156,8 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
                     "turn_idx": e["turn_idx"],
                     "after_json": e["after_json"],
                     "changed_cols": e["changed_cols"],
+                    "chunk_no": e.get("chunk_no"),
+                    "chunk_text": e.get("chunk_text"),
                     "txn_commit_scn": commit_scn,
                 }
                 for e in buf
@@ -164,7 +175,8 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
 
     prepared = events.withColumn("after_json", F.to_json(F.col("after"))).select(
         "lsn", "shard", "xid", "seq_in_txn", "op", "table_name", "conv_id",
-        "turn_idx", "after_json", "changed_cols", "commit_scn",
+        "turn_idx", "after_json", "changed_cols", "chunk_no", "chunk_text",
+        "commit_scn",
     )
     return prepared.groupBy("xid").applyInPandasWithState(
         fn,

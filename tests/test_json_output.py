@@ -37,3 +37,60 @@ def test_json_message_shape(spark):
     assert parsed[1]["payload"][0]["after"]["role"] is None
     # identity is (commit scn, idx) — monotone within the txn
     assert [m["idx"] for m in msgs] == sorted(m["idx"] for m in msgs)
+
+
+def test_json_mirror_end_to_end(spark, tmpdir_path):
+    """W6 egress sink: the mirror's (file, line) order IS commit order, the
+    message stream diff-matches the sequential oracle's emitted op stream,
+    and each epoch ends with an op:"chkpt" heartbeat (WriterFile analog)."""
+    import os
+
+    from openlogreplicator_spark.functions.json_output import read_json_mirror
+    from openlogreplicator_spark.oracle import replay
+    from openlogreplicator_spark.streaming.job import run_stream
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="hello", ts=TS)
+    t.ins("c2", 0, role="user", text="popped", ts=TS)
+    t.prollback("c2", 0)  # savepoint: c2 ins must not reach the wire
+    fb.commit(t)
+    fb.new_seq()
+    t = fb.begin()
+    t.upd("c1", 0, text="hello v2")
+    t.delete("c1", 0)
+    fb.commit(t)
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    mirror_dir = os.path.join(tmpdir_path, "mirror")
+    run_stream(
+        spark, feed_dir, os.path.join(tmpdir_path, "tbl"),
+        os.path.join(tmpdir_path, "ckpt"),
+        max_files_per_trigger=1, json_mirror_dir=mirror_dir,
+    )
+
+    lines = read_json_mirror(mirror_dir)
+    msgs = [json.loads(ln) for ln in lines]
+    data = [m for m in msgs if m["payload"][0]["op"] != "chkpt"]
+    chkpts = [m for m in msgs if m["payload"][0]["op"] == "chkpt"]
+    assert len(chkpts) >= 1 and all("seq" in c["payload"][0] for c in chkpts)
+
+    expected = replay(fb.rows)
+    op_letter = {"ins": "c", "upd": "u", "del": "d"}
+    want = [
+        (op_letter[e["op"]], e["conv_id"], e["turn_idx"],
+         (e["after"] or {}).get("text"))
+        for e in expected.emitted
+    ]
+    # compare op letters + after.text in global order; key identity via rid
+    # is engine-internal, so project the comparable fields
+    got_full = [
+        (m["payload"][0]["op"], (m["payload"][0]["after"] or {}).get("text"))
+        for m in data
+    ]
+    want_full = [(w[0], w[3]) for w in want]
+    assert got_full == want_full
+    # scn order is monotone across files/epochs
+    scns = [m["scn"] for m in data]
+    assert scns == sorted(scns)

@@ -326,3 +326,159 @@ def test_bucket_count_invariance(spark, tmpdir_path, n_buckets):
     t.upd("c1", 1, text="edited")
     fb.commit(t)
     run_and_compare(spark, fb, tmpdir_path, n_buckets=n_buckets)
+
+
+def test_ddl_truncate_mid_stream(spark, tmpdir_path):
+    """TRUNCATE as a committed DDL wipes prior rows; later inserts survive
+    (reference: Builder.cpp:1815 DDL type 85)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(5):
+        t.ins("c1", i, role="user", text=f"pre-{i}", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("TRUNCATE TABLE transcripts", ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.ins("c2", 0, role="user", text="post-truncate", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert set(rows) == {("c2", 0)}
+    assert rows[("c2", 0)]["text"] == "post-truncate"
+
+
+def test_ddl_truncate_same_txn_dml_applies_first(spark, tmpdir_path):
+    """DML committed at the same commit_scn as the truncate lands in the
+    pre-DDL segment — the truncate wipes it (sequential-order semantics)."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="old", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.ins("c1", 1, role="user", text="same-txn", ts=TS)
+    fb._emit(t, "ddl", ddl_stmt="TRUNCATE TABLE transcripts")
+    fb.commit(t)
+    t = fb.begin()
+    t.ins("c3", 0, role="user", text="after", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]) for r in table.read().collect()}
+    assert rows == {("c3", 0)}
+
+
+def test_ddl_drop_column(spark, tmpdir_path):
+    """DROP COLUMN is metadata-only: the column disappears from reads,
+    earlier files keep their bytes, later inserts never set it."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="has tool", tool="calculator", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("DROP COLUMN tool", ["role", "text", "ts"])
+    t = fb.begin()
+    t.ins("c1", 1, role="assistant", text="post-drop", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    assert table.value_names == ["role", "text", "ts"]
+    assert "tool" not in table.read().columns
+
+
+def test_truncate_crash_replay_idempotent(spark, tmpdir_path):
+    """Re-applying an epoch whose middle segment truncated must not wipe the
+    data merged by the later segments (ledger-marked DDL)."""
+    import os
+
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="pre", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("TRUNCATE TABLE transcripts", ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.ins("c2", 0, role="user", text="post", ts=TS)
+    fb.commit(t)
+    feed = fb.to_spark(spark)
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=4)
+    apply_epoch(table, feed, 0, job_id="j")
+    want = sorted((r["conv_id"], r["turn_idx"]) for r in table.read().collect())
+    assert want == [("c2", 0)]
+
+    # simulate a crash-replay of the same epoch with the :done marker absent
+    table.refresh()
+    m = dict(table.manifest)
+    ledger = {k: dict(v) for k, v in m["ledger"].items()}
+    ledger["j"].pop("0:done")
+    m["ledger"] = ledger
+    m["version"] = m["version"] + 1
+    LakeTable._write_manifest_static(path, m)
+    table.manifest = m
+    apply_epoch(table, feed, 0, job_id="j")
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in table.read().collect())
+    assert got == [("c2", 0)]  # post-truncate row survived the replay
+
+
+def test_manifest_orphan_recovery(spark, tmpdir_path):
+    """A manifest above the VERSION pointer (crash between manifest write
+    and pointer swap) must be overwritten, not wedge the table."""
+    import json
+    import os
+
+    from openlogreplicator_spark.streaming.job import create_target
+
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2)
+    v = table.manifest["version"]
+    orphan = os.path.join(path, "manifest", f"v{v + 1:06d}.json")
+    with open(orphan, "w") as f:
+        f.write('{"version": ')  # truncated garbage — torn write
+    table.alter_add_column("meta", "string")  # would crash before the fix
+    table.refresh()
+    assert table.manifest["version"] == v + 1
+    with open(orphan) as f:
+        assert json.load(f)["version"] == v + 1  # orphan replaced, parseable
+
+
+def test_committed_epochs_with_segment_keys(spark, tmpdir_path):
+    """committed_epochs must parse '{e}:{seg}' / '{e}:done' ledger keys
+    written by apply_epoch (regression: int('0:1') ValueError)."""
+    import os
+
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x", ts=TS)
+    fb.commit(t)
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2)
+    apply_epoch(table, fb.to_spark(spark), 7, job_id="j")
+    assert table.committed_epochs("j") == {7}
+    assert table.committed_epochs("other-job") == set()
+
+
+def test_multi_file_bucket_write(spark, tmpdir_path):
+    """A hot bucket's rewrite spreads over multiple tasks/files (salted
+    repartition), and reads stay correct."""
+    import glob
+    import os
+
+    from helpers import normalize_rows
+    from openlogreplicator_spark.oracle import replay
+    from openlogreplicator_spark.streaming.job import replay_batch
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(200):
+        t.ins(f"c{i}", 0, role="user", text=f"t{i}", ts=TS)
+    fb.commit(t)
+    path = os.path.join(tmpdir_path, "tbl")
+    table = replay_batch(spark, fb.to_spark(spark), path, n_buckets=1)
+    files = glob.glob(os.path.join(path, "data", "*", "_bucket=*", "*.parquet"))
+    assert len(files) > 1, "expected a multi-file bucket from the salted write"
+    expected = replay(fb.rows)
+    got = normalize_rows([r.asDict() for r in table.read().collect()], table.value_names)
+    want = normalize_rows(expected.as_records(), expected.columns)
+    assert got == want

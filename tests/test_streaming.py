@@ -187,3 +187,82 @@ def test_pending_state_snapshot(spark, tmpdir_path):
     assert {r["xid"] for r in pend} == {open_txn.xid}
     assert {r["op"] for r in pend} == {"begin", "ins"}
     assert table.read().count() == 1  # open txn not applied
+
+
+def test_open_txn_expiry(spark, tmpdir_path):
+    """An abandoned open transaction (begin + DML, commit never arrives)
+    must stop riding the pending snapshot once its scn trails the feed by
+    more than max_open_scn_lag, and count as skipped (reference: stale txn
+    discard at forced checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb1 = FeedBuilder()
+    t = fb1.begin()
+    t.ins("c1", 0, role="user", text="committed", ts=TS)
+    fb1.commit(t)
+    orphan = fb1.begin()
+    orphan.ins("c9", 0, role="user", text="never committed", ts=TS)
+    # no commit — abandoned forever
+
+    fb2 = FeedBuilder(start_scn=100000)
+    t = fb2.begin()
+    t.ins("c2", 0, role="user", text="later", ts=TS)
+    fb2.commit(t)
+
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2)
+    apply_epoch(table, fb1.to_spark(spark), 0, job_id="j", max_open_scn_lag=1000)
+    pend = table.pending(CHANGE_EVENT_SCHEMA)
+    assert pend.filter(F.col("conv_id") == "c9").count() == 1  # still fresh
+
+    apply_epoch(table, fb2.to_spark(spark), 1, job_id="j", max_open_scn_lag=1000)
+    table.refresh()
+    assert table.pending(CHANGE_EVENT_SCHEMA).count() == 0  # expired, gone
+    skipped = (
+        table.lineage().filter(F.col("epoch_id") == 1)
+        .agg(F.sum("n_skipped").alias("s")).first()["s"]
+    )
+    assert skipped == 1
+    rows = {(r["conv_id"], r["turn_idx"]) for r in table.read().collect()}
+    assert rows == {("c1", 0), ("c2", 0)}
+
+
+def test_watermark_gated_txn_never_expires(spark, tmpdir_path):
+    """A committed txn held back by the shard watermark must NOT be expired
+    by max_open_scn_lag — only commit-less orphans are."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    # shard 0 commits a txn; shard 1 is expected but silent → watermark
+    # pins at 0 and the txn is gated into pending
+    fb = FeedBuilder(n_shards=2)
+    t = fb.begin(shard=0)
+    t.ins("c1", 0, role="user", text="gated", ts=TS)
+    fb.commit(t)
+
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2)
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j",
+                shard_watermark=True, expected_shards=[0, 1],
+                max_open_scn_lag=1)
+    assert table.read().count() == 0  # gated, not applied
+
+    # next epoch: shard 1 still silent, scns advance far beyond the lag
+    fb2 = FeedBuilder(n_shards=2, start_scn=100000)
+    t = fb2.begin(shard=0)
+    t.ins("c2", 0, role="user", text="more", ts=TS)
+    fb2.commit(t)
+    apply_epoch(table, fb2.to_spark(spark), 1, job_id="j",
+                shard_watermark=True, expected_shards=[0, 1],
+                max_open_scn_lag=1)
+    table.refresh()
+    # the gated committed txn is STILL pending (not expired)
+    pend = table.pending(CHANGE_EVENT_SCHEMA)
+    assert pend.filter(F.col("conv_id") == "c1").count() == 1

@@ -21,7 +21,19 @@ import __spark_entry__ as entrymod  # noqa: E402
 from openlogreplicator_spark.session import build_session  # noqa: E402
 
 
+STRICT = os.environ.get("CONTRACT_STRICT", "") == "1"
+
+
 def norm(v):
+    if STRICT:
+        # driver-faithful mode: no normalization — a Decimal('1.50') and a
+        # Decimal('1.5') (or a float 1.5) must hash identically at the driver,
+        # so they must repr identically here
+        if isinstance(v, list):
+            return tuple(norm(x) for x in v)
+        if isinstance(v, datetime):
+            return v.replace(tzinfo=None).isoformat()
+        return v
     if isinstance(v, Decimal):
         return format(v.normalize(), "f")
     if isinstance(v, float):
