@@ -264,6 +264,74 @@ def q_f1_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKIP_XIDS = [f"x{i * 37}" for i in range(50)]
+_F6_START_LSN = {0: 2000, 1: 5000, 2: 0, 3: 7500}
+
+
+def q_f3_skip_xid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — drop named transactions (TransactionBuffer.h:87-88)."""
+    from openlogreplicator_spark.operators.filters import skip_xid_filter
+
+    ops = _derived_ops(spark, sf_dir).select(
+        "event_id", F.concat(F.lit("x"), F.col("event_id")).alias("xid"), "op"
+    )
+    return skip_xid_filter(ops, _SKIP_XIDS)
+
+
+def q_f4_shard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — container/conId shard selection (shard := user_id % 4)."""
+    from openlogreplicator_spark.operators.filters import shard_filter
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 4).alias("shard"), "event_type"
+    )
+    return shard_filter(ev, [1, 3]).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_eid")
+    )
+
+
+def q_f6_lsn_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — per-shard resume-LSN gate (Metadata::isNewData,
+    Metadata.cpp:716-727); lsn := event_id, shard := user_id % 4."""
+    from openlogreplicator_spark.operators.filters import first_data_lsn_filter
+
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("shard"), F.col("event_id").alias("lsn")
+    )
+    out = first_data_lsn_filter(ev, _F6_START_LSN)
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.min("lsn").alias("min_lsn")
+    )
+
+
+def q_t6_txn_size_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — oversize transactions dropped whole (ctx->transactionSizeMax,
+    Parser.cpp:610-620; engine path streaming/apply.py max_txn_ops):
+    xid := user_id, cap = 66 ops (median per-user count, splits at all SFs)."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("xid")
+    )
+    oversize = (
+        ev.groupBy("xid").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 66)
+        .select("xid")
+    )
+    return ev.join(oversize, "xid", "left_anti")
+
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: LSH candidate pairs → connected components →
+    (doc_id, rep_id, keep) verdict (completes the dedup pipeline)."""
+    from openlogreplicator_spark.functions.dedup import (
+        minhash_candidate_pairs,
+        resolve_clusters,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs, n_hashes=8, n_bands=4)
+    return resolve_clusters(pairs, docs)
+
+
 def q_p4_value_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4/P6 — typed value decode: decimal pinning + JSON field extraction."""
     from openlogreplicator_spark.functions.decode import decode_number, json_field
@@ -473,6 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_chunk_reassembly": q_p9_chunk_reassembly,
         "f1_regex_filter": q_f1_regex_filter,
         "f2_condition_filter": q_f2_condition_filter,
+        "f3_skip_xid": q_f3_skip_xid,
+        "f4_shard_filter": q_f4_shard_filter,
+        "f6_lsn_gate": q_f6_lsn_gate,
+        "t6_txn_size_cap": q_t6_txn_size_cap,
         "p4_value_decode": q_p4_value_decode,
         "p8_xid_format": q_p8_xid_format,
         "w8_lineage_counts": q_w8_lineage_counts,
@@ -481,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_jaccard_verify": q_dedup_jaccard_verify,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_resolve": q_dedup_resolve,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_lang_id": q_text_lang_id,
@@ -616,6 +689,60 @@ GROUP BY event_type
         "f2_condition_filter": """
 SELECT event_id, user_id, event_type, value
 FROM events WHERE event_type <> 'error' AND value > 150.0
+""",
+        "f3_skip_xid": _ORACLE_DERIVED + f"""
+SELECT event_id, 'x' || CAST(event_id AS VARCHAR) AS xid, op
+FROM ev
+WHERE 'x' || CAST(event_id AS VARCHAR) NOT IN ({", ".join(f"'{x}'" for x in _SKIP_XIDS)})
+""",
+        "f4_shard_filter": """
+SELECT (user_id % 4) AS shard, count(*) AS n, max(event_id) AS max_eid
+FROM events WHERE (user_id % 4) IN (1, 3)
+GROUP BY 1
+""",
+        "f6_lsn_gate": f"""
+WITH g AS (
+  SELECT (user_id % 4) AS shard, event_id AS lsn FROM events
+)
+SELECT shard, count(*) AS n, min(lsn) AS min_lsn FROM g
+WHERE NOT ({" OR ".join(f"(shard = {s} AND lsn <= {v})" for s, v in _F6_START_LSN.items())})
+GROUP BY shard
+""",
+        "t6_txn_size_cap": """
+SELECT user_id AS xid, event_id FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events GROUP BY user_id HAVING count(*) > 66
+)
+""",
+        "dedup_resolve": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct({tok})) AS tok FROM documents
+), sig AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS mh
+  FROM toks CROSS JOIN (SELECT unnest(range(8)) AS i)
+  GROUP BY doc_id, i
+), bands AS (
+  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_hash
+  FROM sig GROUP BY doc_id, i // 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+), rep AS (
+  SELECT node AS doc_id, min(r) AS rep_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(rep.rep_id, d.doc_id) AS rep_id,
+       (coalesce(rep.rep_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
 """,
         "p4_value_decode": """
 SELECT event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,

@@ -155,11 +155,15 @@ def hamming_distance(a: Column, b: Column, n_bits: int = 16) -> Column:
 
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.95,
-                        bucket_col: Column | None = None) -> DataFrame:
-    """Embedding-cosine near-dup pairs.  Default is the exact quadratic
-    verifier — ONLY for bucketed candidates; pass bucket_col (e.g. an LSH
-    sign-bucket from similarity.hyperplane_bucket) so the self-join is
-    per-bucket, not all-pairs."""
+                        bucket_col: Column | None = None,
+                        allow_cross_join: bool = False) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bucketed self-join.
+
+    ``bucket_col`` (e.g. an LSH sign-bucket from
+    similarity.hyperplane_bucket) scopes the quadratic verifier per bucket.
+    Without it the self-join is ALL-PAIRS — O(N²) and never acceptable at
+    scale — so it must be explicitly opted into with
+    ``allow_cross_join=True`` (tiny corpora / testing only)."""
     from .similarity import cosine
 
     work = df.select(F.col(id_col), F.col(vec_col).alias("v"))
@@ -169,6 +173,12 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         a, b = work.alias("a"), work.alias("b")
         j = a.join(b, cond)
     else:
+        if not allow_cross_join:
+            raise ValueError(
+                "embedding_near_dups without bucket_col is an all-pairs "
+                "cross join; pass bucket_col (hyperplane_bucket) or set "
+                "allow_cross_join=True for tiny corpora"
+            )
         a, b = work.alias("a"), work.alias("b")
         j = a.crossJoin(b)
     j = j.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -189,3 +199,76 @@ def lww_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> Data
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def resolve_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                     id_col: str = "doc_id", max_iters: int = 15) -> DataFrame:
+    """Cluster resolution: candidate/verified pairs → connected components →
+    a (doc_id, rep_id, keep) verdict per document, completing the dedup
+    pipeline (pairs alone don't say which copy to drop).
+
+    Algorithm: distributed min-label propagation with pointer jumping —
+    each round a node takes the min of (its label, its neighbors' labels,
+    its label's label).  The extra label-of-label hop halves path lengths,
+    so convergence is O(log diameter) rounds, each round two equi-joins on
+    node id (no all-pairs anywhere).  Plans are truncated per round with
+    localCheckpoint to keep the iterative lineage from exploding — on a
+    cluster use spark.sparkContext.setCheckpointDir + .checkpoint().
+
+    ``docs``: pass the full corpus to include singleton documents
+    (keep=true, rep=self); otherwise only paired docs are returned.
+    """
+    edges = pairs.select(F.col("id_a").alias("n"), F.col("id_b").alias("m"))
+    edges = edges.unionByName(
+        edges.select(F.col("m").alias("n"), F.col("n").alias("m"))
+    ).distinct().persist()
+
+    labels = edges.select("n").distinct().withColumn("lbl", F.col("n"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        jumped = (
+            labels.join(
+                labels.select(F.col("n").alias("lbl"), F.col("lbl").alias("_jump")),
+                "lbl",
+                "left",
+            )
+        )
+        new_labels = (
+            jumped.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("_nbr"), F.col("lbl")),
+                    F.coalesce(F.col("_jump"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    resolved = labels.select(F.col("n").alias(id_col), F.col("lbl").alias("rep_id"))
+    if docs is not None:
+        resolved = (
+            docs.select(id_col)
+            .join(resolved, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("rep_id"), F.col(id_col)).alias("rep_id"),
+            )
+        )
+    return resolved.withColumn("keep", F.col("rep_id") == F.col(id_col))

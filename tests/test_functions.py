@@ -162,3 +162,54 @@ def test_decode_helpers(spark):
     assert r["k"] == 42
     assert r["px"]["usn"] == 7 and r["px"]["sqn"] == 255
     assert len(r["rid"]) == 18
+
+
+def test_resolve_clusters_topology(spark):
+    """Connected components on a known graph: chain a-b-c, pair d-e,
+    singleton f (via docs) — representatives are component minima."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("d", "e")], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("f",)], ["doc_id"]
+    )
+    got = {
+        r["doc_id"]: (r["rep_id"], r["keep"])
+        for r in resolve_clusters(pairs, docs).collect()
+    }
+    assert got == {
+        "a": ("a", True), "b": ("a", False), "c": ("a", False),
+        "d": ("d", True), "e": ("d", False), "f": ("f", True),
+    }
+
+
+def test_resolve_clusters_long_chain(spark):
+    """A 20-node path graph (worst-case diameter) still converges within
+    the pointer-jumping round budget."""
+    from openlogreplicator_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(19)], ["id_a", "id_b"]
+    )
+    rows = resolve_clusters(pairs).collect()
+    assert len(rows) == 20
+    assert {r["rep_id"] for r in rows} == {"n00"}
+    assert sum(r["keep"] for r in rows) == 1
+
+
+def test_embedding_near_dups_requires_bucket(spark):
+    """All-pairs cross join must be an explicit opt-in."""
+    import pytest
+
+    from openlogreplicator_spark.functions.dedup import embedding_near_dups
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.01])],
+                               ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        embedding_near_dups(df)
+    out = embedding_near_dups(df, threshold=0.9, allow_cross_join=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
