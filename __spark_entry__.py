@@ -113,6 +113,7 @@ def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("schema_version"),
             F.lit(None).cast("string").alias("ddl_stmt"),
             F.col("ts"),
+            F.lit(None).cast("map<string,string>").alias("attrs"),
         )
 
     _ = CHANGE_EVENT_SCHEMA  # wire shape documented there

@@ -7,7 +7,10 @@ plus the heaviest training-data operators at $SPARK_GRAFT_SF_DIR.
 Env:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] (default 32)
-  BENCH_TXNS           override feed size (default 120000 txns ≈ 1.2M events)
+  BENCH_TXNS           override feed size (default 1,000,000 txns ≈ 10M
+                       events — the SAME deterministic feed the scaling
+                       harness (tools/bench_scaling.py) measures, so the
+                       headline ev/s and BENCH_SCALING.json tell one story)
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_TXNS = int(os.environ.get("BENCH_TXNS", "120000"))
+N_TXNS = int(os.environ.get("BENCH_TXNS", "1000000"))
 ONLY = os.environ.get("BENCH_ONLY", "")  # "cdc" → skip non-CDC queries (scaling runs)
 SHUFFLE = int(os.environ.get("BENCH_SHUFFLE", "0"))  # 0 → default (= cpus)
 
@@ -53,10 +56,13 @@ def main():
     times: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    skip_skew = os.environ.get("BENCH_SKIP_SKEW") == "1"
     feed_dir = feed_cache_dir(N_TXNS, 0.0)
-    feed_skew_dir = feed_cache_dir(max(N_TXNS // 2, 1000), 2.0)
+    feed_skew_dir = None if skip_skew else feed_cache_dir(max(N_TXNS // 2, 1000), 2.0)
 
-    feed = spark.read.parquet(feed_dir)
+    from openlogreplicator_spark.sources.feed import read_feed_batch
+
+    feed = read_feed_batch(spark, feed_dir)
     n_events = feed.count()  # also warms the JVM / file listing
 
     def timed(name, fn):
@@ -111,16 +117,47 @@ def main():
     extra["n_events"] = n_events
 
     # 3) skewed feed (hot conversation) through the full path
-    skew_feed = spark.read.parquet(feed_skew_dir)
-    n_skew = skew_feed.count()
+    if not skip_skew:
+        skew_feed = read_feed_batch(spark, feed_skew_dir)
+        n_skew = skew_feed.count()
 
-    def skew_merge():
+        def skew_merge():
+            from openlogreplicator_spark.streaming.job import replay_batch
+
+            replay_batch(spark, skew_feed, os.path.join(work, "tbl_skew"), n_buckets=64)
+
+        timed("cdc_full_merge_skewed", skew_merge)
+        extra["events_per_sec_skewed"] = round(n_skew / times["cdc_full_merge_skewed"], 1)
+
+    # 3b) update-epoch cost: CoW (bucket rewrite) vs merge-on-read (delta
+    # append) — the write-amplification story that decides 100 TB viability.
+    # The update feed reuses a prefix of the main feed's conversation space,
+    # so every update hits existing rows across all buckets.
+    if not skip_skew:
+        from openlogreplicator_spark.lake import LakeTable
+        from openlogreplicator_spark.streaming.apply import apply_epoch
         from openlogreplicator_spark.streaming.job import replay_batch
 
-        replay_batch(spark, skew_feed, os.path.join(work, "tbl_skew"), n_buckets=64)
+        upd_dir = feed_cache_dir(max(N_TXNS // 10, 1000), 0.0)
+        upd_feed = read_feed_batch(spark, upd_dir)
+        n_upd = upd_feed.count()
 
-    timed("cdc_full_merge_skewed", skew_merge)
-    extra["events_per_sec_skewed"] = round(n_skew / times["cdc_full_merge_skewed"], 1)
+        def cow_update():
+            apply_epoch(LakeTable(spark, os.path.join(work, "tbl")), upd_feed, 1,
+                        job_id="batch")
+
+        timed("cdc_update_epoch_cow", cow_update)
+
+        replay_batch(spark, feed, os.path.join(work, "tbl_mor"), n_buckets=64,
+                     mode="mor")  # untimed mor bootstrap (same as cow load)
+
+        def mor_update():
+            apply_epoch(LakeTable(spark, os.path.join(work, "tbl_mor")), upd_feed, 1,
+                        job_id="batch")
+
+        timed("cdc_update_epoch_mor", mor_update)
+        extra["update_events_per_sec_cow"] = round(n_upd / times["cdc_update_epoch_cow"], 1)
+        extra["update_events_per_sec_mor"] = round(n_upd / times["cdc_update_epoch_mor"], 1)
 
     # 4) training-data operators at SF_DIR
     docs_path = "" if ONLY == "cdc" else os.path.join(SF_DIR, "documents.parquet")

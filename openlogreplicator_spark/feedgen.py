@@ -46,12 +46,16 @@ def _image(**kwargs):
 
 
 class TxnHandle:
-    def __init__(self, builder: "FeedBuilder", xid: str, shard: int):
+    def __init__(self, builder: "FeedBuilder", xid: str, shard: int,
+                 attrs: dict | None = None):
         self._b = builder
         self.xid = xid
         self.shard = shard
         self.seq_in_txn = 0
         self.open = True
+        # session attributes (OpCode0513 analog) stamped on every event of
+        # this transaction
+        self.attrs = attrs
 
     def _next_seq(self) -> int:
         s = self.seq_in_txn
@@ -144,14 +148,15 @@ class FeedBuilder:
                 schema_version=self.schema_version,
                 ddl_stmt=ddl_stmt,
                 ts=BASE_TS + timedelta(seconds=scn),
+                attrs=txn.attrs,
             )
         )
 
     # -- txn control --------------------------------------------------------
-    def begin(self, shard: int = 0) -> TxnHandle:
+    def begin(self, shard: int = 0, attrs: dict | None = None) -> TxnHandle:
         xid = f"{shard}.{self._xid_counter:03d}.{self._xid_counter + 7:08x}"
         self._xid_counter += 1
-        t = TxnHandle(self, xid, shard)
+        t = TxnHandle(self, xid, shard, attrs=attrs)
         self._emit(t, "begin")
         return t
 
@@ -388,6 +393,7 @@ def generate_scaled_feed(
                 "schema_version": pa.array(np.zeros(n, np.int32), pa.int32()),
                 "ddl_stmt": null_str,
                 "ts": pa.array(ts_us_all[sl], pa.timestamp("us", tz="UTC")),
+                "attrs": pa.nulls(n, pa.map_(pa.string(), pa.string())),
             }
         ).cast(schema)
         pq.write_table(table, os.path.join(out_dir, f"seq-{k:05d}.parquet"))
@@ -409,4 +415,5 @@ def _arrow_schema():
         ("changed_cols", pa.list_(pa.string())), ("chunk_no", pa.int32()),
         ("chunk_text", pa.string()), ("schema_version", pa.int32()),
         ("ddl_stmt", pa.string()), ("ts", pa.timestamp("us", tz="UTC")),
+        ("attrs", pa.map_(pa.string(), pa.string())),
     ])

@@ -59,6 +59,9 @@ def build_json_messages(
         F.unix_timestamp(F.col("ts")).alias("tm"),
         F.col("xid").alias("xid"),
         F.lit(db_name).alias("db"),
+        # session attributes (reference: "attributes" message field fed by
+        # opcodes 5.19/5.20 session info, src/parser/OpCode0513.h)
+        F.col("attrs").alias("attributes"),
         F.array(payload).alias("payload"),
     )
     return d.select(

@@ -82,14 +82,16 @@ def resize_images(df: DataFrame, max_side: int = 256, decode: str = "fake") -> D
             if decode == "real":
                 raise NotImplementedError("PIL not in this container")
             out = []
-            for _, r in pdf.iterrows():
-                w = int(r["width"] or 0)
-                h = int(r["height"] or 0)
+            # itertuples, not iterrows: no per-row Series construction (rows
+            # here are few-but-large media blobs, the loop stays cheap)
+            for r in pdf[["media_id", "width", "height", "payload"]].itertuples(index=False):
+                w = int(r.width) if pd.notna(r.width) else 0
+                h = int(r.height) if pd.notna(r.height) else 0
                 scale = min(max_side / max(w, h, 1), 1.0)
                 tw, th = max(int(w * scale), 1), max(int(h * scale), 1)
-                payload = r["payload"] or b""
+                payload = r.payload or b""
                 cut = max(int(len(payload) * scale * scale), 1)
-                out.append((r["media_id"], payload[:cut], tw, th))
+                out.append((r.media_id, payload[:cut], tw, th))
             yield pd.DataFrame(out, columns=["media_id", "thumb", "thumb_w", "thumb_h"])
 
     return df.filter(df.kind == "image").mapInPandas(op, schema=THUMB_SCHEMA)
@@ -104,13 +106,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decode: str = "fake") -> 
             if decode == "real":
                 raise NotImplementedError("ffmpeg not in this container")
             rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["duration_ms"] or 0)
-                payload = r["payload"] or b""
+            for r in pdf[["media_id", "duration_ms", "payload"]].itertuples(index=False):
+                dur = int(r.duration_ms) if pd.notna(r.duration_ms) else 0
+                payload = r.payload or b""
                 n = max(dur // every_ms, 1)
                 for k in range(n):
                     tag = hashlib.md5(payload + k.to_bytes(4, "big")).digest()
-                    rows.append((r["media_id"], k, tag))
+                    rows.append((r.media_id, k, tag))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.filter(df.kind == "video").mapInPandas(op, schema=FRAME_SCHEMA)

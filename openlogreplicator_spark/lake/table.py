@@ -13,9 +13,16 @@ deployment can swap `LakeTable.merge` for a real `MERGE INTO` on Iceberg:
 * **Bucket partitioning** — rows hash into ``n_buckets`` by key
   (``pmod(xxhash64(conv_id), n)``, Iceberg's ``bucket(n, conv_id)``
   transform).  A merge reads and rewrites only the buckets its batch
-  touches: partition pruning for copy-on-write.  At 100 TB you would raise
-  ``n_buckets`` (or move to merge-on-read deletes); the pruning logic is
-  the same.
+  touches: partition pruning for copy-on-write.
+* **Merge-on-read mode** (``mode="mor"``, Iceberg v2 delete-file analog) —
+  a merge appends the epoch's collapsed change set as *delta files* per
+  touched bucket instead of rewriting the bucket: write cost is O(changes),
+  not O(bucket).  Readers fold deltas onto the base with one per-key
+  aggregation (no iteration); when a bucket accumulates
+  ``compact_threshold`` deltas it is compacted back to a plain base in the
+  same commit.  This is the 100 TB path for update-heavy CDC — at 10^10
+  rows a hot epoch touches every bucket, and CoW would rewrite the world
+  every epoch.
 * **Epoch ledger** — the manifest carries ``{job_id: {epoch: max_lsn}}``.
   ``merge`` is a no-op for an already-committed epoch, which together with
   Structured Streaming's deterministic epoch replay gives exactly-once
@@ -80,7 +87,11 @@ class LakeTable:
         value_cols: list[tuple[str, str]],
         n_buckets: int = 64,
         overwrite: bool = False,
+        mode: str = "cow",
+        compact_threshold: int = 8,
     ) -> "LakeTable":
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         if os.path.exists(os.path.join(path, "VERSION")):
             if not overwrite:
                 return cls(spark, path)
@@ -91,9 +102,12 @@ class LakeTable:
         manifest = {
             "version": 0,
             "n_buckets": n_buckets,
+            "mode": mode,
+            "compact_threshold": compact_threshold,
             "key_cols": [{"name": n, "type": t} for n, t in key_cols],
             "value_cols": [{"name": n, "type": t} for n, t in value_cols],
             "buckets": {},
+            "deltas": {},
             "ledger": {},
             "pending_dirs": [],
             "lineage_dirs": [],
@@ -146,6 +160,7 @@ class LakeTable:
         Reference: DDL type 85 TRUNCATE at Builder.cpp:1815."""
         m = dict(self.manifest)
         m["buckets"] = {}
+        m["deltas"] = {}
         self._ddl_commit(m, ledger_mark)
 
     # ---------------------------------------------------------------- reads
@@ -169,8 +184,7 @@ class LakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(F.col(self.key_names[0])), F.lit(self.n_buckets)).cast("int")
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Snapshot read; optional bucket pruning."""
+    def _read_base(self, buckets: list[int] | None = None) -> DataFrame:
         schema = self.row_schema()
         sel = self.manifest["buckets"]
         if buckets is not None:
@@ -181,6 +195,90 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         # explicit schema → files written before an ADD COLUMN yield NULLs
         return self.spark.read.schema(schema).parquet(*dirs)
+
+    def _delta_schema(self) -> T.StructType:
+        key_fields = _schema_from_manifest(self.manifest["key_cols"]).fields
+        vals_type = _schema_from_manifest(self.manifest["value_cols"])
+        return T.StructType(
+            [
+                *key_fields,
+                T.StructField("is_delete", T.BooleanType(), True),
+                T.StructField("reset", T.BooleanType(), True),
+                T.StructField("set_cols", T.ArrayType(T.StringType()), True),
+                T.StructField("vals", vals_type, True),
+                T.StructField("_seq", T.LongType(), False),
+            ]
+        )
+
+    def _read_deltas(
+        self, buckets: list[int] | None = None, dmap: dict | None = None
+    ) -> DataFrame | None:
+        sel = dmap if dmap is not None else self.manifest.get("deltas", {})
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            sel = {b: d for b, d in sel.items() if b in want}
+        dirs = [os.path.join(self.path, d) for ds in sel.values() for d in ds]
+        if not dirs:
+            return None
+        return self.spark.read.schema(self._delta_schema()).parquet(*dirs)
+
+    def _fold_deltas(self, base: DataFrame, deltas: DataFrame) -> DataFrame:
+        """Apply ordered per-key net-change deltas onto base rows with ONE
+        aggregation + one join (no iteration): sequential-apply semantics —
+        is_delete removes, reset redefines, set_cols overwrite — expressed
+        as 'value of the last delta setting the column at/after the last
+        boundary (delete/reset)'."""
+        key = self.key_names
+        vals = self.value_names
+
+        def set_cond(c: str):
+            return F.array_contains(F.coalesce(F.col("set_cols"), F.array()), c)
+
+        agg = [
+            F.max_by("is_delete", "_seq").alias("_last_del"),
+            F.max(
+                F.when(F.col("is_delete") | F.col("reset"), F.col("_seq"))
+            ).alias("_bnd"),
+        ]
+        for c in vals:
+            agg.append(
+                F.max_by(
+                    F.col("vals").getField(c), F.when(set_cond(c), F.col("_seq"))
+                ).alias(f"_v_{c}")
+            )
+            agg.append(F.max(F.when(set_cond(c), F.col("_seq"))).alias(f"_s_{c}"))
+        d = deltas.groupBy(*key).agg(*agg)
+
+        t = base.alias("t")
+        dd = d.alias("d")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
+        j = t.join(dd, cond, "full_outer")
+        has_d = F.col("d._last_del").isNotNull()
+        has_t = F.col(f"t.{key[0]}").isNotNull()
+        keep = F.when(has_d, ~F.col("d._last_del")).otherwise(has_t)
+
+        def out_col(c: str):
+            set_valid = F.col(f"d._s_{c}").isNotNull() & (
+                F.col("d._bnd").isNull() | (F.col(f"d._s_{c}") >= F.col("d._bnd"))
+            )
+            # boundary (reset) or insert-into-absent wipes unset columns
+            wiped = F.col("d._bnd").isNotNull() | ~has_t
+            from_d = F.when(set_valid, F.col(f"d._v_{c}")).otherwise(
+                F.when(wiped, F.lit(None)).otherwise(F.col(f"t.{c}"))
+            )
+            return F.when(has_d, from_d).otherwise(F.col(f"t.{c}")).alias(c)
+
+        out_key = [F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k) for k in key]
+        return j.filter(keep).select(*out_key, *[out_col(c) for c in vals])
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read; optional bucket pruning; merge-on-read deltas
+        folded onto the base (one agg + one join)."""
+        base = self._read_base(buckets)
+        deltas = self._read_deltas(buckets)
+        if deltas is None:
+            return base
+        return self._fold_deltas(base, deltas)
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -213,6 +311,8 @@ class LakeTable:
         key = self.key_names
         vals = self.value_names
         version = self.manifest["version"] + 1
+        mode = self.manifest.get("mode", "cow")
+        deltas_map = {k: list(v) for k, v in self.manifest.get("deltas", {}).items()}
 
         bexpr = self._bucket_expr()
         # persist: the changes plan is the whole assemble+collapse DAG; it
@@ -221,8 +321,46 @@ class LakeTable:
         affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
 
         new_dirs: dict[str, list[str]] = {}
-        touched_existing = [b for b in affected if str(b) in self.manifest["buckets"]]
-        if affected and not touched_existing:
+        touched_existing = [
+            b for b in affected
+            if str(b) in self.manifest["buckets"] or deltas_map.get(str(b))
+        ]
+        mor_delta = mode == "mor" and affected and bool(touched_existing)
+        if mor_delta:
+            # ---- merge-on-read: append the change set as delta files ----
+            delta_rel = f"delta/v{version:06d}"
+            (
+                ch.select(
+                    *key,
+                    "is_delete",
+                    "reset",
+                    "set_cols",
+                    "vals",
+                    F.lit(version).cast("long").alias("_seq"),
+                    "_bucket",
+                )
+                .repartition(max(len(affected), 1), "_bucket")
+                .write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(os.path.join(self.path, delta_rel))
+            )
+            for b in affected:
+                d = f"{delta_rel}/_bucket={b}"
+                if os.path.isdir(os.path.join(self.path, d)):
+                    deltas_map.setdefault(str(b), []).append(d)
+            result = None
+            # lazy compaction: buckets whose delta chain got long are folded
+            # back to a plain base IN THIS COMMIT (bounded read-amp)
+            threshold = self.manifest.get("compact_threshold", 8)
+            base_write_buckets = [
+                b for b in affected if len(deltas_map.get(str(b), [])) >= threshold
+            ]
+            if base_write_buckets:
+                deltas = self._read_deltas(base_write_buckets, dmap=deltas_map)
+                folded = self._fold_deltas(self._read_base(base_write_buckets), deltas)
+                result = folded.withColumn("_bucket", bexpr)
+        elif affected and not touched_existing:
+            base_write_buckets = affected
             # fast path — none of the touched buckets has data yet (initial
             # load / pure-insert epochs): no join, just project the puts
             result = ch.filter(~F.col("is_delete")).select(
@@ -237,6 +375,7 @@ class LakeTable:
                 F.col("_bucket"),
             )
         elif affected:
+            base_write_buckets = affected
             target = self.read(touched_existing).withColumn("_bucket", bexpr)
             t = target.alias("t")
             c = ch.alias("c")
@@ -260,7 +399,7 @@ class LakeTable:
             out_bucket = F.coalesce(F.col("t._bucket"), F.col("c._bucket")).alias("_bucket")
             result = j.filter(keep).select(*out_key, *[out_col(v) for v in vals], out_bucket)
 
-        if affected:
+        if affected and result is not None:
             data_rel = f"data/v{version:06d}"
             out_path = os.path.join(self.path, data_rel)
             # Write parallelism is decoupled from bucket count: rows are
@@ -268,25 +407,28 @@ class LakeTable:
             # bucket's rewrite spreads over many tasks instead of funneling
             # through one.  partitionBy("_bucket") keeps the file layout
             # bucket-aligned; a bucket directory may hold many files.
+            n_bw = max(len(base_write_buckets), 1)
             par = self.spark.sparkContext.defaultParallelism
-            salt_n = max(1, (2 * par) // max(len(affected), 1))
+            salt_n = max(1, (2 * par) // n_bw)
             salt = F.pmod(
                 F.xxhash64(*[F.col(k) for k in key], F.lit(1)), F.lit(salt_n)
             ).alias("_salt")
             (
                 result.withColumn("_salt", salt)
-                .repartition(max(len(affected), 1) * salt_n, "_bucket", "_salt")
+                .repartition(n_bw * salt_n, "_bucket", "_salt")
                 .drop("_salt")
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(out_path)
             )
-            for b in affected:
+            for b in base_write_buckets:
                 d = f"{data_rel}/_bucket={b}"
                 if os.path.isdir(os.path.join(self.path, d)):
                     new_dirs[str(b)] = [d]
                 else:
                     new_dirs[str(b)] = []  # bucket emptied by deletes
+                if mor_delta:
+                    deltas_map[str(b)] = []  # compacted into the new base
 
         ch.unpersist()
 
@@ -315,6 +457,7 @@ class LakeTable:
         m = dict(self.manifest)
         m["version"] = version
         m["buckets"] = buckets
+        m["deltas"] = {b: ds for b, ds in deltas_map.items() if ds}
         m["pending_dirs"] = pending_dirs
         m["lineage_dirs"] = lineage_dirs
         if shard_frontier is not None:

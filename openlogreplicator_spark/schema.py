@@ -71,6 +71,10 @@ CHANGE_EVENT_SCHEMA = T.StructType(
         T.StructField("schema_version", T.IntegerType(), False),
         T.StructField("ddl_stmt", T.StringType(), True),   # e.g. "ADD COLUMN meta string"
         T.StructField("ts", T.TimestampType(), False),     # event time (watermark column)
+        # session attributes (reference: opcodes 5.19/5.20 session info,
+        # src/parser/OpCode0513.h — feeds [login username]-style condition
+        # filters and output message attributes)
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 

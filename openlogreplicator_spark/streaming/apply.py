@@ -54,6 +54,7 @@ def apply_epoch(
     expected_shards: list[int] | None = None,
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
+    schemaless: bool = False,
 ) -> dict:
     """Apply one epoch of change events; returns apply stats.
 
@@ -70,6 +71,14 @@ def apply_epoch(
     scn by more than the lag — and which has NO commit event (so
     watermark-gated committed txns are never touched) — is dropped whole and
     counted skipped, instead of riding the pending snapshot forever.
+
+    ``schemaless``: the REDO_FLAGS::SCHEMALESS analog (reference:
+    Parser.cpp:705, Metadata.cpp:676-706): committed DML of untracked tables
+    is emitted on the JSON mirror as raw payloads (their own table names,
+    chunk reassembly not applied) instead of being dropped-and-counted.  The
+    lake table remains transcripts-only — untracked rows have no typed home,
+    exactly like the reference emits OBJ_xxx payloads without applying them
+    to a dictionary.
     """
     spark = table.spark
     table.refresh()
@@ -128,6 +137,7 @@ def apply_epoch(
             "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
             "conv_id", "turn_idx", "before", "after", "changed_cols",
             "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
+            "attrs",
         ).persist()
 
         oversize_dml = None
@@ -155,12 +165,16 @@ def apply_epoch(
         tracked = reassemble_chunks(tracked)
         tracked_dml = tracked.filter(F.col("op") != "chunk")
 
+        untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
         if json_mirror_dir is not None:
             # W6 wire-format egress: the committed op stream as JSON
             # messages (the reference's primary output), epoch-idempotent
             from ..functions.json_output import write_json_mirror
 
-            write_json_mirror(tracked_dml, json_mirror_dir, epoch_id)
+            mirror_src = tracked_dml
+            if schemaless:
+                mirror_src = mirror_src.unionByName(untracked_dml)
+            write_json_mirror(mirror_src, json_mirror_dir, epoch_id)
 
         # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
         ddls = sorted(
@@ -172,9 +186,10 @@ def apply_epoch(
         boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
 
         # per-shard skip counts + consumed-LSN frontier (one small agg each)
-        skipped_src = parts["dropped"].select("shard").unionByName(
-            untracked.filter(F.col("op").isin("ins", "upd", "del")).select("shard")
-        )
+        skipped_src = parts["dropped"].select("shard")
+        if not schemaless:
+            # schemaless mode emits untracked DML instead of skipping it
+            skipped_src = skipped_src.unionByName(untracked_dml.select("shard"))
         if oversize_dml is not None:
             skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
         if expired_dml is not None:

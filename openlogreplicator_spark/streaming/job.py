@@ -33,10 +33,12 @@ KEY_COLS = [("conv_id", "string"), ("turn_idx", "int")]
 
 
 def create_target(
-    spark: SparkSession, table_path: str, n_buckets: int = 16, overwrite: bool = True
+    spark: SparkSession, table_path: str, n_buckets: int = 16, overwrite: bool = True,
+    mode: str = "cow", compact_threshold: int = 8,
 ) -> LakeTable:
     return LakeTable.create(
-        spark, table_path, KEY_COLS, DEFAULT_VALUE_COLS, n_buckets=n_buckets, overwrite=overwrite
+        spark, table_path, KEY_COLS, DEFAULT_VALUE_COLS, n_buckets=n_buckets,
+        overwrite=overwrite, mode=mode, compact_threshold=compact_threshold,
     )
 
 
@@ -50,12 +52,13 @@ def replay_batch(
     n_buckets: int = 16,
     create: bool = True,
     max_txn_ops: int | None = None,
+    mode: str = "cow",
 ) -> LakeTable:
     """Bounded replay: whole feed as one epoch (ReplicatorBatch analog)."""
     if isinstance(feed, str):
         feed = read_feed_batch(spark, feed)
     if create:
-        table = create_target(spark, table_path, n_buckets=n_buckets)
+        table = create_target(spark, table_path, n_buckets=n_buckets, mode=mode)
     else:
         table = LakeTable(spark, table_path)
     apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
@@ -80,6 +83,8 @@ def run_stream(
     expected_shards: list[int] | None = None,
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
+    schemaless: bool = False,
+    mode: str = "cow",
 ):
     """Streaming replay with availableNow (drains the backlog then stops).
 
@@ -88,7 +93,7 @@ def run_stream(
     restart) or after it (ledger makes the replay a no-op).
     """
     if create and not os.path.exists(os.path.join(table_path, "VERSION")):
-        create_target(spark, table_path, n_buckets=n_buckets)
+        create_target(spark, table_path, n_buckets=n_buckets, mode=mode)
 
     reader = read_feed_stream(spark, feed_dir, max_files_per_trigger)
 
@@ -99,7 +104,7 @@ def run_stream(
         apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
                     max_txn_ops=max_txn_ops, shard_watermark=shard_watermark,
                     expected_shards=expected_shards, max_open_scn_lag=max_open_scn_lag,
-                    json_mirror_dir=json_mirror_dir)
+                    json_mirror_dir=json_mirror_dir, schemaless=schemaless)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 

@@ -30,7 +30,7 @@ def normalize_rows(rows, columns):
 
 
 def run_and_compare(spark, fb: FeedBuilder, tmpdir, tracked=("transcripts",), via="batch",
-                    n_buckets=8, **stream_kwargs):
+                    n_buckets=8, mode="cow", **stream_kwargs):
     """Replay fb's feed through the engine and the sequential oracle; assert
     equal final state. Returns (table, oracle_result)."""
     table_path = os.path.join(tmpdir, "transcripts_tbl")
@@ -40,7 +40,7 @@ def run_and_compare(spark, fb: FeedBuilder, tmpdir, tracked=("transcripts",), vi
     if via == "batch":
         feed_df = fb.to_spark(spark)
         table = replay_batch(spark, feed_df, table_path, tracked_pattern=pattern,
-                             n_buckets=n_buckets)
+                             n_buckets=n_buckets, mode=mode)
     else:
         from openlogreplicator_spark.streaming.job import run_stream
 
@@ -48,7 +48,7 @@ def run_and_compare(spark, fb: FeedBuilder, tmpdir, tracked=("transcripts",), vi
         fb.write_parquet(spark, feed_dir)
         ckpt = os.path.join(tmpdir, "ckpt")
         table = run_stream(spark, feed_dir, table_path, ckpt, tracked_pattern=pattern,
-                           n_buckets=n_buckets, **stream_kwargs)
+                           n_buckets=n_buckets, mode=mode, **stream_kwargs)
 
     got_cols = table.value_names
     got = normalize_rows([r.asDict() for r in table.read().collect()], got_cols)

@@ -28,7 +28,7 @@ def test_json_message_shape(spark):
     parsed = [json.loads(m["message"]) for m in msgs]
     assert [p["payload"][0]["op"] for p in parsed] == ["c", "u", "d"]
     ins = parsed[0]
-    assert set(ins) == {"scn", "idx", "tm", "xid", "db", "payload"}
+    assert set(ins) == {"scn", "idx", "tm", "xid", "db", "attributes", "payload"}
     assert ins["payload"][0]["schema"] == {"owner": "APP", "table": "transcripts"}
     assert ins["payload"][0]["after"]["text"] == "hello"
     assert len(ins["payload"][0]["rid"]) == 18
@@ -94,3 +94,64 @@ def test_json_mirror_end_to_end(spark, tmpdir_path):
     # scn order is monotone across files/epochs
     scns = [m["scn"] for m in data]
     assert scns == sorted(scns)
+
+
+def test_session_attributes_flow(spark, tmpdir_path):
+    """Session attributes (OpCode0513 analog) stamp every event of a txn,
+    drive condition filters, and appear in output messages."""
+    from openlogreplicator_spark.operators.filters import condition_filter
+
+    fb = FeedBuilder()
+    t = fb.begin(attrs={"username": "alice", "program": "app1"})
+    t.ins("c1", 0, role="user", text="by alice", ts=TS)
+    fb.commit(t)
+    t = fb.begin(attrs={"username": "ignored_user"})
+    t.ins("c2", 0, role="user", text="by ignored", ts=TS)
+    fb.commit(t)
+    feed = fb.to_spark(spark)
+
+    # F2 condition on a session attribute — the reference's
+    # "[login username]" filter expression analog
+    kept = condition_filter(
+        feed.filter(F.col("op") == "ins"),
+        "attrs['username'] != 'ignored_user'",
+    ).collect()
+    assert [r["conv_id"] for r in kept] == ["c1"]
+
+    committed = assemble_transactions(feed)["committed"]
+    msgs = build_json_messages(
+        committed.filter(F.col("op") == "ins")
+    ).orderBy("scn").collect()
+    parsed = [json.loads(m["message"]) for m in msgs]
+    assert parsed[0]["attributes"] == {"username": "alice", "program": "app1"}
+    assert parsed[1]["attributes"] == {"username": "ignored_user"}
+
+
+def test_schemaless_mode_emits_untracked(spark, tmpdir_path):
+    """REDO_FLAGS::SCHEMALESS analog: untracked-table DML reaches the JSON
+    mirror as raw payloads and is NOT counted skipped."""
+    import os
+
+    from openlogreplicator_spark.functions.json_output import read_json_mirror
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="tracked", ts=TS)
+    t.dml_other_table("audit_log", "c1", 0, op="ins", text="untracked row")
+    fb.commit(t)
+
+    path = os.path.join(tmpdir_path, "tbl")
+    mirror = os.path.join(tmpdir_path, "mirror")
+    table = create_target(spark, path, n_buckets=2)
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j",
+                json_mirror_dir=mirror, schemaless=True)
+
+    msgs = [json.loads(ln) for ln in read_json_mirror(mirror)]
+    tables = {m["payload"][0]["schema"]["table"] for m in msgs
+              if m["payload"][0]["op"] != "chkpt"}
+    assert tables == {"transcripts", "audit_log"}
+    assert table.lineage().agg(F.sum("n_skipped").alias("s")).first()["s"] == 0
+    # the lake table itself stays transcripts-only
+    assert {r["conv_id"] for r in table.read().collect()} == {"c1"}

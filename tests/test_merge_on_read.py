@@ -1,0 +1,145 @@
+"""Merge-on-read mode (Iceberg v2 delete-file analog): merges append delta
+files (O(changes) write cost), readers fold deltas onto the base, long
+delta chains compact back to a plain base in the same commit."""
+
+import os
+from datetime import datetime, timezone
+
+from helpers import normalize_rows, run_and_compare
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.oracle import replay
+from openlogreplicator_spark.streaming.apply import apply_epoch
+from openlogreplicator_spark.streaming.job import create_target
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _epoch_feed(start_scn, ops):
+    fb = FeedBuilder(start_scn=start_scn)
+    t = fb.begin()
+    for op, conv, turn, kw in ops:
+        getattr(t, op)(conv, turn, **kw)
+    fb.commit(t)
+    return fb
+
+
+def test_mor_matches_cow_multi_epoch(spark, tmpdir_path):
+    """Same multi-epoch feed through cow and mor tables → identical state;
+    mor leaves the base untouched (delta-only writes) after bootstrap."""
+    epochs = [
+        _epoch_feed(1000, [("ins", "c1", 0, dict(role="user", text="a", ts=TS)),
+                           ("ins", "c2", 0, dict(role="user", text="b", ts=TS))]),
+        _epoch_feed(2000, [("upd", "c1", 0, dict(text="a2")),
+                           ("ins", "c3", 0, dict(role="user", text="c", ts=TS))]),
+        _epoch_feed(3000, [("delete", "c2", 0, dict()),
+                           ("upd", "c3", 0, dict(tool="calc"))]),
+        _epoch_feed(4000, [("ins", "c2", 0, dict(role="assistant", text="b2", ts=TS)),
+                           ("upd", "c1", 0, dict(text=None))]),
+    ]
+    tables = {}
+    for mode in ("cow", "mor"):
+        path = os.path.join(tmpdir_path, f"tbl_{mode}")
+        table = create_target(spark, path, n_buckets=4, mode=mode)
+        for i, fb in enumerate(epochs):
+            apply_epoch(table, fb.to_spark(spark), i, job_id="j")
+        tables[mode] = table
+
+    cols = tables["cow"].value_names
+    rows_cow = normalize_rows([r.asDict() for r in tables["cow"].read().collect()], cols)
+    rows_mor = normalize_rows([r.asDict() for r in tables["mor"].read().collect()], cols)
+    assert rows_cow == rows_mor
+    # mor: bootstrap wrote base, later epochs wrote only deltas
+    m = tables["mor"].manifest
+    assert any(m["deltas"].values()), "expected delta files after update epochs"
+    base_versions = {d.split("/")[1] for ds in m["buckets"].values() for d in ds}
+    assert base_versions == {"v000001"}, f"base rewritten: {base_versions}"
+
+
+def test_mor_oracle_equality_and_delete_then_insert(spark, tmpdir_path):
+    """MoR final state equals the sequential oracle across delete→reinsert
+    and upsert-on-missing-key sequences."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v1", tool="t0", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.delete("c1", 0)
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("c1", 0, text="resurrected")      # upsert after delete
+    t.upd("c9", 9, text="never existed")    # upsert on missing key
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path, mode="mor",
+                               via="stream", max_files_per_trigger=1)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "resurrected"
+    assert rows[("c1", 0)]["tool"] is None  # delete wiped the old row
+    assert rows[("c9", 9)]["text"] == "never existed"
+
+
+def test_mor_compaction(spark, tmpdir_path):
+    """Crossing compact_threshold folds the delta chain into a new base and
+    clears the deltas; state is preserved."""
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2, mode="cow")
+    # recreate with mor + tiny threshold
+    import shutil
+
+    shutil.rmtree(path)
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.streaming.job import DEFAULT_VALUE_COLS, KEY_COLS
+
+    table = LakeTable.create(spark, path, KEY_COLS, DEFAULT_VALUE_COLS,
+                             n_buckets=2, mode="mor", compact_threshold=3)
+    all_events = []
+    for i in range(5):
+        fb = _epoch_feed(1000 * (i + 1),
+                         [("ins", "c1", i, dict(role="user", text=f"t{i}", ts=TS)),
+                          ("upd", "c1", 0, dict(text=f"v{i}"))])
+        all_events.extend(fb.rows)
+        apply_epoch(table, fb.to_spark(spark), i, job_id="j")
+    table.refresh()
+    # threshold 3 → chains never exceed 3 after a commit
+    assert all(len(ds) < 3 for ds in table.manifest["deltas"].values() or [[]])
+    expected = replay(all_events)
+    got = normalize_rows([r.asDict() for r in table.read().collect()], table.value_names)
+    want = normalize_rows(expected.as_records(), expected.columns)
+    assert got == want
+
+
+def test_mor_replay_idempotent(spark, tmpdir_path):
+    """Replaying a committed epoch on a mor table appends no second delta."""
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2, mode="mor")
+    fb0 = _epoch_feed(1000, [("ins", "c1", 0, dict(role="user", text="x", ts=TS))])
+    fb1 = _epoch_feed(2000, [("upd", "c1", 0, dict(text="y"))])
+    apply_epoch(table, fb0.to_spark(spark), 0, job_id="j")
+    apply_epoch(table, fb1.to_spark(spark), 1, job_id="j")
+    table.refresh()
+    deltas_before = dict(table.manifest["deltas"])
+    apply_epoch(table, fb1.to_spark(spark), 1, job_id="j")  # replay
+    table.refresh()
+    assert table.manifest["deltas"] == deltas_before
+    rows = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert rows == {"c1": "y"}
+
+
+def test_mor_ddl_add_column(spark, tmpdir_path):
+    """Delta files written before an ADD COLUMN are read with the evolved
+    vals struct (missing nested field → NULL), matching the oracle."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="pre", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("c1", 0, text="pre2")  # delta with v0 struct
+    fb.commit(t)
+    fb.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb.begin()
+    t.upd("c1", 0, meta="m1")    # delta with v1 struct
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path, mode="mor",
+                               via="stream", max_files_per_trigger=1)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "pre2"
+    assert rows[("c1", 0)]["meta"] == "m1"
