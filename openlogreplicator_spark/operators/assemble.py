@@ -121,24 +121,34 @@ def assemble_transactions(
     return {"committed": committed, "open": open_events, "dropped": dropped}
 
 
-def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
+def match_partial_rollbacks(
+    committed: DataFrame, broadcast_key_limit: int = 1_000_000
+) -> DataFrame:
     """Remove DMLs popped by savepoint partial rollbacks, and the prollback
     markers themselves.  Pure window formulation (see module docstring).
 
     Scale shape: the stack-matching window shuffles only the (xid, key)
-    groups that actually CONTAIN a prollback — located by a semi-join on the
-    (filter-pushdown) prollback key set.  No forced broadcast hint: a
-    savepoint-heavy feed makes the key set unbounded, and AQE converts the
-    join to broadcast-hash at runtime whenever it IS small (the common
-    case).  Feeds with no savepoints pay two cheap probes and no
-    stack-matching shuffle."""
+    groups that actually CONTAIN a prollback — located by semi/anti joins
+    on the (filter-pushdown) prollback key set.  The broadcast decision is
+    made from MEASURED size, not a blind hint: a short-circuiting
+    ``limit(N+1).count()`` over the pushed-down ``op='prollback'`` scan
+    bounds the key-set size.  Below the limit the key set is broadcast and
+    the payload never shuffles (the common case — savepoints are rare);
+    above it the joins fall back to shuffle, which is the only shape that
+    survives a savepoint-heavy feed (an unconditional broadcast there is a
+    driver OOM).  Zero prollbacks short-circuits to a plain filter."""
     w_key = ["xid", "table_name", "conv_id", "turn_idx"]
+    pr_events = committed.filter(F.col("op") == "prollback")
+    n_pr = pr_events.limit(broadcast_key_limit + 1).count()
+    if n_pr == 0:
+        return committed.filter(F.col("op") != "prollback")
+
     affected = committed.filter(F.col("op").isin("ins", "upd", "del", "prollback"))
     passthrough = committed.filter(~F.col("op").isin("ins", "upd", "del", "prollback"))
 
-    pr_keys = (
-        committed.filter(F.col("op") == "prollback").select(*w_key).distinct()
-    )
+    pr_keys = pr_events.select(*w_key).distinct()
+    if n_pr <= broadcast_key_limit:
+        pr_keys = F.broadcast(pr_keys)
     untouched = affected.join(pr_keys, w_key, "left_anti")
     contested = affected.join(pr_keys, w_key, "left_semi")
 
@@ -158,7 +168,9 @@ def match_partial_rollbacks(committed: DataFrame) -> DataFrame:
     return survivors.unionByName(untouched).unionByName(passthrough)
 
 
-def reassemble_chunks(survivors: DataFrame) -> DataFrame:
+def reassemble_chunks(
+    survivors: DataFrame, broadcast_key_limit: int = 1_000_000
+) -> DataFrame:
     """LOB-analog text reassembly (reference: LobCtx page maps,
     src/common/LobCtx.cpp; invocation Transaction.cpp:286-420).
 
@@ -166,20 +178,25 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
     become the ``text`` of the LAST surviving ins/upd on that key in the
     same transaction.  Built-ins only: collect_list → array_sort → reduce.
 
-    Scale shape: the per-(xid, key) "last write" is aggregated ONLY over
-    groups that have chunks (semi-join on the chunk key set), so chunk-free
-    feeds pay one pushed-down op='chunk' scan and a cheap probe — no shuffle
-    or window over the DML stream.  NO forced broadcast anywhere here: the
-    patch rows carry the fully-reassembled chunk text — the largest values
-    in the feed — and a forced broadcast of them is a driver OOM on a
-    LOB-heavy epoch.  AQE picks broadcast-hash at runtime when the relations
-    are actually small.
+    Scale shape: zero chunks short-circuits to a plain filter (one
+    pushed-down op='chunk' probe).  Otherwise the DML stream is split by a
+    semi/anti join on the NARROW chunk key set — broadcast when a
+    short-circuiting count proves it small, shuffle when not — and only the
+    ``contested`` rows (groups that actually have chunks) join the patch.
+    The patch carries the fully-reassembled chunk text — the largest values
+    in the feed — and is NEVER broadcast: its join partner is the already-
+    small contested set, so that join is a small shuffle regardless of how
+    fat the text is.  The untouched bulk never shuffles at all.
     """
-    chunks = survivors.filter(F.col("op") == "chunk")
+    chunk_events = survivors.filter(F.col("op") == "chunk")
+    n_chunks = chunk_events.limit(broadcast_key_limit + 1).count()
+    if n_chunks == 0:
+        return survivors.filter(F.col("op") != "chunk")
+
     rest = survivors.filter(F.col("op") != "chunk")
 
     gk = ["xid", "table_name", "conv_id", "turn_idx"]
-    agg = chunks.groupBy(*gk).agg(
+    agg = chunk_events.groupBy(*gk).agg(
         F.aggregate(
             F.array_sort(
                 F.collect_list(
@@ -195,17 +212,23 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
         ).alias("_chunked_text")
     )
 
-    # last surviving write per chunked group only
+    keys = agg.select(*gk)
+    if n_chunks <= broadcast_key_limit:
+        keys = F.broadcast(keys)
+    untouched = rest.join(keys, gk, "left_anti")
+    contested = rest.join(keys, gk, "left_semi")
+
+    # last surviving write per chunked group — aggregated over the small
+    # contested set only
     last_write = (
-        rest.join(agg.select(*gk), gk, "left_semi")
-        .filter(F.col("op").isin("ins", "upd"))
+        contested.filter(F.col("op").isin("ins", "upd"))
         .groupBy(*gk)
         .agg(F.max("seq_in_txn").alias("_last_write_seq"))
     )
     patch = agg.join(last_write, gk)
 
-    out = (
-        rest.join(patch, gk, "left")
+    patched = (
+        contested.join(patch, gk, "left")
         .withColumn(
             "_take_chunk",
             F.col("_chunked_text").isNotNull()
@@ -230,4 +253,4 @@ def reassemble_chunks(survivors: DataFrame) -> DataFrame:
         )
         .drop("_chunked_text", "_last_write_seq", "_take_chunk")
     )
-    return out
+    return untouched.unionByName(patched)

@@ -107,3 +107,43 @@ def test_collapse_plan_shape(spark, tmpdir_path):
         if "SortAggregate" in line or "HashAggregate" in line
     )
     assert n_aggs >= 4, tree  # 2 for status agg + 2 for collapse agg
+
+
+def test_prollback_keyset_broadcasts_when_small(spark, tmpdir_path):
+    """match_partial_rollbacks must broadcast the (measured-small) prollback
+    key set so the payload side never shuffles — the blind-unhinted version
+    cost two full payload shuffles on savepoint-free feeds."""
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    for i in range(10):
+        t.ins("c1", i, role="user", text=f"t{i}")
+    t.prollback("c1", 3)
+    fb.commit(t)
+    path = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, path)
+    feed = spark.read.parquet(path)
+    out = match_partial_rollbacks(assemble_transactions(feed)["committed"])
+    plan = plan_string(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_prollback_free_feed_short_circuits(spark, tmpdir_path):
+    """Zero savepoints → a plain filter, no join of any kind in the plan."""
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+
+    feed = _feed_on_disk(spark, tmpdir_path)
+    committed = assemble_transactions(feed)["committed"]
+    out = match_partial_rollbacks(committed)
+    # the committed plan itself has the status join; the prollback stage
+    # must add NO additional join — compare join counts
+    base_joins = plan_string(committed).count("Join")
+    out_joins = plan_string(out).count("Join")
+    assert out_joins == base_joins, plan_string(out)[:2000]
