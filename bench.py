@@ -80,23 +80,17 @@ def main():
         )
         from openlogreplicator_spark.operators.collapse import collapse_net_changes
 
+        # NO persist here: measured — caching 10M wide rows costs ~3x more
+        # than letting the savepoint probe re-scan the (tmpfs, pushed-down)
+        # feed.  apply_epoch persists because it reuses committed 4+ times;
+        # this path reuses it twice.
         parts = assemble_transactions(feed)
-        # same shape as apply_epoch: committed is persisted once, so the
-        # savepoint/chunk presence probes and the collapse share one
-        # materialization instead of re-scanning the feed
-        committed = parts["committed"].select(
-            "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
-            "conv_id", "turn_idx", "after", "changed_cols", "txn_commit_scn",
-        ).persist()
-        try:
-            surv = match_partial_rollbacks(committed)
-            net = collapse_net_changes(
-                surv.filter(F.col("op").isin("ins", "upd", "del")),
-                ["role", "text", "tool", "ts"],
-            )
-            net.write.format("noop").mode("overwrite").save()
-        finally:
-            committed.unpersist()
+        surv = match_partial_rollbacks(parts["committed"])
+        net = collapse_net_changes(
+            surv.filter(F.col("op").isin("ins", "upd", "del")),
+            ["role", "text", "tool", "ts"],
+        )
+        net.write.format("noop").mode("overwrite").save()
 
     # warm codegen/broadcast machinery on a slice so the measured run is
     # steady-state (the reference's numbers would equally exclude startup)

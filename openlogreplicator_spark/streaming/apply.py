@@ -15,11 +15,15 @@ position, then the ALTER applies — never mid-merge.  Segment merges use
 ledger keys "{epoch}:{i}" so a crash between segments replays idempotently
 (re-merging identical net changes is a no-op by construction).
 
-Action budget per epoch (scale-relevant): one materialization of the
-batch∪pending events (persist), one of the committed payload, one pass per
-segment for collapse+merge (persisted, so bucket discovery and the rewrite
-share it), plus tiny driver collects (DDL list, per-shard counts ≤ shards,
-affected buckets ≤ n_buckets).  No O(rows) driver traffic anywhere.
+Action budget per epoch (scale-relevant): a handful of passes over the
+batch∪pending events — each a pushed-down, codegen'd scan that is CHEAPER
+to recompute than to cache on fast storage (measured: full merge 457k ev/s
+uncached vs 157k with .persist(); flip OLR_PERSIST_EVENTS /
+OLR_PERSIST_COMMITTED to "1" on slow object-store input) — one persisted
+pass per segment for the collapsed changes (bucket discovery and the
+rewrite share it), plus tiny driver collects (DDL list, per-shard counts ≤
+shards, affected buckets ≤ n_buckets).  No O(rows) driver traffic
+anywhere.
 
 The reference serializes all of this on one writer thread
 (/root/reference/src/writer/Writer.cpp:213-360) with a client-checkpoint
@@ -90,7 +94,16 @@ def apply_epoch(
     events = batch_df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]).unionByName(
         pending
     )
-    events = events.persist()
+    # Caching policy (measured on the 10M-event bench, local[32], tmpfs):
+    # recomputing the pushed-down, codegen'd scans per reuse beats paying
+    # the columnar-cache build — full merge 457k ev/s uncached vs 157k
+    # cached.  On slow/remote input (object storage) flip the envs to "1":
+    # there a re-scan costs more than the cache build.
+    import os as _os0
+
+    _persist_events = _os0.environ.get("OLR_PERSIST_EVENTS", "0") == "1"
+    if _persist_events:
+        events = events.persist()
     try:
         wm = None
         frontier = None
@@ -138,7 +151,12 @@ def apply_epoch(
             "conv_id", "turn_idx", "before", "after", "changed_cols",
             "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
             "attrs",
-        ).persist()
+        )
+        import os as _os
+
+        _do_persist = _os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
+        if _do_persist:
+            committed = committed.persist()
 
         oversize_dml = None
         if max_txn_ops is not None:
@@ -288,7 +306,9 @@ def apply_epoch(
         m["version"] = m["version"] + 1
         LakeTable._write_manifest_static(table.path, m)
         table.manifest = m
-        committed.unpersist()
+        if _do_persist:
+            committed.unpersist()
         return {"applied": True, "segments": len(boundaries), "merged": n_merged}
     finally:
-        events.unpersist()
+        if _persist_events:
+            events.unpersist()
