@@ -402,11 +402,15 @@ class LakeTable:
         if affected and result is not None:
             data_rel = f"data/v{version:06d}"
             out_path = os.path.join(self.path, data_rel)
-            # Write parallelism is decoupled from bucket count: rows are
-            # salted within their bucket (second-level key hash) so a hot
-            # bucket's rewrite spreads over many tasks instead of funneling
-            # through one.  partitionBy("_bucket") keeps the file layout
-            # bucket-aligned; a bucket directory may hold many files.
+            # Parallelism decoupled from bucket count: rows are salted
+            # within their bucket (second-level key hash) so a hot bucket's
+            # rewrite spreads over many tasks instead of funneling through
+            # one, while the shuffle keeps per-epoch file counts bounded
+            # (one file per bucket×salt).  A shuffle-free direct
+            # partitionBy write was measured SLOWER here (35-51s vs 22s on
+            # the 10M bench): dynamic-partition task-local sorts plus
+            # input_partitions×buckets small files cost more than one
+            # clean shuffle of the collapsed rows.
             n_bw = max(len(base_write_buckets), 1)
             par = self.spark.sparkContext.defaultParallelism
             salt_n = max(1, (2 * par) // n_bw)
