@@ -45,10 +45,20 @@ def main(argv=None):
         s.add_argument("--tracked", default="^transcripts$")
         s.add_argument("--buckets", type=int, default=64)
         s.add_argument("--no-create", action="store_true")
+        s.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                       help="copy-on-write or merge-on-read table")
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
             s.add_argument("--max-files-per-trigger", type=int, default=None)
             s.add_argument("--job-id", default="stream")
+            s.add_argument("--json-mirror", default=None,
+                           help="directory for the wire-format JSON egress")
+            s.add_argument("--schemaless", action="store_true",
+                           help="emit untracked tables on the mirror")
+            s.add_argument("--max-txn-ops", type=int, default=None)
+            s.add_argument("--max-open-scn-lag", type=int, default=None)
+            s.add_argument("--shard-watermark", action="store_true")
+            s.add_argument("--expected-shards", type=int, nargs="*", default=None)
 
     sh = sub.add_parser("show")
     sh.add_argument("--table", required=True)
@@ -75,7 +85,7 @@ def main(argv=None):
 
         table = replay_batch(
             spark, args.feed, args.table, tracked_pattern=args.tracked,
-            n_buckets=args.buckets, create=not args.no_create,
+            n_buckets=args.buckets, create=not args.no_create, mode=args.mode,
         )
         print(f"replayed; table version {table.manifest['version']}, "
               f"rows={table.read().count()}")
@@ -86,7 +96,11 @@ def main(argv=None):
             spark, args.feed, args.table, args.checkpoint,
             job_id=args.job_id, tracked_pattern=args.tracked,
             max_files_per_trigger=args.max_files_per_trigger,
-            n_buckets=args.buckets, create=not args.no_create,
+            n_buckets=args.buckets, create=not args.no_create, mode=args.mode,
+            json_mirror_dir=args.json_mirror, schemaless=args.schemaless,
+            max_txn_ops=args.max_txn_ops, max_open_scn_lag=args.max_open_scn_lag,
+            shard_watermark=args.shard_watermark,
+            expected_shards=args.expected_shards,
         )
         print(f"stream drained; table version {table.manifest['version']}, "
               f"rows={table.read().count()}")

@@ -475,6 +475,62 @@ class LakeTable:
         self.manifest = m
         return True
 
+    # ---------------------------------------------------------- maintenance
+    def buckets_for_keys(self, keys: list) -> list[int]:
+        """Bucket ids for a list of first-key values — point-lookup pruning
+        (Iceberg bucket-transform partition pruning analog).  One tiny local
+        job so the hash is computed by the SAME engine expression that
+        bucketed the data (xxhash64 has no portable Python twin)."""
+        k0 = self.key_names[0]
+        ktype = next(c["type"] for c in self.manifest["key_cols"] if c["name"] == k0)
+        schema = T.StructType([T.StructField(k0, _TYPE_MAP[ktype], True)])
+        df = self.spark.createDataFrame([(k,) for k in keys], schema)
+        return sorted({r["b"] for r in df.select(self._bucket_expr().alias("b")).collect()})
+
+    def read_for_keys(self, keys: list) -> DataFrame:
+        """Pruned point lookup: scans only the buckets the keys hash into,
+        then filters exactly (parquet row-group stats prune further)."""
+        k0 = self.key_names[0]
+        return self.read(self.buckets_for_keys(keys)).filter(F.col(k0).isin(keys))
+
+    def vacuum(self) -> dict:
+        """Delete data/delta/pending/lineage directories not referenced by
+        the CURRENT manifest — the Iceberg expire_snapshots +
+        remove_orphan_files analog.  Copy-on-write commits make old dirs
+        garbage the moment the pointer swaps; readers of older snapshots
+        must finish before vacuuming (same caveat as Iceberg)."""
+        import glob
+        import shutil
+
+        ref: set[str] = set()
+        for ds in self.manifest["buckets"].values():
+            ref.update(ds)
+        for ds in self.manifest.get("deltas", {}).values():
+            ref.update(ds)
+        ref.update(self.manifest["pending_dirs"])
+        ref.update(self.manifest["lineage_dirs"])
+
+        removed: list[str] = []
+        for pattern in ("data/v*/_bucket=*", "delta/v*/_bucket=*",
+                        "pending/v*", "lineage/v*"):
+            for path in glob.glob(os.path.join(self.path, pattern)):
+                rel = os.path.relpath(path, self.path).replace(os.sep, "/")
+                if rel not in ref:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(rel)
+        # drop version dirs that now hold only writer marker FILES
+        # (_SUCCESS, .crc) — live `_bucket=*` subdirectories disqualify
+        for vd in glob.glob(os.path.join(self.path, "data/v*")) + glob.glob(
+            os.path.join(self.path, "delta/v*")
+        ):
+            entries = os.listdir(vd)
+            if all(
+                os.path.isfile(os.path.join(vd, e)) and e.startswith(("_", "."))
+                for e in entries
+            ):
+                shutil.rmtree(vd, ignore_errors=True)
+        return {"removed": sorted(removed)}
+
     # ------------------------------------------------------------- metadata
     def pending(self, schema: T.StructType) -> DataFrame:
         dirs = [os.path.join(self.path, d) for d in self.manifest["pending_dirs"]]

@@ -1,0 +1,70 @@
+"""Randomized differential testing: seeded random op sequences through the
+distributed engine AND the sequential oracle — the fixture corpus catches
+designed cases, this catches the interactions nobody designed (reference
+analog: the LogMiner comparison run over arbitrary workloads,
+/root/reference/tests/sql/scripts/compare.py)."""
+
+import random
+from datetime import datetime, timezone
+
+import pytest
+
+from helpers import run_and_compare
+from openlogreplicator_spark.feedgen import FeedBuilder
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _random_feed(seed: int, n_txns: int = 25) -> FeedBuilder:
+    rng = random.Random(seed)
+    fb = FeedBuilder(n_shards=1)
+    open_txns = []
+    convs = [f"c{i}" for i in range(6)]
+    for _ in range(n_txns):
+        t = fb.begin()
+        n_ops = rng.randint(1, 8)
+        touched = []
+        for _ in range(n_ops):
+            conv, turn = rng.choice(convs), rng.randint(0, 3)
+            op = rng.random()
+            if op < 0.45:
+                t.ins(conv, turn, role=rng.choice(["user", "assistant"]),
+                      text=f"t{rng.randint(0, 999)}", ts=TS)
+                touched.append((conv, turn))
+            elif op < 0.75:
+                t.upd(conv, turn, text=f"u{rng.randint(0, 999)}")
+                touched.append((conv, turn))
+            elif op < 0.85:
+                t.delete(conv, turn)
+                touched.append((conv, turn))
+            elif op < 0.93 and touched:
+                t.prollback(*rng.choice(touched))
+            else:
+                cn = rng.randint(0, 2)
+                t.chunk(conv, turn, cn, f"CH{cn}-")
+                if rng.random() < 0.8:
+                    t.upd(conv, turn, text="placeholder")
+                    touched.append((conv, turn))
+        r = rng.random()
+        if r < 0.8:
+            fb.commit(t)
+        elif r < 0.9:
+            fb.rollback(t)
+        else:
+            open_txns.append(t)  # left open — rides pending / dropped
+        if rng.random() < 0.15:
+            fb.new_seq()
+    return fb
+
+
+@pytest.mark.parametrize("seed", [7, 23, 51, 104, 777])
+def test_fuzz_batch(spark, tmpdir_path, seed):
+    run_and_compare(spark, _random_feed(seed), tmpdir_path)
+
+
+@pytest.mark.parametrize("seed", [31, 92])
+def test_fuzz_streaming_mor(spark, tmpdir_path, seed):
+    """Random feeds through micro-batched streaming onto a merge-on-read
+    table — the pending-carry and delta-fold paths under random load."""
+    run_and_compare(spark, _random_feed(seed), tmpdir_path,
+                    via="stream", mode="mor", max_files_per_trigger=2)

@@ -143,3 +143,33 @@ def test_mor_ddl_add_column(spark, tmpdir_path):
     rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
     assert rows[("c1", 0)]["text"] == "pre2"
     assert rows[("c1", 0)]["meta"] == "m1"
+
+
+def test_vacuum_and_key_pruned_read(spark, tmpdir_path):
+    """vacuum removes superseded snapshot dirs (old CoW versions) but never
+    live ones; read_for_keys prunes to the key's bucket."""
+    import glob
+    import os
+
+    fb0 = _epoch_feed(1000, [("ins", f"c{i}", 0, dict(role="user", text=f"t{i}", ts=TS))
+                             for i in range(20)])
+    fb1 = _epoch_feed(3000, [("upd", f"c{i}", 0, dict(text=f"v{i}")) for i in range(20)])
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=4)
+    apply_epoch(table, fb0.to_spark(spark), 0, job_id="j")
+    apply_epoch(table, fb1.to_spark(spark), 1, job_id="j")  # rewrites buckets
+    table.refresh()
+
+    before = glob.glob(os.path.join(path, "data/v*/_bucket=*"))
+    out = table.vacuum()
+    assert out["removed"], "expected superseded epoch-0 bucket dirs removed"
+    after = glob.glob(os.path.join(path, "data/v*/_bucket=*"))
+    assert len(after) < len(before)
+    # table still fully readable post-vacuum
+    rows = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert rows == {f"c{i}": f"v{i}" for i in range(20)}
+
+    # pruned point lookup
+    got = {r["conv_id"]: r["text"] for r in table.read_for_keys(["c3", "c7"]).collect()}
+    assert got == {"c3": "v3", "c7": "v7"}
+    assert len(table.buckets_for_keys(["c3"])) == 1
