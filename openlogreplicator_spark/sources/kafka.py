@@ -1,0 +1,69 @@
+"""Kafka wire-format layer — the message (de)serialization half of the
+reference's Kafka reader/writer (/root/reference/src/writer/WriterKafka.cpp;
+config documentation/json/3.target.adoc).
+
+The kafka transport jar is not in this image, so this module implements
+everything EXCEPT the socket: the exact (key, value, topic) row shape that
+``df.write.format("kafka")`` / ``spark.readStream.format("kafka")``
+produce and consume.  On a real cluster the wiring is one line each way:
+
+    events_to_kafka(feed).write.format("kafka").option(...).save()
+    events_from_kafka(spark.readStream.format("kafka").load())
+
+and everything downstream (assembly → merge) is unchanged — the engine
+never knows which transport delivered the batch.
+
+Partitioning contract (the part that matters at 10^10 events): the key is
+the SHARD id, so one Kafka partition carries one shard's totally-ordered
+LSN stream — the same per-thread ordering contract the file source gets
+from `seq-*` naming, and what the shard-watermark gate assumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import CHANGE_EVENT_SCHEMA
+
+
+def events_to_kafka(events: DataFrame, topic: str = "cdc-transcripts") -> DataFrame:
+    """CHANGE_EVENT rows → Kafka producer rows (key/value binary, topic).
+
+    key = shard (partition routing preserves per-shard LSN order);
+    value = the event as JSON (nulls kept so changed_cols vs null-image
+    semantics survive the wire)."""
+    return events.select(
+        F.col("shard").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(f.name) for f in CHANGE_EVENT_SCHEMA.fields]),
+            {"ignoreNullFields": "false"},
+        ).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
+
+
+def events_from_kafka(kafka_rows: DataFrame) -> DataFrame:
+    """Kafka consumer rows (binary value) → typed CHANGE_EVENT rows.
+
+    Works identically on a batch frame or a readStream frame; bad records
+    surface as all-null rows (from_json PERMISSIVE) and are dropped by the
+    non-null op filter so one poison message cannot stall the stream."""
+    parsed = kafka_rows.select(
+        F.from_json(
+            F.col("value").cast("string"), CHANGE_EVENT_SCHEMA
+        ).alias("ev")
+    )
+    return parsed.select("ev.*").filter(F.col("op").isNotNull())
+
+
+def messages_to_kafka(messages: DataFrame, topic: str = "cdc-out") -> DataFrame:
+    """W6 JSON output messages → Kafka producer rows (the WriterKafka
+    egress path).  key = scn string so log-compacted consumers keep the
+    newest state per commit position; ordering within a partition follows
+    produce order, hence the (scn, idx) sort upstream."""
+    return messages.orderBy("scn", "idx").select(
+        F.col("scn").cast("string").cast("binary").alias("key"),
+        F.col("message").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
