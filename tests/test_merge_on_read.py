@@ -173,3 +173,41 @@ def test_vacuum_and_key_pruned_read(spark, tmpdir_path):
     got = {r["conv_id"]: r["text"] for r in table.read_for_keys(["c3", "c7"]).collect()}
     assert got == {"c3": "v3", "c7": "v7"}
     assert len(table.buckets_for_keys(["c3"])) == 1
+
+
+def test_mor_kill_and_resume_exactly_once(spark, tmpdir_path):
+    """Crash after the apply of an epoch, resume from the same checkpoint:
+    the replayed epoch appends no duplicate delta and the final state is
+    exact (ledger idempotence under merge-on-read)."""
+    import pytest
+
+    from openlogreplicator_spark.streaming.job import run_stream
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="e0", ts=TS)
+    fb.commit(t)
+    fb.new_seq()
+    t = fb.begin()
+    t.upd("c1", 0, text="e1")
+    fb.commit(t)
+    fb.new_seq()
+    t = fb.begin()
+    t.ins("c2", 0, role="user", text="e2", ts=TS)
+    fb.commit(t)
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    tbl_path = os.path.join(tmpdir_path, "tbl")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream(spark, feed_dir, tbl_path, ckpt, max_files_per_trigger=1,
+                   mode="mor", fail_at_epoch=1, fail_after_apply=True)
+    table = run_stream(spark, feed_dir, tbl_path, ckpt, max_files_per_trigger=1,
+                       mode="mor", create=False)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read().collect()}
+    assert rows == {("c1", 0): "e1", ("c2", 0): "e2"}
+    # epoch 1's delta appears exactly once per bucket chain
+    for ds in table.manifest["deltas"].values():
+        assert len(ds) == len(set(ds))

@@ -147,3 +147,29 @@ def test_prollback_free_feed_short_circuits(spark, tmpdir_path):
     base_joins = plan_string(committed).count("Join")
     out_joins = plan_string(out).count("Join")
     assert out_joins == base_joins, plan_string(out)[:2000]
+
+
+def test_mor_fold_plan_single_agg_single_join(spark, tmpdir_path):
+    """The merge-on-read fold must stay one aggregation + one full-outer
+    join — no per-delta iteration, no cartesian anywhere."""
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x")
+    fb.commit(t)
+    fb2 = FeedBuilder(start_scn=2000)
+    t = fb2.begin()
+    t.upd("c1", 0, text="y")
+    fb2.commit(t)
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2, mode="mor")
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j")
+    apply_epoch(table, fb2.to_spark(spark), 1, job_id="j")
+    table.refresh()
+    plan = plan_string(table.read(), "simple")
+    assert plan.count("FullOuter") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    n_aggs = sum(plan.count(k) for k in ("SortAggregate", "HashAggregate", "ObjectHashAggregate"))
+    assert n_aggs <= 2, plan[:2000]  # partial + final of the ONE delta agg

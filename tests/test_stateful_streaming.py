@@ -85,3 +85,22 @@ def test_stateful_no_begin_dropped(spark, tmpdir_path):
     fb.commit(t)
     rows = _run_stateful(spark, fb, tmpdir_path)
     assert [x["conv_id"] for x in rows] == ["c1"]
+
+
+def test_stateful_carries_chunk_columns(spark, tmpdir_path):
+    """Chunk events survive the state-store round trip with their
+    chunk_no/chunk_text intact (they previously dropped silently), in
+    seq_in_txn order even across Arrow chunks."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.chunk("c1", 0, 0, "AB")
+    t.chunk("c1", 0, 1, "CD")
+    t.ins("c1", 0, role="user", text="placeholder", ts=TS)
+    fb.commit(t)
+    rows = _run_stateful(spark, fb, tmpdir_path)
+    chunks = sorted(
+        (x["chunk_no"], x["chunk_text"]) for x in rows if x["op"] == "chunk"
+    )
+    assert chunks == [(0, "AB"), (1, "CD")]
+    seqs = [x["seq_in_txn"] for x in sorted(rows, key=lambda r: r["seq_in_txn"])]
+    assert seqs == sorted(seqs)
