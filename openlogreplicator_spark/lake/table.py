@@ -475,6 +475,27 @@ class LakeTable:
         self.manifest = m
         return True
 
+    def bootstrap_load(self, rows: DataFrame, job_id: str = "bootstrap") -> bool:
+        """Initial snapshot load — the reference's start-from-SCN online
+        mode against a pre-existing table (Replicator start parameters,
+        documentation/json/2.source.adoc): load the current table image
+        once, then apply the change feed from the resume position
+        (filters.first_data_lsn_filter is the gate).
+
+        ``rows``: key + value columns.  Implemented as a reset-style merge
+        under the ledger (epoch 'snapshot'), so a crashed/re-run bootstrap
+        is exactly-once like any other epoch."""
+        key = self.key_names
+        vals = self.value_names
+        changes = rows.select(
+            *key,
+            F.lit(False).alias("is_delete"),
+            F.lit(True).alias("reset"),
+            F.array(*[F.lit(v) for v in vals]).alias("set_cols"),
+            F.struct(*[F.col(v).alias(v) for v in vals]).alias("vals"),
+        )
+        return self.merge(changes, epoch_id="snapshot", job_id=job_id)
+
     # ---------------------------------------------------------- maintenance
     def buckets_for_keys(self, keys: list) -> list[int]:
         """Bucket ids for a list of first-key values — point-lookup pruning

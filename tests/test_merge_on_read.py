@@ -211,3 +211,46 @@ def test_mor_kill_and_resume_exactly_once(spark, tmpdir_path):
     # epoch 1's delta appears exactly once per bucket chain
     for ds in table.manifest["deltas"].values():
         assert len(ds) == len(set(ds))
+
+
+def test_bootstrap_load_then_cdc(spark, tmpdir_path):
+    """Snapshot bootstrap (start-from-SCN mode): load an existing table
+    image once, then apply CDC on top; final state matches the oracle
+    replay seeded with the same initial rows.  Bootstrap is ledgered —
+    re-running it is a no-op."""
+    import os
+
+    from helpers import normalize_rows
+    from openlogreplicator_spark.oracle import replay
+
+    initial = [
+        ("c0", 0, "user", "preexisting-0", None, TS),
+        ("c1", 0, "user", "preexisting-1", "calc", TS),
+    ]
+    init_df = spark.createDataFrame(
+        initial, "conv_id string, turn_idx int, role string, text string, "
+                 "tool string, ts timestamp")
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.upd("c1", 0, text="updated-after-snapshot")
+    t.delete("c0", 0)
+    t.ins("c2", 0, role="assistant", text="new", ts=TS)
+    fb.commit(t)
+
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=4, mode="mor")
+    assert table.bootstrap_load(init_df) is True
+    assert table.bootstrap_load(init_df) is False  # ledgered: no-op
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j")
+    table.refresh()
+
+    init_rows = {
+        (c, ti): {"role": r, "text": tx, "tool": tl, "ts": ts}
+        for c, ti, r, tx, tl, ts in initial
+    }
+    expected = replay(fb.rows, initial_rows=init_rows)
+    got = normalize_rows([r.asDict() for r in table.read().collect()],
+                         table.value_names)
+    want = normalize_rows(expected.as_records(), expected.columns)
+    assert got == want
