@@ -509,6 +509,17 @@ def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setop_error_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops — EXCEPT (distinct) + global sort: users who errored
+    but never purchased, ordered (the reference's dictionary-set reconcile
+    analog)."""
+    ev = _load(spark, sf_dir, "events")
+    w = ev.filter(F.col("event_id") < 500)  # bounded window so sets differ
+    errored = w.filter(F.col("event_type") == "error").select("user_id")
+    purchased = w.filter(F.col("event_type") == "purchase").select("user_id")
+    return errored.subtract(purchased).orderBy("user_id")  # EXCEPT DISTINCT
+
+
 def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_broadcast_dims": q_join_broadcast_dims,
         "window_topk_per_group": q_window_topk_per_group,
+        "setop_error_only_users": q_setop_error_only_users,
     }
 
 
@@ -952,6 +964,12 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+""",
+        "setop_error_only_users": """
+SELECT user_id FROM events WHERE event_type = 'error' AND event_id < 500
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND event_id < 500
+ORDER BY user_id
 """,
         "window_topk_per_group": """
 SELECT o_custkey, o_orderkey, o_totalprice, rk
