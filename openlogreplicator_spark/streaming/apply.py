@@ -172,8 +172,11 @@ def apply_epoch(
                 .filter(F.col("_n") > max_txn_ops)
                 .select("xid")
             )
-            oversize_dml = committed.join(F.broadcast(oversize), "xid", "left_semi").filter(dml_ops)
-            committed = committed.join(F.broadcast(oversize), "xid", "left_anti")
+            # no forced broadcast: a pathological feed can make the
+            # oversize set itself large; AQE converts at runtime when it
+            # is small (the normal case)
+            oversize_dml = committed.join(oversize, "xid", "left_semi").filter(dml_ops)
+            committed = committed.join(oversize, "xid", "left_anti")
 
         survivors = match_partial_rollbacks(committed)
         tracked, untracked = split_tracked(
