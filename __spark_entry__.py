@@ -60,12 +60,25 @@ def _derived_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_feed(
+    spark: SparkSession, sf_dir: str, multi_table: bool = False
+) -> DataFrame:
     """Full change-event feed (begin/dml/commit per source event) in the
-    engine's wire schema — single-op auto-commit transactions."""
+    engine's wire schema — single-op auto-commit transactions.
+
+    ``multi_table``: route each user's ops to one of TWO tracked tables
+    (user_id parity) — the multi-table replication shape (reference fixture
+    tests/sql/inputs/multi-table.sql)."""
     from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
 
     ops = _derived_ops(spark, sf_dir)
+    if multi_table:
+        ops = ops.withColumn(
+            "_tbl",
+            F.when(F.col("user_id") % 2 == 0, "transcripts").otherwise("summaries"),
+        )
+    else:
+        ops = ops.withColumn("_tbl", F.lit("transcripts"))
     base = ops.select(
         F.col("event_id"),
         F.col("op"),
@@ -74,6 +87,7 @@ def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("props"),
         F.col("ts"),
+        F.col("_tbl"),
     )
 
     def row(kind: str):
@@ -102,7 +116,7 @@ def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("x"), F.col("event_id")).alias("xid"),
             F.lit({"begin": 0, "dml": 1, "commit": 2}[kind]).alias("seq_in_txn"),
             (F.lit(kind) if kind != "dml" else F.col("op")).alias("op"),
-            F.when(F.lit(is_dml), F.lit("transcripts")).alias("table_name"),
+            F.when(F.lit(is_dml), F.col("_tbl")).alias("table_name"),
             F.when(F.lit(is_dml), F.col("conv_id")).alias("conv_id"),
             F.when(F.lit(is_dml), F.col("turn_idx")).alias("turn_idx"),
             F.lit(None).cast("struct<role:string,text:string,tool:string,ts:timestamp,meta:string>").alias("before"),
@@ -123,6 +137,21 @@ def _derived_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DERIVED = """
 WITH ev AS (
   SELECT event_id,
+         'u' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS turn_idx,
+         CASE WHEN event_type = 'signup' THEN 'ins'
+              WHEN event_type = 'error' THEN 'del'
+              ELSE 'upd' END AS op,
+         event_type, props, ts
+  FROM events
+)
+"""
+
+# multi-table variant: each user's ops route to one of two tracked tables
+_ORACLE_DERIVED_MT = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 2 = 0 THEN 'transcripts' ELSE 'summaries' END AS tbl,
          'u' || CAST(user_id AS VARCHAR) AS conv_id,
          CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS turn_idx,
          CASE WHEN event_type = 'signup' THEN 'ins'
@@ -159,6 +188,55 @@ def q_s6_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vals").getField("role").alias("role"),
         F.col("vals").getField("text").alias("text"),
     )
+
+
+def q_mt_multi_table_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table replication (reference: Schema::buildMaps,
+    /root/reference/src/metadata/Schema.h:129-132; fixture
+    tests/sql/inputs/multi-table.sql): the derived feed routed to TWO
+    tracked tables; each table's final state computed by the shared
+    assembly + per-table collapse (streaming/multi.apply_epoch_multi is the
+    sink-side twin, exercised by tests/test_multi_table.py)."""
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+    from openlogreplicator_spark.operators.collapse import collapse_net_changes
+
+    feed = _derived_feed(spark, sf_dir, multi_table=True)
+    parts = assemble_transactions(feed)
+    survivors = match_partial_rollbacks(parts["committed"])
+    dml = survivors.filter(F.col("op").isin("ins", "upd", "del"))
+    outs = []
+    for t in ("transcripts", "summaries"):
+        net = collapse_net_changes(
+            dml.filter(F.col("table_name") == t), ["role", "text", "tool", "ts"]
+        )
+        outs.append(
+            net.filter(~F.col("is_delete")).select(
+                F.lit(t).alias("table_name"),
+                "conv_id",
+                "turn_idx",
+                F.col("vals").getField("role").alias("role"),
+                F.col("vals").getField("text").alias("text"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-of-8 deterministic coarse centroids buckets the
+    corpus; each query probes its 3 nearest centroids (equi-join on cid,
+    never all-pairs) — the 10^10-vector scale path; same centroid literals
+    embedded in the DuckDB oracle."""
+    from openlogreplicator_spark.functions.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=3, dim=64)
 
 
 def q_t11_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +623,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
+        "mt_multi_table_state": q_mt_multi_table_state,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "t11_lww_dedup": q_t11_lww_dedup,
         "t5_partial_rollback": q_t5_partial_rollback,
         "t2_txn_group_stats": q_t2_txn_group_stats,
@@ -579,7 +659,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from openlogreplicator_spark.functions.similarity import plane_matrix
+    from openlogreplicator_spark.functions.similarity import (
+        centroid_matrix,
+        plane_matrix,
+    )
     from openlogreplicator_spark.functions.text import STOPWORDS
 
     tok = (
@@ -600,6 +683,19 @@ def oracle_sql() -> dict[str, str]:
             )
             terms.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
         return "(" + " + ".join(terms) + ")"
+
+    # the SAME centroid literals the Spark ivf_topk plan embeds
+    cents = centroid_matrix(8, 64)
+
+    def _cscores(col: str) -> str:
+        terms = []
+        for c in range(8):
+            lit = "[" + ",".join(repr(w) for w in cents[c]) + "]"
+            terms.append(
+                f"list_sum(list_transform(range(1, 65), i -> "
+                f"CAST({col}[i] AS DOUBLE) * ({lit})[i]))"
+            )
+        return "[" + ", ".join(terms) + "]"
 
     def _sw(lang: str) -> str:
         return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -631,6 +727,75 @@ FROM last_op l
 JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
 JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
 WHERE l.last_op <> 'del'
+""",
+        "mt_multi_table_state": _ORACLE_DERIVED_MT + """
+, st AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,
+         max(event_id) AS last_eid
+  FROM ev GROUP BY conv_id, turn_idx
+), last_op AS (
+  SELECT e.conv_id, e.turn_idx, e.op AS last_op
+  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+                      AND e.event_id = s.last_eid
+), surv AS (
+  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+  WHERE e.op <> 'del' AND e.event_id >= s.boundary
+), sv AS (
+  SELECT conv_id, turn_idx, max(event_id) AS me,
+         max(CASE WHEN op = 'ins' THEN event_type END) AS role
+  FROM surv GROUP BY conv_id, turn_idx
+)
+SELECT e.tbl AS table_name, l.conv_id, l.turn_idx, s.role, e.props AS text
+FROM last_op l
+JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
+WHERE l.last_op <> 'del'
+""",
+        "ann_ivf_topk": f"""
+WITH q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
+), cs AS (
+  SELECT n_id, n_vec, {_cscores('n_vec')} AS s FROM c0
+), cb AS (
+  SELECT n_id, n_vec, list_position(s, list_max(s)) AS cid FROM cs
+), qs AS (
+  SELECT q_id, q_vec, {_cscores('q_vec')} AS s FROM q0
+), q1 AS (
+  SELECT q_id, q_vec, s, list_position(s, list_max(s)) AS p1 FROM qs
+), q2 AS (
+  SELECT q_id, q_vec, p1,
+         list_transform(range(1, 9), i -> CASE WHEN i = p1 THEN -1e18 ELSE s[i] END) AS s2
+  FROM q1
+), q3 AS (
+  SELECT q_id, q_vec, p1, s2, list_position(s2, list_max(s2)) AS p2 FROM q2
+), q4 AS (
+  SELECT q_id, q_vec, p1, p2,
+         list_transform(range(1, 9), i -> CASE WHEN i = p2 THEN -1e18 ELSE s2[i] END) AS s3
+  FROM q3
+), q5 AS (
+  SELECT q_id, q_vec, p1, p2, list_position(s3, list_max(s3)) AS p3 FROM q4
+), qp AS (
+  SELECT q_id, q_vec, unnest([p1, p2, p3]) AS cid FROM q5
+), scored AS (
+  SELECT qp.q_id, cb.n_id,
+    round(
+      list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(cb.n_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, len(qp.q_vec) + 1),
+               i -> CAST(qp.q_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))),
+          1e-12), 6) AS cos_sim
+  FROM cb JOIN qp ON cb.cid = qp.cid
+)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
 """,
         "t11_lww_dedup": _ORACLE_DERIVED + """
 SELECT conv_id, turn_idx, event_id AS last_event_id, event_type AS last_event_type

@@ -109,7 +109,23 @@ def write_json_mirror(
         .write.mode("overwrite")
         .text(epoch_dir)
     )
-    max_scn = msgs.agg(F.max("scn").alias("m")).first()["m"]
+    # checkpoint scn WITHOUT a second pass over the (unpersisted) message
+    # DAG: the stream is globally (scn, idx)-sorted across part files, so
+    # the max commit scn is the last line of the last non-empty part file —
+    # one tiny driver-side file read instead of recomputing the whole
+    # assemble→collapse plan for an agg.
+    import glob
+
+    max_scn = None
+    for path in sorted(glob.glob(os.path.join(epoch_dir, "part-*")), reverse=True):
+        last = None
+        with open(path) as pf:
+            for line in pf:
+                if line.strip():
+                    last = line
+        if last is not None:
+            max_scn = json.loads(last)["scn"]
+            break
     chkpt = {
         "scn": int(max_scn) if max_scn is not None else None,
         "db": db_name,

@@ -74,7 +74,14 @@ def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """LSH bucket id: integer of sign bits of <vec, plane_p>.  Plane weights
     are plan-time literals; the per-row cost is n_planes fused
-    multiply-accumulate passes over the vector (whole-stage codegen)."""
+    multiply-accumulate passes over the vector (whole-stage codegen).
+
+    Fixed-dim contract: the plane literals have exactly ``dim`` components,
+    so a vector of any other length gets a NULL bucket (a zip_with against
+    a mismatched literal pads with NULL and would otherwise silently fold
+    every odd-length vector into bucket 0 via ``NULL > 0 == false``).
+    NULL-bucket rows never equi-join, i.e. mismatched vectors are excluded
+    from LSH candidate generation instead of polluting one bucket."""
     planes = plane_matrix(n_planes, dim)
     out = F.lit(0)
     for p in range(n_planes):
@@ -85,18 +92,27 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
             lambda acc, v: acc + v,
         )
         out = out + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return out.cast("int")
+    return F.when(F.size(vec) == dim, out.cast("int"))
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 6, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "q_id",
-             multiprobe: bool = True, dim: int | None = None) -> DataFrame:
+             multiprobe: bool = True, dim: int | None = None,
+             broadcast_query_limit: int = 1_000_000) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket;
     the join is an equi-join on bucket (shuffle by bucket, not all-pairs).
     Multi-probe expands each query to its bucket plus all hamming-1
     neighbors (n_planes+1 probes) — the standard recall/cost dial; recall is
-    verified in tests against brute_force_topk."""
+    verified in tests against brute_force_topk.
+
+    Fixed-dim contract (see hyperplane_bucket): vectors whose length != dim
+    get a NULL bucket and drop out of candidate generation on both sides.
+    The query side is broadcast only when MEASURED small (a
+    ``limit(N+1).count()`` probe, same idiom as
+    operators/assemble.py match_partial_rollbacks): a batch-ANN-join shaped
+    query set (millions of rows) falls back to a shuffle equi-join on the
+    bucket instead of a driver OOM."""
     if dim is None:
         # one tiny plan-time job against the (small) query side
         dim = queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
@@ -118,7 +134,111 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         q = q.select(q_id_col, "q_vec", F.explode(probes).alias("bkt"))
     else:
         q = q.withColumnRenamed("bkt0", "bkt")
-    j = c.join(F.broadcast(q), "bkt")
+    # measured broadcast: probe the (pre-explode) query count, never blind
+    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+        q = F.broadcast(q)
+    j = c.join(q, "bkt")
+    sim = F.round(cosine(F.col("n_vec"), F.col("q_vec")), 6).alias("cos_sim")
+    scored = j.select(q_id_col, "n_id", sim)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the 10^10-vector scale path
+# ---------------------------------------------------------------------------
+
+def centroid_matrix(n_centroids: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (md5-derived like
+    plane_matrix, distinct salt).  At real corpus scale these would come
+    from a k-means sample; the PLUMBING (assign → bucket equi-join) is
+    identical, and determinism lets the DuckDB oracle embed the same
+    literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:6], 16) / 16777216.0
+            - 0.5
+            for i in range(dim)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<double> of <vec, centroid_c> dot products (plan-time literal
+    centroids, codegen'd multiply-accumulate — no UDF)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in c]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id",
+             broadcast_query_limit: int = 1_000_000) -> DataFrame:
+    """IVF-style approximate top-k: every corpus vector is assigned to its
+    nearest coarse centroid (1-based cid, argmax of the dot-product list);
+    each query probes its ``n_probe`` nearest centroids and joins only
+    those inverted lists — an equi-join on cid, shuffled by cid, never
+    all-pairs.  This is the standard recall/cost shape for 10^10 vectors:
+    cost ≈ n_probe/n_centroids of brute force per query, centroids
+    refreshed offline.  Fixed-dim contract as hyperplane_bucket (length
+    mismatch → NULL cid → excluded); query side broadcast only when
+    measured small."""
+    cents = centroid_matrix(n_centroids, dim)
+
+    def cid_of(vec: Column) -> Column:
+        s = _centroid_scores(vec, cents)
+        return F.when(
+            F.size(vec) == dim, F.array_position(s, F.array_max(s)).cast("int")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        cid_of(F.col(vec_col)).alias("cid"),
+    )
+
+    # query probes: top-n_probe centroids by repeated argmax-and-mask (the
+    # same closed form the DuckDB oracle uses, so tie-breaks agree: equal
+    # scores resolve to the smallest centroid index on both engines)
+    probes = []
+    s = _centroid_scores(F.col(vec_col), cents)
+    for _ in range(n_probe):
+        pos = F.array_position(s, F.array_max(s))
+        probes.append(pos.cast("int"))
+
+        def _mask(arr: Column, p: Column) -> Column:
+            # the lambda is materialized here and now, so `p` binds to THIS
+            # iteration's argmax position
+            return F.transform(
+                arr, lambda x, i: F.when(i == p - 1, F.lit(-1e18)).otherwise(x)
+            )
+
+        s = _mask(s, pos)
+    q = queries.select(
+        F.col(q_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.when(F.size(F.col(vec_col)) == dim, F.array(*probes)).alias("_probes"),
+    ).select(q_id_col, "q_vec", F.explode("_probes").alias("cid"))
+
+    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+        q = F.broadcast(q)
+    j = c.join(q, "cid")
     sim = F.round(cosine(F.col("n_vec"), F.col("q_vec")), 6).alias("cos_sim")
     scored = j.select(q_id_col, "n_id", sim)
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))

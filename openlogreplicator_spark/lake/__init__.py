@@ -1,3 +1,4 @@
+from .catalog import Catalog
 from .table import LakeTable
 
-__all__ = ["LakeTable"]
+__all__ = ["Catalog", "LakeTable"]

@@ -1,0 +1,234 @@
+"""Catalog — a registry of LakeTables replicated under ONE epoch fence.
+
+The reference tracks an arbitrary set of owner/table pairs concurrently —
+``Schema::buildMaps`` compiles the config's table masks into dictionary
+maps and every redo record is routed to its table's metadata
+(/root/reference/src/metadata/Schema.h:129-132; multi-table fixtures
+tests/sql/inputs/multi-table.sql, rac-concurrent-tables.rac.sql).  The
+single-table ``LakeTable`` keys every row by (conv_id, turn_idx); two
+tracked tables would collide in one key space, so multi-table replication
+needs one LakeTable PER tracked table plus shared per-epoch state:
+
+* **Registry** — the catalog manifest maps table name → subdirectory; each
+  table is a full LakeTable (own buckets, deltas, schema evolution,
+  ledger).  CREATE/DROP TABLE DDL (reference DDL types 1/12,
+  src/builder/Builder.cpp:1807-1830) mutate the registry, ledger-marked
+  for idempotent crash replay.
+* **One epoch fence** — per-table merges are individually idempotent
+  (each table's own ledger keys ``{epoch}:{segment}``); the catalog's
+  ``{epoch}:done`` marker commits LAST, so a crash anywhere inside the
+  epoch replays it and every already-committed piece no-ops.  This is the
+  same exactly-once recipe the single-table path uses, lifted one level.
+* **Shared state** — open-transaction pending snapshots, the RAC shard
+  frontier, and per-(shard, table) lineage live in the catalog manifest:
+  they belong to the FEED, not to any one table.
+
+Layout::
+
+    <path>/VERSION, manifest/v*.json      catalog snapshots (atomic swap)
+    <path>/tables/<name>/...              one LakeTable per tracked table
+    <path>/pending/v*, lineage/v*         shared epoch state (parquet)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .table import LakeTable
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.$-]*$")
+
+DEFAULT_KEY_COLS = [("conv_id", "string"), ("turn_idx", "int")]
+DEFAULT_VALUE_COLS = [
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "timestamp"),
+]
+
+
+def parse_create_columns(stmt_tail: str) -> list[tuple[str, str]] | None:
+    """Parse the ``(col type, col type, ...)`` tail of CREATE TABLE; None if
+    absent (caller falls back to the transcript default)."""
+    m = re.search(r"\((.*)\)", stmt_tail, re.S)
+    if not m:
+        return None
+    cols = []
+    for part in m.group(1).split(","):
+        toks = part.split()
+        if len(toks) != 2:
+            raise ValueError(f"bad column spec {part!r} in CREATE TABLE")
+        cols.append((toks[0], toks[1].lower()))
+    return cols
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.manifest = self._read_manifest()
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, overwrite: bool = False) -> "Catalog":
+        if os.path.exists(os.path.join(path, "VERSION")):
+            if not overwrite:
+                return cls(spark, path)
+            import shutil
+
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, "manifest"), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "tables": {},
+            "ledger": {},
+            "pending_dirs": [],
+            "lineage_dirs": [],
+        }
+        LakeTable._write_manifest_static(path, manifest)
+        return cls(spark, path)
+
+    def create_table(
+        self,
+        name: str,
+        key_cols: list[tuple[str, str]] | None = None,
+        value_cols: list[tuple[str, str]] | None = None,
+        n_buckets: int = 16,
+        mode: str = "cow",
+        compact_threshold: int = 8,
+        ledger_mark: tuple[str, str] | None = None,
+    ) -> LakeTable:
+        """Register + create a tracked table (reference: DDL type 1 CREATE
+        TABLE, Builder.cpp:1807).  Idempotent: an existing registration
+        returns the live table.  An UNREGISTERED leftover directory (a
+        dropped table's orphan, or a crash between the LakeTable files
+        landing and the registry commit — in both cases no merge has
+        targeted it since, because merges only route to registered names)
+        is overwritten so CREATE always yields an empty table."""
+        if not _NAME_RE.match(name):
+            raise ValueError(f"bad table name {name!r}")
+        if name in self.manifest["tables"]:
+            return self.table(name)
+        rel = f"tables/{name}"
+        LakeTable.create(
+            self.spark,
+            os.path.join(self.path, rel),
+            key_cols or DEFAULT_KEY_COLS,
+            value_cols or DEFAULT_VALUE_COLS,
+            n_buckets=n_buckets,
+            mode=mode,
+            compact_threshold=compact_threshold,
+            overwrite=True,
+        )
+        m = dict(self.manifest)
+        m["tables"] = dict(self.manifest["tables"], **{name: {"path": rel}})
+        self._commit(m, ledger_mark)
+        return self.table(name)
+
+    def drop_table(self, name: str, ledger_mark: tuple[str, str] | None = None):
+        """Deregister a table (reference: DDL type 12 DROP TABLE).  The data
+        directory becomes an orphan (restorable until vacuumed), exactly
+        like Iceberg's DROP TABLE without PURGE."""
+        if name not in self.manifest["tables"]:
+            return
+        m = dict(self.manifest)
+        m["tables"] = {k: v for k, v in self.manifest["tables"].items() if k != name}
+        self._commit(m, ledger_mark)
+
+    # ---------------------------------------------------------------- access
+    @property
+    def table_names(self) -> list[str]:
+        return sorted(self.manifest["tables"])
+
+    def table(self, name: str) -> LakeTable:
+        rel = self.manifest["tables"][name]["path"]
+        return LakeTable(self.spark, os.path.join(self.path, rel))
+
+    def refresh(self) -> "Catalog":
+        self.manifest = self._read_manifest()
+        return self
+
+    # ------------------------------------------------------ shared epoch state
+    def pending(self, schema: T.StructType) -> DataFrame:
+        dirs = [os.path.join(self.path, d) for d in self.manifest["pending_dirs"]]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    def lineage(self) -> DataFrame:
+        from ..schema import LINEAGE_SCHEMA
+
+        dirs = [os.path.join(self.path, d) for d in self.manifest["lineage_dirs"]]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.schema(LINEAGE_SCHEMA).parquet(*dirs)
+
+    def commit_epoch(
+        self,
+        job_id: str,
+        marks: list[str],
+        pending: DataFrame | None = None,
+        lineage: DataFrame | None = None,
+        shard_frontier: dict | None = None,
+    ):
+        """One atomic catalog commit carrying the epoch's shared state: the
+        pending-transaction snapshot, the lineage append, the shard
+        frontier, and the ledger marks (``{epoch}:done`` last in ``marks``).
+        Parquet lands BEFORE the manifest swap (crash → orphans, never a
+        torn snapshot), the same write discipline as LakeTable.merge."""
+        version = self.manifest["version"] + 1
+        m = dict(self.manifest)
+
+        if pending is not None:
+            prel = f"pending/v{version:06d}"
+            pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
+            m["pending_dirs"] = [prel]
+        if lineage is not None:
+            lrel = f"lineage/v{version:06d}"
+            lineage.write.mode("overwrite").parquet(os.path.join(self.path, lrel))
+            m["lineage_dirs"] = list(self.manifest["lineage_dirs"]) + [lrel]
+        if shard_frontier is not None:
+            m["shard_frontier"] = {str(k): int(v) for k, v in shard_frontier.items()}
+
+        ledger = {k: dict(v) for k, v in m["ledger"].items()}
+        for mark in marks:
+            ledger.setdefault(job_id, {})[mark] = True
+        m["ledger"] = ledger
+        m["version"] = version
+        LakeTable._write_manifest_static(self.path, m)
+        self.manifest = m
+
+    def committed_epochs(self, job_id: str = "default") -> set[int]:
+        out: set[int] = set()
+        for k in self.manifest["ledger"].get(job_id, {}):
+            s = str(k)
+            if s.isdigit():
+                out.add(int(s))
+            elif s.endswith(":done"):
+                out.add(int(s.split(":", 1)[0]))
+        return out
+
+    # ------------------------------------------------------------- internal
+    def _commit(self, m: dict, ledger_mark: tuple[str, str] | None = None):
+        if ledger_mark is not None:
+            job_id, mark = ledger_mark
+            ledger = {k: dict(v) for k, v in m["ledger"].items()}
+            ledger.setdefault(job_id, {})[mark] = True
+            m["ledger"] = ledger
+        m["version"] = self.manifest["version"] + 1
+        LakeTable._write_manifest_static(self.path, m)
+        self.manifest = m
+
+    def _read_manifest(self) -> dict:
+        import json
+
+        with open(os.path.join(self.path, "VERSION")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.path, "manifest", f"v{v:06d}.json")) as f:
+            return json.load(f)

@@ -249,12 +249,15 @@ class LakeTable:
             agg.append(F.max(F.when(set_cond(c), F.col("_seq"))).alias(f"_s_{c}"))
         d = deltas.groupBy(*key).agg(*agg)
 
-        t = base.alias("t")
-        dd = d.alias("d")
+        # explicit presence flags, NOT key-null tests: the join is eqNullSafe
+        # (null keys are legal rows), so "first key col is null" must not be
+        # conflated with "no row on this side"
+        t = base.withColumn("_t", F.lit(True)).alias("t")
+        dd = d.withColumn("_d", F.lit(True)).alias("d")
         cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key]
         j = t.join(dd, cond, "full_outer")
-        has_d = F.col("d._last_del").isNotNull()
-        has_t = F.col(f"t.{key[0]}").isNotNull()
+        has_d = F.col("d._d").isNotNull()
+        has_t = F.col("t._t").isNotNull()
         keep = F.when(has_d, ~F.col("d._last_del")).otherwise(has_t)
 
         def out_col(c: str):
@@ -377,13 +380,14 @@ class LakeTable:
         elif affected:
             base_write_buckets = affected
             target = self.read(touched_existing).withColumn("_bucket", bexpr)
-            t = target.alias("t")
-            c = ch.alias("c")
+            # explicit presence flags (join is eqNullSafe → null keys legal)
+            t = target.withColumn("_t", F.lit(True)).alias("t")
+            c = ch.withColumn("_c", F.lit(True)).alias("c")
             cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key]
             j = t.join(c, cond, "full_outer")
 
-            has_change = F.col(f"c.{key[0]}").isNotNull()
-            has_target = F.col(f"t.{key[0]}").isNotNull()
+            has_change = F.col("c._c").isNotNull()
+            has_target = F.col("t._t").isNotNull()
             keep = ~(has_change & F.col("c.is_delete"))
 
             def out_col(v: str):
@@ -611,9 +615,15 @@ class LakeTable:
         try:
             os.link(tmp_m, mpath)
         except FileExistsError:
-            # A manifest above the VERSION pointer is provably an orphan from
-            # a crash between manifest-link and pointer-swap: overwrite it.
-            # At or below the pointer it is a live snapshot: real conflict.
+            # A manifest at or below the VERSION pointer is a live snapshot:
+            # hard conflict.  Above the pointer it is EITHER a crash orphan
+            # (link succeeded, pointer swap did not) or a concurrent writer
+            # mid-commit — indistinguishable by position alone, so decide by
+            # CONTENT: a deterministic crash-replay regenerates the same
+            # manifest (dir names are version-derived, not random) and may
+            # proceed; different content means another writer's in-flight
+            # commit (or a diverged orphan) and silently overwriting it would
+            # lose that commit's ledger/bucket map — raise instead.
             vfile = os.path.join(path, "VERSION")
             current = -1
             if os.path.exists(vfile):
@@ -622,6 +632,19 @@ class LakeTable:
             if v <= current:
                 os.unlink(tmp_m)
                 raise
+            try:
+                with open(mpath) as ef:
+                    existing = json.load(ef)
+            except (json.JSONDecodeError, OSError):
+                existing = None  # torn/unreadable → safe to replace
+            if existing is not None and existing != manifest:
+                os.unlink(tmp_m)
+                raise RuntimeError(
+                    f"manifest conflict at {mpath}: an unpointed manifest with "
+                    "DIFFERENT content exists (concurrent writer mid-commit, or "
+                    "a diverged crash orphan); refusing to overwrite — resolve "
+                    "by removing the orphan or serializing writers"
+                )
             os.replace(tmp_m, mpath)
         else:
             os.unlink(tmp_m)

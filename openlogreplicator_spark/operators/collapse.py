@@ -142,6 +142,7 @@ def lineage_from_batch(
         .select(
             F.lit(epoch_id).cast("long").alias("epoch_id"),
             F.col("shard"),
+            F.lit(None).cast("string").alias("table_name"),
             F.col("last_applied_lsn"),
             F.coalesce(F.col("n_ins"), F.lit(0)).cast("long").alias("n_ins"),
             F.coalesce(F.col("n_upd"), F.lit(0)).cast("long").alias("n_upd"),

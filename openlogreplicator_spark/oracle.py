@@ -215,3 +215,159 @@ def _apply_txn(t: _Txn, table: dict, tracked, columns, versions, n_applied, skip
             for c in changed:
                 row[c] = after.get(c)
             n_applied["upd"] += 1
+
+
+# ---------------------------------------------------------------------------
+# Multi-table replay (reference: multi-table.sql / rac-concurrent-tables
+# fixtures; Schema::buildMaps routing, src/metadata/Schema.h:129-132)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MultiReplayResult:
+    tables: dict               # name -> {"rows": {(conv,turn): {col: v}}, "columns": [...]}
+    n_skipped: int             # DML skipped (no-begin, rolled back, unregistered table)
+    n_txn_committed: int = 0
+    n_txn_rolled_back: int = 0
+
+    def as_records(self, name: str) -> list[dict]:
+        t = self.tables[name]
+        out = []
+        for (conv_id, turn_idx), cols in sorted(t["rows"].items()):
+            rec = {"conv_id": conv_id, "turn_idx": turn_idx}
+            for c in t["columns"]:
+                rec[c] = cols.get(c)
+            out.append(rec)
+        return out
+
+
+def replay_multi(
+    events: list[dict],
+    initial_tables: dict[str, list[str]] | None = None,
+    default_table: str | None = None,
+) -> MultiReplayResult:
+    """Sequential multi-table oracle: one event at a time in SCN order;
+    registry evolves via CREATE/DROP TABLE DDL; DML routes to its table's
+    own key space.  DDL verbs mirror streaming/multi.parse_ddl.  DML whose
+    table has no registry entry at its COMMIT position is skipped (the
+    reference's 'no dictionary entry' path)."""
+    from .streaming.multi import parse_ddl
+
+    tables: dict = {
+        name: {"rows": {}, "columns": list(cols)}
+        for name, cols in (initial_tables or {"transcripts": ["role", "text", "tool", "ts"]}).items()
+    }
+    if default_table is None:
+        default_table = sorted(tables)[0] if tables else None
+
+    txns: dict[str, _Txn] = {}
+    n_skipped = 0
+    n_commit = n_rb = 0
+
+    def apply_committed(t: _Txn):
+        nonlocal n_skipped
+        ops = [o for o in t.ops if not o["_popped"]]
+
+        # chunk reassembly per (table, key), exactly like single-table
+        chunks: dict = {}
+        for o in ops:
+            if o["op"] == "chunk":
+                key = (o.get("table_name"), o["conv_id"], o["turn_idx"])
+                chunks.setdefault(key, []).append(o)
+        for key, cs in chunks.items():
+            cs.sort(key=lambda o: (o["seq_in_txn"], o.get("chunk_no") or 0))
+            text = "".join(c["chunk_text"] or "" for c in cs)
+            target = None
+            for o in ops:
+                if o["op"] in ("ins", "upd") and (
+                    o.get("table_name"), o["conv_id"], o["turn_idx"]
+                ) == key:
+                    target = o
+            if target is not None:
+                after = dict(target.get("after") or {})
+                after["text"] = text
+                target["after"] = after
+                cc = list(target.get("changed_cols") or [])
+                if "text" not in cc:
+                    cc.append("text")
+                target["changed_cols"] = cc
+
+        # DML first, DDL after — the engine's segment fence puts a txn's
+        # DML in the pre-DDL segment (apply.py boundary is <= ddl commit scn)
+        for o in ops:
+            if o["op"] not in ("ins", "upd", "del"):
+                continue
+            tname = o.get("table_name")
+            if tname not in tables:
+                n_skipped += 1
+                continue
+            tbl = tables[tname]
+            key = (o["conv_id"], o["turn_idx"])
+            if o["op"] == "del":
+                tbl["rows"].pop(key, None)
+                continue
+            after = o.get("after") or {}
+            changed = [c for c in (o.get("changed_cols") or []) if c in tbl["columns"]]
+            if o["op"] == "ins":
+                row = {c: None for c in tbl["columns"]}
+                for c in changed:
+                    row[c] = after.get(c)
+                tbl["rows"][key] = row
+            else:
+                row = tbl["rows"].setdefault(key, {c: None for c in tbl["columns"]})
+                for c in changed:
+                    row[c] = after.get(c)
+
+        for o in ops:
+            if o["op"] != "ddl":
+                continue
+            verb, name, arg = parse_ddl(o.get("ddl_stmt") or "", default_table)
+            if verb == "create" and name and name not in tables:
+                cols = [c for c, _t in (arg or [])] or ["role", "text", "tool", "ts"]
+                tables[name] = {"rows": {}, "columns": cols}
+            elif verb == "drop" and name in tables:
+                del tables[name]
+            elif verb == "add_col" and name in tables:
+                if arg[0] not in tables[name]["columns"]:
+                    tables[name]["columns"].append(arg[0])
+            elif verb == "drop_col" and name in tables:
+                if arg in tables[name]["columns"]:
+                    tables[name]["columns"].remove(arg)
+            elif verb == "truncate" and name in tables:
+                tables[name]["rows"].clear()
+
+    for ev in sorted(events, key=lambda e: e["scn"]):
+        op = ev["op"]
+        xid = ev["xid"]
+        if op == "begin":
+            txns.setdefault(xid, _Txn()).has_begin = True
+        elif op in ("ins", "upd", "del", "chunk", "ddl"):
+            txns.setdefault(xid, _Txn()).ops.append(dict(ev, _popped=False))
+        elif op == "prollback":
+            t = txns.setdefault(xid, _Txn())
+            key = (ev.get("table_name"), ev.get("conv_id"), ev.get("turn_idx"))
+            for prior in reversed(t.ops):
+                if (
+                    not prior["_popped"]
+                    and prior["op"] in ("ins", "upd", "del")
+                    and (prior.get("table_name"), prior.get("conv_id"), prior.get("turn_idx")) == key
+                ):
+                    prior["_popped"] = True
+                    break
+        elif op == "rollback":
+            t = txns.pop(xid, _Txn())
+            n_rb += 1
+            n_skipped += sum(1 for o in t.ops if o["op"] in ("ins", "upd", "del"))
+        elif op == "commit":
+            t = txns.pop(xid, _Txn())
+            if not t.has_begin:
+                n_skipped += sum(1 for o in t.ops if o["op"] in ("ins", "upd", "del"))
+                continue
+            n_commit += 1
+            apply_committed(t)
+
+    return MultiReplayResult(
+        tables=tables,
+        n_skipped=n_skipped,
+        n_txn_committed=n_commit,
+        n_txn_rolled_back=n_rb,
+    )

@@ -90,12 +90,15 @@ TRANSCRIPTS_SCHEMA_V0 = T.StructType(
 )
 
 # lineage: per-shard per-epoch apply record (Prometheus DML counter analog,
-# src/common/metrics/Metrics.h:76-87 + writer confirm checkpoint,
-# src/writer/Writer.cpp:362-399).
+# src/common/metrics/Metrics.h:76-87 "optionally per owner.table" + writer
+# confirm checkpoint, src/writer/Writer.cpp:362-399).  ``table_name`` is the
+# tracked table the counters belong to (single-table jobs stamp their tracked
+# pattern; multi-table jobs one row per (shard, table)).
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch_id", T.LongType(), False),
         T.StructField("shard", T.IntegerType(), True),
+        T.StructField("table_name", T.StringType(), True),
         T.StructField("last_applied_lsn", T.LongType(), True),
         T.StructField("n_ins", T.LongType(), False),
         T.StructField("n_upd", T.LongType(), False),

@@ -14,9 +14,15 @@ and everything downstream (assembly → merge) is unchanged — the engine
 never knows which transport delivered the batch.
 
 Partitioning contract (the part that matters at 10^10 events): the key is
-the SHARD id, so one Kafka partition carries one shard's totally-ordered
-LSN stream — the same per-thread ordering contract the file source gets
-from `seq-*` naming, and what the shard-watermark gate assumes.
+the SHARD id, so one Kafka partition carries one shard's LSN stream — the
+same per-thread ordering contract the file source gets from `seq-*`
+naming, and what the shard-watermark gate assumes.  Keying alone is NOT
+enough for produce order on a cluster: parallel Spark tasks race the
+producer, so the helpers also SHAPE the frame — all rows of a shard land
+in ONE task (hash repartition on the key), sorted by their order column —
+making task-sequential produce order == log order per shard, with no
+global sort anywhere (a global orderBy is a full range shuffle AND still
+doesn't order across tasks).
 """
 
 from __future__ import annotations
@@ -27,12 +33,18 @@ from pyspark.sql import functions as F
 from ..schema import CHANGE_EVENT_SCHEMA
 
 
-def events_to_kafka(events: DataFrame, topic: str = "cdc-transcripts") -> DataFrame:
+def events_to_kafka(
+    events: DataFrame, topic: str = "cdc-transcripts", n_partitions: int | None = None
+) -> DataFrame:
     """CHANGE_EVENT rows → Kafka producer rows (key/value binary, topic).
 
     key = shard (partition routing preserves per-shard LSN order);
     value = the event as JSON (nulls kept so changed_cols vs null-image
-    semantics survive the wire)."""
+    semantics survive the wire).  Shaped so a shard is produced by exactly
+    one task in LSN order: hash repartition on shard + per-task sort —
+    per-shard produce order == per-shard log order, no global sort."""
+    n = n_partitions or events.sparkSession.sparkContext.defaultParallelism
+    events = events.repartition(n, "shard").sortWithinPartitions("shard", "lsn")
     return events.select(
         F.col("shard").cast("string").cast("binary").alias("key"),
         F.to_json(
@@ -57,13 +69,24 @@ def events_from_kafka(kafka_rows: DataFrame) -> DataFrame:
     return parsed.select("ev.*").filter(F.col("op").isNotNull())
 
 
-def messages_to_kafka(messages: DataFrame, topic: str = "cdc-out") -> DataFrame:
+def messages_to_kafka(
+    messages: DataFrame, topic: str = "cdc-out", n_partitions: int | None = None
+) -> DataFrame:
     """W6 JSON output messages → Kafka producer rows (the WriterKafka
     egress path).  key = scn string so log-compacted consumers keep the
-    newest state per commit position; ordering within a partition follows
-    produce order, hence the (scn, idx) sort upstream."""
-    return messages.orderBy("scn", "idx").select(
-        F.col("scn").cast("string").cast("binary").alias("key"),
-        F.col("message").cast("binary").alias("value"),
-        F.lit(topic).alias("topic"),
+    newest state per commit position.  Shaping: hash repartition on key +
+    per-task (scn, idx) sort — each Kafka partition receives ITS messages
+    in commit order (per-partition monotone scn), which is the only order
+    Kafka can guarantee anyway.  No global orderBy: that was a full range
+    shuffle that still could not order produce across parallel tasks."""
+    n = n_partitions or messages.sparkSession.sparkContext.defaultParallelism
+    keyed = messages.withColumn("key", F.col("scn").cast("string").cast("binary"))
+    return (
+        keyed.repartition(n, "key")
+        .sortWithinPartitions("scn", "idx")
+        .select(
+            "key",
+            F.col("message").cast("binary").alias("value"),
+            F.lit(topic).alias("topic"),
+        )
     )

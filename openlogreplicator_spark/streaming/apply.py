@@ -259,6 +259,7 @@ def apply_epoch(
                         (
                             int(epoch_id),
                             s,
+                            tracked_pattern,
                             last_by.get(s),
                             *(seg_counts.get(s, [0, 0, 0])),
                             skip_by.get(s, 0),

@@ -85,8 +85,16 @@ def run_stream(
     json_mirror_dir: str | None = None,
     schemaless: bool = False,
     mode: str = "cow",
+    processing_time: str | None = None,
 ):
-    """Streaming replay with availableNow (drains the backlog then stops).
+    """Streaming replay.  Default trigger is availableNow (drains the
+    backlog then stops — the reference's archived-log catch-up,
+    ReplicatorBatch.cpp).  ``processing_time`` (e.g. ``"1 seconds"``)
+    switches to the CONTINUOUS tail — the reference's steady-state online
+    loop (/root/reference/src/replicator/Replicator.cpp:245-268): the query
+    keeps polling the feed directory for new ``seq-*`` files and returns the
+    StreamingQuery handle immediately (caller stops it); availableNow
+    returns the drained LakeTable.
 
     ``fail_at_epoch`` / ``fail_after_apply`` inject a crash for the
     kill-and-resume tests: before the apply (epoch fully replayed on
@@ -108,6 +116,71 @@ def run_stream(
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 
+    writer = reader.writeStream.foreachBatch(fb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is not None:
+        q = writer.trigger(processingTime=processing_time).start()
+        return q  # caller polls LakeTable(spark, table_path) and stops q
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return LakeTable(spark, table_path)
+
+
+def replay_batch_multi(
+    spark: SparkSession,
+    feed: DataFrame | str,
+    catalog_path: str,
+    tables: list[str] | None = None,
+    job_id: str = "batch",
+    epoch_id: int = 0,
+    n_buckets: int = 16,
+    mode: str = "cow",
+    max_txn_ops: int | None = None,
+):
+    """Bounded multi-table replay: whole feed as one epoch into a Catalog
+    (the reference's multi-table batch mode, fixtures multi-table.sql)."""
+    from ..lake.catalog import Catalog
+    from .multi import apply_epoch_multi
+
+    if isinstance(feed, str):
+        feed = read_feed_batch(spark, feed)
+    catalog = Catalog.create(spark, catalog_path)
+    for name in tables or []:
+        catalog.create_table(name, n_buckets=n_buckets, mode=mode)
+    apply_epoch_multi(catalog, feed, epoch_id, job_id=job_id, max_txn_ops=max_txn_ops)
+    return catalog.refresh()
+
+
+def run_stream_multi(
+    spark: SparkSession,
+    feed_dir: str,
+    catalog_path: str,
+    checkpoint_dir: str,
+    tables: list[str] | None = None,
+    job_id: str = "stream",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    mode: str = "cow",
+    fail_at_epoch: int | None = None,
+    **apply_kwargs,
+):
+    """Streaming multi-table replay (availableNow drain) into a Catalog."""
+    from ..lake.catalog import Catalog
+    from .multi import apply_epoch_multi
+
+    catalog = Catalog.create(spark, catalog_path)
+    for name in tables or []:
+        catalog.create_table(name, n_buckets=n_buckets, mode=mode)
+
+    reader = read_feed_stream(spark, feed_dir, max_files_per_trigger)
+
+    def fb(batch_df: DataFrame, epoch_id: int):
+        if fail_at_epoch is not None and epoch_id == fail_at_epoch:
+            raise RuntimeError(f"injected crash before apply of epoch {epoch_id}")
+        apply_epoch_multi(Catalog(spark, catalog_path), batch_df, epoch_id,
+                          job_id=job_id, **apply_kwargs)
+
     q = (
         reader.writeStream.foreachBatch(fb)
         .option("checkpointLocation", checkpoint_dir)
@@ -115,7 +188,7 @@ def run_stream(
         .start()
     )
     q.awaitTermination()
-    return LakeTable(spark, table_path)
+    return Catalog(spark, catalog_path)
 
 
 def read_final_state(spark: SparkSession, table_path: str) -> DataFrame:

@@ -1,0 +1,320 @@
+"""Multi-table per-epoch apply — N tracked tables under ONE epoch fence.
+
+The reference replicates an arbitrary owner/table set concurrently: table
+masks compile into dictionary maps (``Schema::buildMaps``,
+/root/reference/src/metadata/Schema.h:129-132), every redo record routes to
+its table, and DDL can create/drop tables mid-stream (DDL types 1/4/9
+create, 8/12 drop — /root/reference/src/builder/Builder.cpp:1807-1830;
+fixtures tests/sql/inputs/multi-table.sql, rac-concurrent-tables.rac.sql).
+
+Here the same shape over a :class:`~..lake.catalog.Catalog`: the assembly
+pipeline (status join → prollback match → chunk reassembly → collapse) is
+shared — it is table-agnostic, every grouping already keys by table_name —
+and only the SINK fans out: per DDL-fenced segment, each registered table
+filters its own rows (a pushed-down ``table_name = 'x'`` scan) and merges
+into its own LakeTable.  Exactly-once composes: each per-table segment
+merge is idempotent under that table's ledger (key ``{epoch}:{segment}``),
+each DDL is ledger-marked atomically with its metadata commit, and the
+catalog's ``{epoch}:done`` marker commits LAST with the shared state
+(pending snapshot, shard frontier, per-(shard, table) lineage) — a crash
+anywhere replays the epoch and every committed piece no-ops.
+
+DDL verbs (superset of the single-table ones; bare verbs route to the
+default table for single-table feed compatibility):
+
+    CREATE TABLE <name> [(col type, ...)]
+    DROP TABLE <name>
+    ALTER TABLE <name> ADD COLUMN <col> <type>
+    ALTER TABLE <name> DROP COLUMN <col>
+    TRUNCATE [TABLE <name>]
+    ADD COLUMN <col> <type> | DROP COLUMN <col>      (→ default table)
+
+Registration is SEGMENT-scoped, like the reference's dictionary: DML that
+commits before its table's CREATE TABLE commit (or after its DROP) has no
+dictionary entry and is skip-counted, exactly like untracked tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lake.catalog import Catalog, parse_create_columns
+from ..operators.assemble import (
+    assemble_transactions,
+    match_partial_rollbacks,
+    reassemble_chunks,
+)
+from ..operators.collapse import collapse_net_changes
+from ..schema import CHANGE_EVENT_SCHEMA, LINEAGE_SCHEMA
+
+
+def parse_ddl(stmt: str, default_table: str | None) -> tuple:
+    """Normalize a DDL statement into (verb, table, arg).  Unknown verbs
+    → ('noop', None, None) and are counted, not fatal (the reference
+    tolerates unparsed DDL the same way: emitted, not applied)."""
+    toks = (stmt or "").split()
+    up = [t.upper() for t in toks]
+    if len(up) >= 3 and up[0] == "CREATE" and up[1] == "TABLE":
+        return ("create", toks[2].rstrip("("), parse_create_columns(stmt))
+    if len(up) >= 3 and up[0] == "DROP" and up[1] == "TABLE":
+        return ("drop", toks[2], None)
+    if len(up) >= 6 and up[0] == "ALTER" and up[1] == "TABLE" and up[3] == "ADD" and up[4] == "COLUMN":
+        return ("add_col", toks[2], (toks[5], toks[6].lower() if len(toks) > 6 else "string"))
+    if len(up) >= 6 and up[0] == "ALTER" and up[1] == "TABLE" and up[3] == "DROP" and up[4] == "COLUMN":
+        return ("drop_col", toks[2], toks[5])
+    if up and up[0] == "TRUNCATE":
+        name = toks[2] if len(up) >= 3 and up[1] == "TABLE" else (
+            toks[1] if len(up) >= 2 else default_table
+        )
+        return ("truncate", name or default_table, None)
+    if len(up) >= 3 and up[0] == "ADD" and up[1] == "COLUMN":
+        return ("add_col", default_table, (toks[2], toks[3].lower() if len(toks) > 3 else "string"))
+    if len(up) >= 3 and up[0] == "DROP" and up[1] == "COLUMN":
+        return ("drop_col", default_table, toks[2])
+    return ("noop", None, None)
+
+
+def _apply_ddl(catalog: Catalog, verb: str, name: str | None, arg, lm: tuple[str, str]):
+    """Route one fenced DDL; every mutation is ledger-marked atomically with
+    its own metadata commit (catalog ledger for registry changes, the
+    table's ledger for schema changes) so crash replay applies it once."""
+    job_id, mark = lm
+    if verb in ("create", "drop"):
+        if mark in catalog.manifest["ledger"].get(job_id, {}):
+            return
+        if verb == "create":
+            catalog.create_table(name, value_cols=arg, ledger_mark=lm)
+        else:
+            catalog.drop_table(name, ledger_mark=lm)
+        return
+    if name not in catalog.manifest["tables"]:
+        return  # ALTER/TRUNCATE of an unknown table: tolerated, not fatal
+    table = catalog.table(name)
+    if mark in table.manifest["ledger"].get(job_id, {}):
+        return
+    if verb == "add_col":
+        table.alter_add_column(arg[0], arg[1], ledger_mark=lm)
+    elif verb == "drop_col":
+        table.alter_drop_column(arg, ledger_mark=lm)
+    elif verb == "truncate":
+        table.truncate(ledger_mark=lm)
+
+
+def apply_epoch_multi(
+    catalog: Catalog,
+    batch_df: DataFrame,
+    epoch_id: int,
+    job_id: str = "default",
+    max_txn_ops: int | None = None,
+    shard_watermark: bool = False,
+    expected_shards: list[int] | None = None,
+    max_open_scn_lag: int | None = None,
+    json_mirror_dir: str | None = None,
+    schemaless: bool = False,
+    default_table: str | None = None,
+) -> dict:
+    """Apply one epoch of change events across every registered table.
+
+    Same contract as :func:`..streaming.apply.apply_epoch` (see its
+    docstring for shard_watermark / max_open_scn_lag / schemaless), with the
+    tracked set = the catalog registry as it evolves across the epoch's DDL
+    fence instead of one regex pattern.
+    """
+    spark = catalog.spark
+    catalog.refresh()
+    if f"{epoch_id}:done" in catalog.manifest["ledger"].get(job_id, {}):
+        return {"applied": False, "reason": "epoch already committed"}
+    if default_table is None:
+        default_table = catalog.table_names[0] if catalog.table_names else None
+
+    pending = catalog.pending(CHANGE_EVENT_SCHEMA)
+    events = batch_df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]).unionByName(
+        pending
+    )
+
+    wm = None
+    frontier = None
+    if shard_watermark:
+        old_front = {
+            int(k): int(v)
+            for k, v in catalog.manifest.get("shard_frontier", {}).items()
+        }
+        for s_ in expected_shards or []:
+            old_front.setdefault(int(s_), 0)
+        for r in events.groupBy("shard").agg(F.max("scn").alias("m")).collect():
+            old_front[int(r["shard"])] = max(old_front.get(int(r["shard"]), 0), int(r["m"]))
+        frontier = old_front
+        wm = min(frontier.values()) if frontier else None
+
+    parts = assemble_transactions(events, commit_watermark=wm)
+    open_events = parts["open"]
+    expired_dml = None
+    if max_open_scn_lag is not None:
+        hz = batch_df.agg(F.max("scn").alias("m")).first()["m"]
+        if hz is not None:
+            stale = (
+                open_events.groupBy("xid")
+                .agg(
+                    F.max("scn").alias("_m"),
+                    F.max(F.when(F.col("op") == "commit", 1)).alias("_committed"),
+                )
+                .filter((F.col("_m") < hz - max_open_scn_lag) & F.col("_committed").isNull())
+                .select("xid")
+            )
+            expired_dml = open_events.join(stale, "xid", "left_semi").filter(
+                F.col("op").isin("ins", "upd", "del")
+            )
+            open_events = open_events.join(stale, "xid", "left_anti")
+
+    committed = parts["committed"].select(
+        "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
+        "conv_id", "turn_idx", "before", "after", "changed_cols",
+        "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts", "attrs",
+    )
+
+    oversize_dml = None
+    if max_txn_ops is not None:
+        dml_ops = F.col("op").isin("ins", "upd", "del")
+        oversize = (
+            committed.filter(dml_ops)
+            .groupBy("xid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_txn_ops)
+            .select("xid")
+        )
+        oversize_dml = committed.join(oversize, "xid", "left_semi").filter(dml_ops)
+        committed = committed.join(oversize, "xid", "left_anti")
+
+    survivors = match_partial_rollbacks(committed)
+
+    # ---- DDL fence + the registry's evolution across it ----
+    ddls = sorted(
+        committed.filter(F.col("op") == "ddl")
+        .select("txn_commit_scn", "seq_in_txn", "ddl_stmt")
+        .collect(),
+        key=lambda r: (r["txn_commit_scn"], r["seq_in_txn"]),
+    )
+    parsed = [parse_ddl(r["ddl_stmt"], default_table) for r in ddls]
+    boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
+    names_now = set(catalog.table_names)
+    names_at: list[set[str]] = []  # registry state during segment i
+    for verb, name, _arg in [(None, None, None)] + parsed:
+        if verb == "create" and name:
+            names_now = names_now | {name}
+        elif verb == "drop" and name:
+            names_now = names_now - {name}
+        names_at.append(set(names_now))
+    names_any = set().union(*names_at) if names_at else set()
+
+    # tracked = tables registered at ANY point this epoch (the exact
+    # per-segment membership applies below); chunk patches only make sense
+    # for tracked rows (untracked payloads mirror raw, like the reference's
+    # schemaless OBJ_xxx output)
+    payload = survivors.filter(F.col("op").isin("ins", "upd", "del", "chunk"))
+    if names_any:
+        tracked = payload.filter(F.col("table_name").isin(sorted(names_any)))
+        untracked = payload.filter(
+            ~F.coalesce(F.col("table_name").isin(sorted(names_any)), F.lit(False))
+        )
+    else:
+        tracked = payload.filter(F.lit(False))
+        untracked = payload
+    tracked = reassemble_chunks(tracked)
+    tracked_dml = tracked.filter(F.col("op") != "chunk")
+    untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
+
+    if json_mirror_dir is not None:
+        from ..functions.json_output import write_json_mirror
+
+        mirror_src = tracked_dml
+        if schemaless:
+            mirror_src = mirror_src.unionByName(untracked_dml)
+        write_json_mirror(mirror_src, json_mirror_dir, epoch_id)
+
+    # per-shard skip counts + consumed-LSN frontier
+    skipped_src = parts["dropped"].select("shard")
+    if not schemaless:
+        skipped_src = skipped_src.unionByName(untracked_dml.select("shard"))
+    if oversize_dml is not None:
+        skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
+    if expired_dml is not None:
+        skipped_src = skipped_src.unionByName(expired_dml.select("shard"))
+    skip_by: dict = {}
+
+    last_rows = (
+        batch_df.groupBy("shard").agg(F.max("lsn").alias("last_applied_lsn")).collect()
+    )
+
+    lo = None
+    n_merged = 0
+    seg_counts: dict[tuple, list[int]] = {}  # (table, shard) -> [ins, upd, del]
+    for i, hi in enumerate(boundaries):
+        seg = tracked_dml
+        if lo is not None:
+            seg = seg.filter(F.col("txn_commit_scn") > lo)
+        if hi is not None:
+            seg = seg.filter(F.col("txn_commit_scn") <= hi)
+        final = hi is None
+        live = sorted(names_at[i])
+        for name in live:
+            table = catalog.table(name)
+            changes = collapse_net_changes(
+                seg.filter(F.col("table_name") == name), table.value_names
+            ).persist()
+            for r in changes.groupBy("last_shard").agg(
+                F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
+                F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
+                F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
+            ).collect():
+                acc = seg_counts.setdefault((name, r["last_shard"]), [0, 0, 0])
+                acc[0] += r["n_ins"]
+                acc[1] += r["n_upd"]
+                acc[2] += r["n_del"]
+            applied = table.merge(changes, epoch_id=f"{epoch_id}:{i}", job_id=job_id)
+            changes.unpersist()
+            if applied:
+                n_merged += 1
+        # rows whose table has no registry entry DURING this segment are
+        # skipped (reference: no dictionary entry → not applied)
+        seg_untracked = seg
+        if live:
+            seg_untracked = seg.filter(~F.col("table_name").isin(live))
+        for r in seg_untracked.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():
+            skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
+
+        if not final:
+            verb, name, arg = parsed[i]
+            if verb != "noop":
+                _apply_ddl(catalog, verb, name, arg, (job_id, f"{epoch_id}:ddl{i}"))
+        lo = hi
+
+    for r in skipped_src.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect():
+        skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
+
+    # lineage: per-shard feed rows (position + skips, table NULL) plus
+    # per-(shard, table) DML counter rows
+    last_by = {r["shard"]: r["last_applied_lsn"] for r in last_rows}
+    shards = set(last_by) | set(skip_by)
+    rows = [
+        (int(epoch_id), s, None, last_by.get(s), 0, 0, 0, skip_by.get(s, 0))
+        for s in sorted(shards, key=lambda x: (x is None, x))
+    ] + [
+        (int(epoch_id), s, t, None, *cnt, 0)
+        for (t, s), cnt in sorted(
+            seg_counts.items(), key=lambda kv: (kv[0][0], (kv[0][1] is None, kv[0][1]))
+        )
+    ]
+    lineage = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+
+    # shared epoch state + the :done fence, ONE atomic catalog commit
+    catalog.commit_epoch(
+        job_id,
+        marks=[f"{epoch_id}:done"],
+        pending=open_events,
+        lineage=lineage,
+        shard_frontier=frontier,
+    )
+    return {"applied": True, "segments": len(boundaries), "merged": n_merged}

@@ -213,3 +213,32 @@ def test_embedding_near_dups_requires_bucket(spark):
         embedding_near_dups(df)
     out = embedding_near_dups(df, threshold=0.9, allow_cross_join=True).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+
+def test_lsh_dim_contract_and_shuffle_path(spark):
+    """Fixed-dim contract: vectors whose length != dim get a NULL bucket and
+    drop out of candidate generation (round-3 advice: mismatched lengths
+    must not silently collapse into bucket 0).  Also exercises the
+    measured-broadcast fallback: with broadcast_query_limit=0 the query
+    side goes through the shuffle equi-join and results are identical."""
+    from openlogreplicator_spark.functions.similarity import hyperplane_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    # a 3-component vector against dim=64 planes → NULL bucket
+    odd = spark.createDataFrame([(99, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    b = odd.select(hyperplane_bucket(F.col("embedding"), 4, 64).alias("b")).first()["b"]
+    assert b is None
+
+    # mismatched corpus rows never appear as neighbors
+    mixed = c.unionByName(odd.select(F.col("vec_id"), F.col("embedding").cast("array<float>")))
+    got = lsh_topk(mixed, q, k=5, n_planes=3).collect()
+    assert all(r["n_id"] != 99 for r in got)
+
+    # shuffle path (query side measured too big to broadcast) ≡ broadcast path
+    bc = {(r["q_id"], r["n_id"]) for r in lsh_topk(c, q, k=5, n_planes=3).collect()}
+    sh = {(r["q_id"], r["n_id"])
+          for r in lsh_topk(c, q, k=5, n_planes=3, broadcast_query_limit=0).collect()}
+    assert bc == sh

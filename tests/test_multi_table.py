@@ -1,0 +1,258 @@
+"""Multi-table replication: N tracked tables under one epoch fence.
+
+Reference scenarios: tests/sql/inputs/multi-table.sql and
+rac-concurrent-tables.rac.sql (concurrent DML on several tracked tables in
+interleaved transactions), plus CREATE/DROP TABLE DDL (Builder.cpp
+DDL types 1/12).  Every test replays through the engine AND the sequential
+multi-table oracle (oracle.replay_multi) and compares full per-table state.
+"""
+
+import os
+from datetime import datetime, timezone
+
+from helpers import normalize_rows
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.oracle import replay_multi
+from openlogreplicator_spark.streaming.job import replay_batch_multi, run_stream_multi
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def assert_catalog_matches(catalog, expected, names=None):
+    for name in names or sorted(expected.tables):
+        table = catalog.table(name)
+        got = normalize_rows(
+            [r.asDict() for r in table.read().collect()], table.value_names
+        )
+        want = normalize_rows(
+            expected.as_records(name), expected.tables[name]["columns"]
+        )
+        assert expected.tables[name]["columns"] == table.value_names, (
+            f"{name}: schema {table.value_names} != {expected.tables[name]['columns']}"
+        )
+        assert got == want, f"{name}: state mismatch\n got={got}\nwant={want}"
+
+
+def _two_table_feed():
+    """Interleaved txns over two tracked tables sharing the SAME key space
+    (c1/c2 × 0/1) — the collision the per-table LakeTable design removes."""
+    fb = FeedBuilder()
+    t1 = fb.begin()
+    t1.ins("c1", 0, role="user", text="t-a", ts=TS)
+    t1.dml_other_table("summaries", "c1", 0, op="ins", role="sys", text="s-a")
+    t2 = fb.begin()
+    t2.dml_other_table("summaries", "c2", 0, op="ins", role="sys", text="s-b")
+    t1.upd("c1", 0, text="t-a2")
+    fb.commit(t1)
+    t2.ins("c2", 0, role="user", text="t-b", ts=TS)
+    t2.dml_other_table("summaries", "c2", 0, op="upd", text="s-b2")
+    fb.commit(t2)
+    t3 = fb.begin()
+    t3.dml_other_table("summaries", "c1", 0, op="del")
+    t3.delete("c2", 0)
+    fb.commit(t3)
+    # rolled-back txn touching both tables → nothing applies
+    t4 = fb.begin()
+    t4.ins("c9", 0, role="x", text="gone")
+    t4.dml_other_table("summaries", "c9", 0, op="ins", role="x", text="gone")
+    fb.rollback(t4)
+    return fb
+
+
+def test_two_tracked_tables_batch(spark, tmpdir_path):
+    fb = _two_table_feed()
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=4,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert_catalog_matches(cat, expected)
+    # keys did NOT collide: transcripts keeps c1 turn 0, summaries keeps c2
+    tr = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.table("transcripts").read().collect()}
+    sm = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.table("summaries").read().collect()}
+    assert tr == {("c1", 0): "t-a2"}
+    assert sm == {("c2", 0): "s-b2"}
+
+
+def test_prollback_and_chunks_route_per_table(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="keep-A", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="pop-me")
+    # savepoint pops the LAST dml on (summaries, c1, 0) — not the transcript
+    t.dml_other_table("summaries", "c1", 0, op="prollback")
+    t.chunk("c1", 0, 0, "AB")
+    t.chunk("c1", 0, 1, "CD")
+    t.upd("c1", 0, text="placeholder")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=2,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert_catalog_matches(cat, expected)
+    tr = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.table("transcripts").read().collect()}
+    assert tr[("c1", 0)] == "ABCD"  # chunks landed on the transcript upd
+    assert cat.table("summaries").read().count() == 0  # popped by prollback
+
+
+def test_create_table_mid_stream(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="before", ts=TS)
+    # DML for a table that does not exist yet → skipped (no dictionary entry)
+    t.dml_other_table("audit", "c1", 0, op="ins", role="x", text="too-early")
+    fb.commit(t)
+    fb.ddl_txn("CREATE TABLE audit (role string, text string)",
+               ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.dml_other_table("audit", "c2", 0, op="ins", role="a", text="in-audit")
+    t.upd("c1", 0, text="after")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts"], n_buckets=2,
+    )
+    expected = replay_multi(fb.rows)
+    assert set(cat.table_names) == {"transcripts", "audit"}
+    assert cat.table("audit").value_names == ["role", "text"]
+    assert_catalog_matches(cat, expected)
+    audit = {(r["conv_id"], r["turn_idx"]): r["text"] for r in cat.table("audit").read().collect()}
+    assert audit == {("c2", 0): "in-audit"}  # pre-create DML skipped
+
+
+def test_drop_table_mid_stream(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="stays", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="doomed")
+    fb.commit(t)
+    fb.ddl_txn("DROP TABLE summaries", ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.dml_other_table("summaries", "c2", 0, op="ins", role="s", text="after-drop")
+    t.upd("c1", 0, text="stays2")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=2,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert cat.table_names == ["transcripts"]
+    assert "summaries" not in expected.tables
+    assert_catalog_matches(cat, expected, names=["transcripts"])
+
+
+def test_alter_routes_to_named_table(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="a", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="b")
+    fb.commit(t)
+    fb.ddl_txn("ALTER TABLE summaries ADD COLUMN meta string",
+               ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.dml_other_table("summaries", "c1", 0, op="upd", meta="m1")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=2,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert cat.table("summaries").value_names == ["role", "text", "tool", "ts", "meta"]
+    assert cat.table("transcripts").value_names == ["role", "text", "tool", "ts"]
+    assert_catalog_matches(cat, expected)
+
+
+def test_per_table_lineage(spark, tmpdir_path):
+    fb = _two_table_feed()
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=4,
+    )
+    lin = cat.lineage().collect()
+    per_table = {r["table_name"]: r for r in lin if r["table_name"] is not None}
+    assert set(per_table) == {"transcripts", "summaries"}
+    # net collapse counts: transcripts c1 ins+upd→1 reset-put, c2 ins then
+    # del in later txn → same-epoch collapse nets (ins,del)→none... per-key
+    # accounting is collapsed NET ops, assert totals are positive and the
+    # feed-position row carries skips (rolled-back txn had 2 DML)
+    assert per_table["transcripts"]["n_ins"] + per_table["transcripts"]["n_upd"] >= 1
+    feed_rows = [r for r in lin if r["table_name"] is None]
+    assert sum(r["n_skipped"] for r in feed_rows) == 2
+    assert all(r["last_applied_lsn"] is not None for r in feed_rows)
+
+
+def test_multi_table_streaming_crash_resume(spark, tmpdir_path):
+    """Kill mid-stream, resume from checkpoint: exactly-once across BOTH
+    tables (per-table ledgers + catalog epoch fence)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    fb = _two_table_feed()
+    fb.new_seq()
+    t = fb.begin()
+    t.ins("c5", 1, role="u", text="late", ts=TS)
+    t.dml_other_table("summaries", "c5", 1, op="ins", role="s", text="late-s")
+    fb.commit(t)
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cat_path = os.path.join(tmpdir_path, "cat")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    with pytest.raises(StreamingQueryException):
+        run_stream_multi(spark, feed_dir, cat_path, ckpt,
+                         tables=["transcripts", "summaries"], n_buckets=4,
+                         max_files_per_trigger=1, fail_at_epoch=1)
+    cat = run_stream_multi(spark, feed_dir, cat_path, ckpt,
+                           tables=["transcripts", "summaries"], n_buckets=4,
+                           max_files_per_trigger=1)
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert_catalog_matches(cat, expected)
+
+
+def test_multi_epoch_replay_is_idempotent(spark, tmpdir_path):
+    """Re-applying a committed epoch (simulated foreachBatch replay) is a
+    no-op for every table and the catalog."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = _two_table_feed()
+    cat_path = os.path.join(tmpdir_path, "cat")
+    cat = replay_batch_multi(spark, fb.to_spark(spark), cat_path,
+                             tables=["transcripts", "summaries"], n_buckets=4)
+    v_before = cat.manifest["version"]
+    out = apply_epoch_multi(Catalog(spark, cat_path), fb.to_spark(spark), 0,
+                            job_id="batch")
+    assert out == {"applied": False, "reason": "epoch already committed"}
+    assert Catalog(spark, cat_path).manifest["version"] == v_before

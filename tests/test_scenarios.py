@@ -482,3 +482,41 @@ def test_multi_file_bucket_write(spark, tmpdir_path):
     got = normalize_rows([r.asDict() for r in table.read().collect()], table.value_names)
     want = normalize_rows(expected.as_records(), expected.columns)
     assert got == want
+
+
+def test_manifest_conflict_not_silently_overwritten(spark, tmpdir_path):
+    """A PARSEABLE manifest above the pointer with different content is a
+    concurrent writer mid-commit (or a diverged orphan) — committing over
+    it would silently lose that commit's ledger; must raise instead.
+    Identical content (deterministic crash-replay) must proceed (round-3
+    advice on _write_manifest_static)."""
+    import json
+    import os
+
+    import pytest
+
+    from openlogreplicator_spark.streaming.job import create_target
+
+    path = os.path.join(tmpdir_path, "tbl")
+    table = create_target(spark, path, n_buckets=2)
+    v = table.manifest["version"]
+    other = dict(table.manifest)
+    other["version"] = v + 1
+    other["ledger"] = {"other-writer": {"42": True}}
+    orphan = os.path.join(path, "manifest", f"v{v + 1:06d}.json")
+    with open(orphan, "w") as f:
+        json.dump(other, f, indent=1)
+    with pytest.raises(RuntimeError, match="manifest conflict"):
+        table.alter_add_column("meta", "string")
+
+    # identical content = deterministic crash-replay → proceeds
+    os.unlink(orphan)
+    m = dict(table.manifest)
+    m["value_cols"] = m["value_cols"] + [{"name": "meta", "type": "string"}]
+    m["version"] = v + 1
+    with open(orphan, "w") as f:
+        json.dump(m, f, indent=1)
+    table.alter_add_column("meta", "string")
+    table.refresh()
+    assert table.manifest["version"] == v + 1
+    assert any(c["name"] == "meta" for c in table.manifest["value_cols"])
