@@ -47,8 +47,14 @@ def main(argv=None):
         s.add_argument("--no-create", action="store_true")
         s.add_argument("--mode", choices=("cow", "mor"), default="cow",
                        help="copy-on-write or merge-on-read table")
+        s.add_argument("--tables", nargs="*", default=None,
+                       help="multi-table mode: tracked table names replicated "
+                            "into a Catalog at --table (one LakeTable each)")
         if name == "stream":
             s.add_argument("--checkpoint", required=True)
+            s.add_argument("--continuous", default=None, metavar="INTERVAL",
+                           help="online tail: processingTime trigger (e.g. "
+                                "'5 seconds') instead of availableNow drain")
             s.add_argument("--max-files-per-trigger", type=int, default=None)
             s.add_argument("--job-id", default="stream")
             s.add_argument("--json-mirror", default=None,
@@ -80,7 +86,26 @@ def main(argv=None):
 
     spark = get_or_create("openlogreplicator-spark-job")
 
-    if args.cmd == "replay":
+    if args.cmd == "replay" and args.tables:
+        from openlogreplicator_spark.streaming.job import replay_batch_multi
+
+        cat = replay_batch_multi(
+            spark, args.feed, args.table, tables=args.tables,
+            n_buckets=args.buckets, mode=args.mode,
+        )
+        for name in cat.table_names:
+            print(f"{name}: rows={cat.table(name).read().count()}")
+    elif args.cmd == "stream" and args.tables:
+        from openlogreplicator_spark.streaming.job import run_stream_multi
+
+        cat = run_stream_multi(
+            spark, args.feed, args.table, args.checkpoint, tables=args.tables,
+            job_id=args.job_id, n_buckets=args.buckets, mode=args.mode,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        for name in cat.table_names:
+            print(f"{name}: rows={cat.table(name).read().count()}")
+    elif args.cmd == "replay":
         from openlogreplicator_spark.streaming.job import replay_batch
 
         table = replay_batch(
@@ -92,7 +117,7 @@ def main(argv=None):
     elif args.cmd == "stream":
         from openlogreplicator_spark.streaming.job import run_stream
 
-        table = run_stream(
+        out = run_stream(
             spark, args.feed, args.table, args.checkpoint,
             job_id=args.job_id, tracked_pattern=args.tracked,
             max_files_per_trigger=args.max_files_per_trigger,
@@ -101,9 +126,15 @@ def main(argv=None):
             max_txn_ops=args.max_txn_ops, max_open_scn_lag=args.max_open_scn_lag,
             shard_watermark=args.shard_watermark,
             expected_shards=args.expected_shards,
+            processing_time=args.continuous,
         )
-        print(f"stream drained; table version {table.manifest['version']}, "
-              f"rows={table.read().count()}")
+        if args.continuous is not None:
+            print(f"online tail running (trigger every {args.continuous}); "
+                  "Ctrl-C to stop")
+            out.awaitTermination()
+        else:
+            print(f"stream drained; table version {out.manifest['version']}, "
+                  f"rows={out.read().count()}")
     elif args.cmd == "show":
         from openlogreplicator_spark.lake import LakeTable
 

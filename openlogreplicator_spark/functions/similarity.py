@@ -213,27 +213,49 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cid_of(F.col(vec_col)).alias("cid"),
     )
 
-    # query probes: top-n_probe centroids by repeated argmax-and-mask (the
-    # same closed form the DuckDB oracle uses, so tie-breaks agree: equal
-    # scores resolve to the smallest centroid index on both engines)
-    probes = []
-    s = _centroid_scores(F.col(vec_col), cents)
-    for _ in range(n_probe):
-        pos = F.array_position(s, F.array_max(s))
-        probes.append(pos.cast("int"))
-
-        def _mask(arr: Column, p: Column) -> Column:
-            # the lambda is materialized here and now, so `p` binds to THIS
-            # iteration's argmax position
-            return F.transform(
-                arr, lambda x, i: F.when(i == p - 1, F.lit(-1e18)).otherwise(x)
-            )
-
-        s = _mask(s, pos)
-    q = queries.select(
+    # query probes: top-n_probe centroids by (score desc, index asc).
+    # Each score is projected ONCE into its own column, then a sort of
+    # (negated score, index) structs picks the probes — an argmax-and-mask
+    # chain built inline would re-embed the whole prior expression per
+    # probe (exponential plan growth, minutes of Catalyst analysis at
+    # n_probe ≥ 4).  Tie-break (equal score → smaller index) matches the
+    # DuckDB oracle's repeated list_position-of-max, which also takes the
+    # first (= smallest-index) maximum.
+    q0 = queries.select(
         F.col(q_id_col),
         F.col(vec_col).alias("q_vec"),
-        F.when(F.size(F.col(vec_col)) == dim, F.array(*probes)).alias("_probes"),
+        (F.size(F.col(vec_col)) == dim).alias("_ok"),
+        *[
+            sc.alias(f"_s{j}")
+            for j, sc in enumerate(
+                [
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(w) for w in cent]),
+                            lambda x, w: x.cast("double") * w,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for cent in cents
+                ]
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(j + 1).alias("j"))
+            for j in range(n_centroids)
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda x: x["j"].cast("int")
+    )
+    q = q0.select(
+        F.col(q_id_col),
+        F.col("q_vec"),
+        F.when(F.col("_ok"), probes).alias("_probes"),
     ).select(q_id_col, "q_vec", F.explode("_probes").alias("cid"))
 
     if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:

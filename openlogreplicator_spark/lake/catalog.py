@@ -204,6 +204,35 @@ class Catalog:
         LakeTable._write_manifest_static(self.path, m)
         self.manifest = m
 
+    def vacuum(self) -> dict:
+        """Catalog-wide GC: vacuum every registered table, then remove
+        catalog-level pending/lineage dirs not referenced by the current
+        manifest AND unregistered table directories (DROP TABLE orphans) —
+        the expire_snapshots + remove_orphan_files analog one level up."""
+        import glob
+        import shutil
+
+        removed: dict[str, list[str]] = {}
+        for name in self.table_names:
+            removed[name] = self.table(name).vacuum()["removed"]
+
+        ref = set(self.manifest["pending_dirs"]) | set(self.manifest["lineage_dirs"])
+        cat_removed: list[str] = []
+        for pattern in ("pending/v*", "lineage/v*"):
+            for path in glob.glob(os.path.join(self.path, pattern)):
+                rel = os.path.relpath(path, self.path).replace(os.sep, "/")
+                if rel not in ref:
+                    shutil.rmtree(path, ignore_errors=True)
+                    cat_removed.append(rel)
+        live = {t["path"] for t in self.manifest["tables"].values()}
+        for path in glob.glob(os.path.join(self.path, "tables", "*")):
+            rel = os.path.relpath(path, self.path).replace(os.sep, "/")
+            if rel not in live:
+                shutil.rmtree(path, ignore_errors=True)
+                cat_removed.append(rel)
+        removed["_catalog"] = sorted(cat_removed)
+        return {"removed": removed}
+
     def committed_epochs(self, job_id: str = "default") -> set[int]:
         out: set[int] = set()
         for k in self.manifest["ledger"].get(job_id, {}):

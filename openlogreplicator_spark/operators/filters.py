@@ -55,3 +55,14 @@ def first_data_lsn_filter(df: DataFrame, start_lsn_by_shard: dict[int, int]) -> 
         c = (F.col("shard") == shard) & (F.col("lsn") <= lsn)
         cond = c if cond is None else (cond | c)
     return df.filter(~cond)
+
+
+def dump_xid_events(df: DataFrame, dump_xids: list[str]) -> DataFrame:
+    """F3's trace twin — the reference keeps BOTH a skip list and a dump
+    list of named transactions (/root/reference/src/parser/
+    TransactionBuffer.h:87-88 skipXidList/dumpXidList): dumped xids are
+    TRACED (raw events emitted for debugging), not dropped.  A pushed-down
+    `xid IN (...)` scan — zero cost for non-matching feeds."""
+    if not dump_xids:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("xid").isin(dump_xids))

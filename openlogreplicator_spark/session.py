@@ -27,9 +27,18 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
+    """``state_store="rocksdb"`` (or env SPARK_GRAFT_STATE_STORE=rocksdb)
+    selects the RocksDB state-store provider for stateful streaming — the
+    production choice for the applyInPandasWithState transaction buffer
+    (state off-heap + incremental checkpoints; the reference's swap-to-disk
+    MemoryManager analog).  Default HDFS-backed in-memory provider
+    otherwise."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if state_store is None:
+        state_store = os.environ.get("SPARK_GRAFT_STATE_STORE")
     if shuffle_partitions is None:
         # ~1-2x cores for local mode; on a 1000-executor cluster this would
         # be sized so post-shuffle partitions land near 128-256 MB (AQE
@@ -59,6 +68,14 @@ def build_session(
         # scan) bounds parser intake.
         .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
     )
+    if state_store == "rocksdb":
+        b = b.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

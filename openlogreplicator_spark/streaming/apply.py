@@ -59,8 +59,16 @@ def apply_epoch(
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
     schemaless: bool = False,
+    dump_xids: list[str] | None = None,
+    dump_dir: str | None = None,
 ) -> dict:
     """Apply one epoch of change events; returns apply stats.
+
+    ``dump_xids`` + ``dump_dir``: trace facility (reference dumpXidList,
+    TransactionBuffer.h:87-88): the RAW events of the named transactions
+    are written as JSON lines under ``dump_dir/epoch=N`` for debugging —
+    a pushed-down ``xid IN (...)`` side scan; the apply itself is
+    unaffected.
 
     ``shard_watermark``: enable the RAC-analog commit-SCN gate for feeds
     whose shards arrive from independent sources (per-shard topics/dirs):
@@ -104,6 +112,16 @@ def apply_epoch(
     _persist_events = _os0.environ.get("OLR_PERSIST_EVENTS", "0") == "1"
     if _persist_events:
         events = events.persist()
+    if dump_xids and dump_dir:
+        from ..operators.filters import dump_xid_events
+
+        (
+            dump_xid_events(batch_df, dump_xids)
+            .coalesce(1)  # trace output is tiny (named xids only)
+            .sortWithinPartitions("scn")
+            .write.mode("overwrite")
+            .json(_os0.path.join(dump_dir, f"epoch={int(epoch_id):06d}"))
+        )
     try:
         wm = None
         frontier = None

@@ -56,12 +56,19 @@ EMITTED_SCHEMA = T.StructType(
     ]
 )
 
-# state: accumulated raw events of the open txn, serialized as columns of
-# lists (state schema must be flat)
+# state: accumulated raw events of the open txn, packed as one binary blob
+# (zlib-compressed JSON — compact on the wire and in the store; the
+# reference's swap-chunk serialization analog, TransactionBuffer chunk
+# lists).  Ceiling: one transaction's events must fit one state value —
+# with compression ~5-10× more headroom than the raw JSON string this
+# replaced, but a multi-GB transaction still belongs to the DEFAULT
+# pending-snapshot architecture (apply.py), which spills to parquet; this
+# state-store variant trades that for engine-managed state (RocksDB via
+# session.build_session(state_store="rocksdb") keeps it off-heap).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("has_begin", T.BooleanType()),
-        T.StructField("events_json", T.StringType()),
+        T.StructField("events_blob", T.BinaryType()),
     ]
 )
 
@@ -87,10 +94,12 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
             yield pd.DataFrame(columns=[f.name for f in EMITTED_SCHEMA.fields])
             return
 
+        import zlib
+
         (xid,) = key
         if state.exists:
-            has_begin, events_json = state.get
-            buf = json.loads(events_json)
+            has_begin, events_blob = state.get
+            buf = json.loads(zlib.decompress(bytes(events_blob)))
         else:
             has_begin, buf = False, []
 
@@ -166,9 +175,9 @@ def assemble_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataF
             state.remove()
             yield pd.DataFrame(out, columns=[f.name for f in EMITTED_SCHEMA.fields])
         else:
-            import json as _j
-
-            state.update((has_begin, _j.dumps(buf)))
+            state.update(
+                (has_begin, zlib.compress(json.dumps(buf).encode("utf-8"), 1))
+            )
             if timeout_ms is not None:
                 state.setTimeoutDuration(timeout_ms)
             yield pd.DataFrame(columns=[f.name for f in EMITTED_SCHEMA.fields])

@@ -76,3 +76,39 @@ def test_txn_size_cap(spark, tmpdir_path):
     assert rows == ["ok"]
     lin = table.lineage().collect()
     assert sum(r["n_skipped"] for r in lin) == 50
+
+
+def test_dump_xid_trace(spark, tmpdir_path):
+    """F3's trace twin (reference dumpXidList): named transactions are
+    dumped as ordered JSON lines per epoch; the apply is unaffected."""
+    import glob
+    import json
+    import os
+
+    from openlogreplicator_spark.lake import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t1 = fb.begin()
+    t1.ins("c1", 0, role="user", text="traced")
+    fb.commit(t1)
+    t2 = fb.begin()
+    t2.ins("c2", 0, role="user", text="not traced")
+    fb.commit(t2)
+
+    path = os.path.join(tmpdir_path, "tbl")
+    dump_dir = os.path.join(tmpdir_path, "dump")
+    table = create_target(spark, path, n_buckets=2)
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j",
+                dump_xids=[t1.xid], dump_dir=dump_dir)
+
+    lines = []
+    for f in sorted(glob.glob(os.path.join(dump_dir, "epoch=*/part-*"))):
+        with open(f) as fh:
+            lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert lines and all(r["xid"] == t1.xid for r in lines)
+    assert [r["op"] for r in lines] == ["begin", "ins", "commit"]  # scn order
+    # both txns still applied — tracing is not skipping
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in table.read().collect())
+    assert got == [("c1", 0), ("c2", 0)]

@@ -233,7 +233,9 @@ def test_lsh_dim_contract_and_shuffle_path(spark):
     assert b is None
 
     # mismatched corpus rows never appear as neighbors
-    mixed = c.unionByName(odd.select(F.col("vec_id"), F.col("embedding").cast("array<float>")))
+    mixed = c.select("vec_id", "embedding").unionByName(
+        odd.select(F.col("vec_id"), F.col("embedding").cast("array<float>"))
+    )
     got = lsh_topk(mixed, q, k=5, n_planes=3).collect()
     assert all(r["n_id"] != 99 for r in got)
 
@@ -242,3 +244,24 @@ def test_lsh_dim_contract_and_shuffle_path(spark):
     sh = {(r["q_id"], r["n_id"])
           for r in lsh_topk(c, q, k=5, n_planes=3, broadcast_query_limit=0).collect()}
     assert bc == sh
+
+
+def test_ivf_topk_recall(spark):
+    """IVF centroid-bucketed ANN recall@5 vs brute force (same modest bar
+    as LSH on near-uniform random vectors: no cluster structure for the
+    coarse quantizer to exploit; real embedding manifolds do far better)."""
+    from openlogreplicator_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(c, q, k=5).collect()}
+    approx = {(r["q_id"], r["n_id"])
+              for r in ivf_topk(c, q, k=5, n_centroids=8, n_probe=4, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # probing more centroids strictly widens the candidate set
+    approx2 = {(r["q_id"], r["n_id"])
+               for r in ivf_topk(c, q, k=5, n_centroids=8, n_probe=8, dim=64).collect()}
+    recall2 = len(exact & approx2) / len(exact)
+    assert recall2 >= recall

@@ -256,3 +256,39 @@ def test_multi_epoch_replay_is_idempotent(spark, tmpdir_path):
                             job_id="batch")
     assert out == {"applied": False, "reason": "epoch already committed"}
     assert Catalog(spark, cat_path).manifest["version"] == v_before
+
+
+def test_catalog_vacuum_removes_dropped_table_and_old_state(spark, tmpdir_path):
+    """Catalog.vacuum: per-table GC plus removal of DROP TABLE orphan dirs
+    and superseded catalog pending/lineage snapshots."""
+    import os as _os
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="a", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="b")
+    fb.commit(t)
+    fb.ddl_txn("DROP TABLE summaries", ["role", "text", "tool", "ts"])
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=2,
+    )
+    # a second epoch supersedes the first pending snapshot
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb2 = FeedBuilder(start_scn=9000)
+    fb2._xid_counter = 50
+    t = fb2.begin()
+    t.upd("c1", 0, text="a2")
+    fb2.commit(t)
+    apply_epoch_multi(cat, fb2.to_spark(spark), 1, job_id="batch")
+
+    assert _os.path.isdir(_os.path.join(cat.path, "tables", "summaries"))
+    out = cat.vacuum()
+    assert "tables/summaries" in out["removed"]["_catalog"]
+    assert not _os.path.isdir(_os.path.join(cat.path, "tables", "summaries"))
+    # live state survives and still reads
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in cat.table("transcripts").read().collect()}
+    assert rows == {("c1", 0): "a2"}
+    assert cat.lineage().count() >= 2

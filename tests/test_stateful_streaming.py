@@ -104,3 +104,33 @@ def test_stateful_carries_chunk_columns(spark, tmpdir_path):
     assert chunks == [(0, "AB"), (1, "CD")]
     seqs = [x["seq_in_txn"] for x in sorted(rows, key=lambda r: r["seq_in_txn"])]
     assert seqs == sorted(seqs)
+
+
+def test_stateful_under_rocksdb_provider(spark, tmpdir_path):
+    """The production state-store config (session.build_session
+    state_store="rocksdb"): the same cross-batch transaction assembles
+    correctly with per-xid state in RocksDB (packed zlib'd binary blobs).
+    providerClass is a runtime SQL conf read at query start, so the shared
+    session can flip it per-query."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        fb = FeedBuilder()
+        t = fb.begin()
+        t.ins("c1", 0, role="user", text="v1", ts=TS)
+        fb.new_seq()  # txn spans two micro-batches → state crosses batches
+        t.upd("c1", 0, text="v2")
+        fb.commit(t)
+        rows = _run_stateful(spark, fb, tmpdir_path)
+        got = sorted((r["op"], r["conv_id"], r["turn_idx"]) for r in rows)
+        assert got == [("ins", "c1", 0), ("upd", "c1", 0)]
+        assert all(r["txn_commit_scn"] is not None for r in rows)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
