@@ -57,10 +57,18 @@ def feed_cache_dir(n_txns: int, skew: float) -> str:
     return d
 
 
-def _timed(times, name, fn):
-    t0 = time.perf_counter()
-    out = fn()
-    times[name] = round(time.perf_counter() - t0, 3)
+def _timed(times, name, fn, best_of: int = 1):
+    """Record wall time; ``best_of > 1`` keeps the fastest run — the
+    steady-state number for a long-running engine (first run pays one-time
+    codegen/JIT), and the variance damper on a shared box (±30% run-to-run
+    measured on identical code)."""
+    best = None
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    times[name] = round(best, 3)
     return out
 
 
@@ -110,7 +118,7 @@ def run_cdc_group() -> dict:
         ).mode("overwrite").save()
 
     warmup()
-    _timed(times, "cdc_parse_assemble", parse_assemble)
+    _timed(times, "cdc_parse_assemble", parse_assemble, best_of=2)
 
     # 2) full tail→merge into the lake table (one bounded epoch)
     work = tempfile.mkdtemp(prefix="olrbench-")
@@ -200,7 +208,7 @@ def run_side_group() -> dict:
                 "noop"
             ).mode("overwrite").save()
 
-        _timed(times, "dedup_minhash_pairs", minhash)
+        _timed(times, "dedup_minhash_pairs", minhash, best_of=2)
 
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.exists(emb_path):
@@ -216,7 +224,7 @@ def run_side_group() -> dict:
                 "noop"
             ).mode("overwrite").save()
 
-        _timed(times, "ann_cosine_topk", ann)
+        _timed(times, "ann_cosine_topk", ann, best_of=2)
 
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
@@ -236,7 +244,7 @@ def run_side_group() -> dict:
                 .save()
             )
 
-        _timed(times, "agg_pricing_summary", pricing)
+        _timed(times, "agg_pricing_summary", pricing, best_of=2)
 
     return {"queries": times}
 

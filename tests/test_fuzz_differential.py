@@ -68,3 +68,78 @@ def test_fuzz_streaming_mor(spark, tmpdir_path, seed):
     table — the pending-carry and delta-fold paths under random load."""
     run_and_compare(spark, _random_feed(seed), tmpdir_path,
                     via="stream", mode="mor", max_files_per_trigger=2)
+
+
+def _random_multi_feed(seed: int, n_txns: int = 25) -> FeedBuilder:
+    """Random interleaved ops across TWO tracked tables plus occasional
+    table-qualified DDL — the multi-table engine vs oracle.replay_multi."""
+    rng = random.Random(seed)
+    fb = FeedBuilder(n_shards=1)
+    convs = [f"c{i}" for i in range(5)]
+    for _ in range(n_txns):
+        if rng.random() < 0.08:
+            fb.ddl_txn("TRUNCATE TABLE summaries", ["role", "text", "tool", "ts"])
+            continue
+        t = fb.begin()
+        touched = []
+        for _ in range(rng.randint(1, 7)):
+            conv, turn = rng.choice(convs), rng.randint(0, 2)
+            table = rng.choice(["transcripts", "summaries"])
+            op = rng.random()
+            if op < 0.5:
+                kw = dict(role=rng.choice(["user", "sys"]),
+                          text=f"t{rng.randint(0, 999)}")
+                if table == "transcripts":
+                    t.ins(conv, turn, ts=TS, **kw)
+                else:
+                    t.dml_other_table(table, conv, turn, op="ins", **kw)
+                touched.append((table, conv, turn))
+            elif op < 0.8:
+                if table == "transcripts":
+                    t.upd(conv, turn, text=f"u{rng.randint(0, 999)}")
+                else:
+                    t.dml_other_table(table, conv, turn, op="upd",
+                                      text=f"u{rng.randint(0, 999)}")
+                touched.append((table, conv, turn))
+            elif op < 0.9:
+                if table == "transcripts":
+                    t.delete(conv, turn)
+                else:
+                    t.dml_other_table(table, conv, turn, op="del")
+                touched.append((table, conv, turn))
+            elif touched:
+                tb, cv, tn = rng.choice(touched)
+                if tb == "transcripts":
+                    t.prollback(cv, tn)
+                else:
+                    t.dml_other_table(tb, cv, tn, op="prollback")
+        if rng.random() < 0.85:
+            fb.commit(t)
+        else:
+            fb.rollback(t)
+        if rng.random() < 0.15:
+            fb.new_seq()
+    return fb
+
+
+@pytest.mark.parametrize("seed", [11, 42, 300])
+def test_fuzz_multi_table(spark, tmpdir_path, seed):
+    import os
+
+    from openlogreplicator_spark.oracle import replay_multi
+    from openlogreplicator_spark.streaming.job import replay_batch_multi
+    from test_multi_table import assert_catalog_matches
+
+    fb = _random_multi_feed(seed)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=4,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert_catalog_matches(cat, expected)
