@@ -20,6 +20,9 @@ Env:
                        headline ev/s and BENCH_SCALING.json tell one story)
   BENCH_ONLY=cdc       skip the side group (scaling runs)
   BENCH_SKIP_SKEW=1    skip the skew/update measurements (scaling runs)
+  BENCH_UPDATE=1       include the update-epoch (CoW vs MoR) measurements
+                       even under BENCH_SKIP_SKEW (scaling runs measure the
+                       merge-on-read steady-state update path)
 """
 
 from __future__ import annotations
@@ -161,7 +164,7 @@ def run_cdc_group() -> dict:
     # append) — the write-amplification story that decides 100 TB viability.
     # The update feed reuses a prefix of the main feed's conversation space,
     # so every update hits existing rows across all buckets.
-    if not skip_skew:
+    if not skip_skew or os.environ.get("BENCH_UPDATE") == "1":
         from openlogreplicator_spark.lake import LakeTable
         from openlogreplicator_spark.streaming.apply import apply_epoch
         from openlogreplicator_spark.streaming.job import replay_batch
@@ -173,6 +176,7 @@ def run_cdc_group() -> dict:
         _timed(times, "cdc_update_epoch_cow", lambda: apply_epoch(
             LakeTable(spark, os.path.join(work, "tbl")), upd_feed, 1, job_id="batch"
         ))
+        extra["n_update_events"] = n_upd
 
         replay_batch(spark, feed, os.path.join(work, "tbl_mor"), n_buckets=64,
                      mode="mor")  # untimed mor bootstrap (same as cow load)

@@ -172,6 +172,15 @@ def apply_epoch_multi(
         "conv_id", "turn_idx", "before", "after", "changed_cols",
         "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts", "attrs",
     )
+    # Caching policy mirrors apply.py: recomputing the pushed-down codegen'd
+    # scans beats paying the columnar-cache build on fast storage (measured
+    # there), BUT the multi-table fan-out re-scans once per (segment, table)
+    # — with many tracked tables on slow/remote input, flip the env to "1".
+    import os as _os
+
+    _do_persist = _os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
+    if _do_persist:
+        committed = committed.persist()
 
     oversize_dml = None
     if max_txn_ops is not None:
@@ -317,4 +326,6 @@ def apply_epoch_multi(
         lineage=lineage,
         shard_frontier=frontier,
     )
+    if _do_persist:
+        committed.unpersist()
     return {"applied": True, "segments": len(boundaries), "merged": n_merged}

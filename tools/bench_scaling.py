@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(cpus: int, txns: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TXNS=str(txns),
-               BENCH_ONLY="cdc", BENCH_SKIP_SKEW="1", BENCH_SHUFFLE="64")
+               BENCH_ONLY="cdc", BENCH_SKIP_SKEW="1", BENCH_SHUFFLE="64",
+               BENCH_UPDATE="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -51,6 +52,7 @@ def main():
     import bench as benchmod
 
     benchmod.feed_cache_dir(args.txns, 0.0)
+    benchmod.feed_cache_dir(max(args.txns // 10, 1000), 0.0)  # update feed
 
     r_n = run_bench(args.n, args.txns)
     r_4n = run_bench(args.n4, args.txns)
@@ -74,7 +76,8 @@ def main():
         "runs": {"N": r_n, "4N": r_4n}, "efficiency": {}}
     rows = []
     for key in ("events_per_sec_parse_assemble", "events_per_sec_full_merge",
-                "events_per_sec_skewed"):
+                "events_per_sec_skewed", "update_events_per_sec_mor",
+                "update_events_per_sec_cow"):
         tn, t4 = r_n.get(key), r_4n.get(key)
         if not tn or not t4:
             continue
