@@ -160,6 +160,37 @@ def run_cdc_group() -> dict:
             extra["events_per_sec_skewed"] / extra["events_per_sec_full_merge"], 3
         )
 
+    # 3a) multi-table replication: the same 10M events routed to TWO
+    # tracked tables (conv-hash split) through the Catalog fan-out — the
+    # breadth path's throughput, not just its correctness
+    if not skip_skew:
+        from openlogreplicator_spark.streaming.job import replay_batch_multi
+
+        mt_feed = feed.withColumn(
+            "table_name",
+            F.when(
+                F.col("table_name").isNotNull(),
+                F.when(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "transcripts"
+                ).otherwise("summaries"),
+            ),
+        )
+
+        def multi_once(tag):
+            t0 = time.perf_counter()
+            replay_batch_multi(
+                spark, mt_feed, os.path.join(work, f"cat{tag}"),
+                tables=["transcripts", "summaries"], n_buckets=64,
+            )
+            return time.perf_counter() - t0
+
+        times["cdc_multi_table_merge"] = round(
+            min(multi_once("_w0"), multi_once("")), 3
+        )
+        extra["events_per_sec_multi_table"] = round(
+            n_events / times["cdc_multi_table_merge"], 1
+        )
+
     # 3b) update-epoch cost: CoW (bucket rewrite) vs merge-on-read (delta
     # append) — the write-amplification story that decides 100 TB viability.
     # The update feed reuses a prefix of the main feed's conversation space,
@@ -229,6 +260,19 @@ def run_side_group() -> dict:
             ).mode("overwrite").save()
 
         _timed(times, "ann_cosine_topk", ann, best_of=2)
+
+        def ann_ivf():
+            from openlogreplicator_spark.functions.similarity import ivf_topk
+
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            ivf_topk(emb.filter(F.col("vec_id") >= 10), q, k=5,
+                     n_centroids=8, n_probe=3, dim=64).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _timed(times, "ann_ivf_topk", ann_ivf, best_of=2)
 
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
