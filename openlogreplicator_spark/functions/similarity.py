@@ -185,11 +185,35 @@ def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
     )
 
 
+def _ivf_cid(vec: Column, cents: list[list[float]], dim: int) -> Column:
+    """1-based nearest-centroid cell id; NULL for mismatched-length vectors
+    (fixed-dim contract, see hyperplane_bucket)."""
+    s = _centroid_scores(vec, cents)
+    return F.when(
+        F.size(vec) == dim, F.array_position(s, F.array_max(s)).cast("int")
+    )
+
+
+def assign_ivf_cells(corpus: DataFrame, n_centroids: int = 8, dim: int = 64,
+                     vec_col: str = "embedding",
+                     cell_col: str = "ivf_cid") -> DataFrame:
+    """The at-INGEST half of IVF: materialize each vector's coarse cell id
+    as a column (the same pattern as the lake's bucket column).  Store the
+    result (partitioned/bucketed by the cell) once; ``ivf_topk`` with
+    ``precomputed_cell_col`` then skips the corpus assignment scan — at
+    10^10 vectors the assignment is paid once per centroid refresh, not
+    per query batch."""
+    return corpus.withColumn(
+        cell_col, _ivf_cid(F.col(vec_col), centroid_matrix(n_centroids, dim), dim)
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id",
-             broadcast_query_limit: int = 1_000_000) -> DataFrame:
+             broadcast_query_limit: int = 1_000_000,
+             precomputed_cell_col: str | None = None) -> DataFrame:
     """IVF-style approximate top-k: every corpus vector is assigned to its
     nearest coarse centroid (1-based cid, argmax of the dot-product list);
     each query probes its ``n_probe`` nearest centroids and joins only
@@ -198,19 +222,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cost ≈ n_probe/n_centroids of brute force per query, centroids
     refreshed offline.  Fixed-dim contract as hyperplane_bucket (length
     mismatch → NULL cid → excluded); query side broadcast only when
-    measured small."""
+    measured small.  ``precomputed_cell_col``: name of a cell-id column
+    materialized at ingest by :func:`assign_ivf_cells` — skips the corpus
+    assignment scan (the production shape; the per-query cost is then
+    n_probe/n_centroids of brute force)."""
     cents = centroid_matrix(n_centroids, dim)
 
-    def cid_of(vec: Column) -> Column:
-        s = _centroid_scores(vec, cents)
-        return F.when(
-            F.size(vec) == dim, F.array_position(s, F.array_max(s)).cast("int")
-        )
-
+    cid_expr = (
+        F.col(precomputed_cell_col)
+        if precomputed_cell_col is not None
+        else _ivf_cid(F.col(vec_col), cents, dim)
+    )
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        cid_of(F.col(vec_col)).alias("cid"),
+        cid_expr.alias("cid"),
     )
 
     # query probes: top-n_probe centroids by (score desc, index asc).

@@ -265,3 +265,24 @@ def test_ivf_topk_recall(spark):
                for r in ivf_topk(c, q, k=5, n_centroids=8, n_probe=8, dim=64).collect()}
     recall2 = len(exact & approx2) / len(exact)
     assert recall2 >= recall
+
+
+def test_ivf_precomputed_cells_match_inline(spark):
+    """assign_ivf_cells at ingest + ivf_topk(precomputed_cell_col=...) must
+    return exactly the inline-assignment results (the production shape:
+    cell id stored once, queries skip the corpus scan)."""
+    from openlogreplicator_spark.functions.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.filter(F.col("vec_id") >= 10)
+    inline = {(r["q_id"], r["n_id"], r["rank"])
+              for r in ivf_topk(c, q, k=5, n_centroids=8, n_probe=3, dim=64).collect()}
+    pre = assign_ivf_cells(c, n_centroids=8, dim=64)
+    stored = {(r["q_id"], r["n_id"], r["rank"])
+              for r in ivf_topk(pre, q, k=5, n_centroids=8, n_probe=3, dim=64,
+                                precomputed_cell_col="ivf_cid").collect()}
+    assert inline == stored and len(inline) == 50

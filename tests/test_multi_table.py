@@ -292,3 +292,66 @@ def test_catalog_vacuum_removes_dropped_table_and_old_state(spark, tmpdir_path):
             for r in cat.table("transcripts").read().collect()}
     assert rows == {("c1", 0): "a2"}
     assert cat.lineage().count() >= 2
+
+
+def test_multi_table_json_mirror(spark, tmpdir_path):
+    """The wire mirror carries BOTH tables' committed ops with their own
+    table names (reference: one output stream for all tracked tables)."""
+    import json as _json
+
+    from openlogreplicator_spark.functions.json_output import read_json_mirror
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = _two_table_feed()
+    cat = Catalog.create(spark, os.path.join(tmpdir_path, "cat"))
+    for n in ("transcripts", "summaries"):
+        cat.create_table(n, n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "wire")
+    apply_epoch_multi(cat, fb.to_spark(spark), 0, job_id="j", json_mirror_dir=mirror)
+    msgs = [_json.loads(m) for m in read_json_mirror(mirror)]
+    tables = {p["schema"]["table"] for m in msgs for p in m.get("payload", [])
+              if p.get("op") in ("c", "u", "d")}
+    assert tables == {"transcripts", "summaries"}
+    # commit order holds across the combined stream
+    scns = [m["scn"] for m in msgs if m.get("payload", [{}])[0].get("op") != "chkpt"]
+    assert scns == sorted(scns)
+
+
+def test_multi_shard_watermark_gates_commit(spark, tmpdir_path):
+    """RAC watermark in multi-table mode: a commit past the slowest shard's
+    frontier rides the catalog pending snapshot; it applies once that shard
+    catches up in a later epoch."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder(n_shards=2)
+    t = fb.begin(shard=0)
+    t.ins("c1", 0, role="u", text="early", ts=TS)
+    fb.commit(t)
+    t2 = fb.begin(shard=1)
+    t2.ins("c2", 0, role="u", text="s1", ts=TS)
+    fb.commit(t2)
+    t3 = fb.begin(shard=0)  # commits past shard 1's frontier → gated
+    t3.dml_other_table("summaries", "c3", 0, op="ins", role="s", text="late")
+    fb.commit(t3)
+
+    cat = Catalog.create(spark, os.path.join(tmpdir_path, "cat"))
+    for n in ("transcripts", "summaries"):
+        cat.create_table(n, n_buckets=2)
+    apply_epoch_multi(cat, fb.to_spark(spark), 0, job_id="j",
+                      shard_watermark=True, expected_shards=[0, 1])
+    assert cat.table("summaries").read().count() == 0  # gated
+    tr = {r["conv_id"] for r in cat.table("transcripts").read().collect()}
+    assert tr == {"c1", "c2"}  # pre-watermark commits applied
+
+    # shard 1 catches up → the gated txn emerges from pending and applies
+    fb2 = FeedBuilder(n_shards=2, start_scn=5000)
+    fb2._xid_counter = 50
+    t = fb2.begin(shard=1)
+    t.ins("c4", 0, role="u", text="s1-later", ts=TS)
+    fb2.commit(t)
+    apply_epoch_multi(cat, fb2.to_spark(spark), 1, job_id="j",
+                      shard_watermark=True, expected_shards=[0, 1])
+    sm = {(r["conv_id"], r["text"]) for r in cat.table("summaries").read().collect()}
+    assert sm == {("c3", "late")}
