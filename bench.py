@@ -274,6 +274,31 @@ def run_side_group() -> dict:
 
         _timed(times, "ann_ivf_topk", ann_ivf, best_of=2)
 
+        # the production IVF shape: cell ids materialized at ingest
+        # (untimed, once), queries join the stored inverted lists only
+        from openlogreplicator_spark.functions.similarity import (
+            assign_ivf_cells,
+            ivf_topk,
+        )
+
+        pre_dir = tempfile.mkdtemp(prefix="olrbench-ivf-")
+        assign_ivf_cells(
+            emb.filter(F.col("vec_id") >= 10), n_centroids=8, dim=64
+        ).write.mode("overwrite").parquet(pre_dir)
+        pre = spark.read.parquet(pre_dir)
+
+        def ann_ivf_pre():
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            ivf_topk(pre, q, k=5, n_centroids=8, n_probe=3, dim=64,
+                     precomputed_cell_col="ivf_cid").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _timed(times, "ann_ivf_topk_precomputed", ann_ivf_pre, best_of=2)
+        shutil.rmtree(pre_dir, ignore_errors=True)
+
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
         li = spark.read.parquet(li_path)
