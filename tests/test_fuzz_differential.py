@@ -143,3 +143,33 @@ def test_fuzz_multi_table(spark, tmpdir_path, seed):
         },
     )
     assert_catalog_matches(cat, expected)
+
+
+@pytest.mark.parametrize("seed", [42])
+def test_fuzz_multi_table_streaming(spark, tmpdir_path, seed):
+    """Random two-table feed through micro-batched streaming (txns split
+    across epochs ride the catalog pending snapshot) onto merge-on-read
+    tables — the multi-table pending-carry under random interleavings."""
+    import os
+
+    from openlogreplicator_spark.oracle import replay_multi
+    from openlogreplicator_spark.streaming.job import run_stream_multi
+    from test_multi_table import assert_catalog_matches
+
+    fb = _random_multi_feed(seed)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cat = run_stream_multi(
+        spark, feed_dir, os.path.join(tmpdir_path, "cat"),
+        os.path.join(tmpdir_path, "ckpt"),
+        tables=["transcripts", "summaries"], n_buckets=4, mode="mor",
+        max_files_per_trigger=2,
+    )
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert_catalog_matches(cat, expected)

@@ -355,3 +355,33 @@ def test_multi_shard_watermark_gates_commit(spark, tmpdir_path):
                       shard_watermark=True, expected_shards=[0, 1])
     sm = {(r["conv_id"], r["text"]) for r in cat.table("summaries").read().collect()}
     assert sm == {("c3", "late")}
+
+
+def test_multi_schemaless_mirrors_unregistered(spark, tmpdir_path):
+    """schemaless mode in multi-table replication: committed DML of tables
+    with no registry entry is emitted raw on the wire mirror instead of
+    being dropped-and-counted (REDO_FLAGS::SCHEMALESS analog)."""
+    import json as _json
+
+    from openlogreplicator_spark.functions.json_output import read_json_mirror
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="tracked", ts=TS)
+    t.dml_other_table("sidecar", "c9", 0, op="ins", role="x", text="raw")
+    fb.commit(t)
+    cat = Catalog.create(spark, os.path.join(tmpdir_path, "cat"))
+    cat.create_table("transcripts", n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "wire")
+    apply_epoch_multi(cat, fb.to_spark(spark), 0, job_id="j",
+                      json_mirror_dir=mirror, schemaless=True)
+    msgs = [_json.loads(m) for m in read_json_mirror(mirror)]
+    tables = {p["schema"]["table"] for m in msgs for p in m.get("payload", [])
+              if p.get("op") in ("c", "u", "d")}
+    assert tables == {"transcripts", "sidecar"}
+    # the unregistered table never lands in the lake and is not skip-counted
+    assert cat.table_names == ["transcripts"]
+    feed_rows = [r for r in cat.lineage().collect() if r["table_name"] is None]
+    assert sum(r["n_skipped"] for r in feed_rows) == 0
