@@ -347,6 +347,29 @@ _SKIP_XIDS = [f"x{i * 37}" for i in range(50)]
 _F6_START_LSN = {0: 2000, 1: 5000, 2: 0, 3: 7500}
 
 
+def q_f2_attrs_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 over SESSION ATTRIBUTES (reference: opcodes 5.19/5.20 session
+    info feeding `[login username]`-style condition expressions,
+    src/parser/OpCode0513.h): build the attrs map column the feed schema
+    carries and filter on a map lookup through the same condition_filter
+    path the engine uses."""
+    from openlogreplicator_spark.operators.filters import condition_filter
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("username"),
+            F.concat(F.lit("user"), (F.col("user_id") % 100).cast("string")),
+        ).alias("attrs"),
+        "event_type",
+    )
+    out = condition_filter(d, "attrs['username'] = 'user7' AND event_type <> 'error'")
+    return out.select(
+        "event_id", F.col("attrs")["username"].alias("username"), "event_type"
+    )
+
+
 def q_f3_skip_xid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 — drop named transactions (TransactionBuffer.h:87-88)."""
     from openlogreplicator_spark.operators.filters import skip_xid_filter
@@ -633,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_chunk_reassembly": q_p9_chunk_reassembly,
         "f1_regex_filter": q_f1_regex_filter,
         "f2_condition_filter": q_f2_condition_filter,
+        "f2_attrs_condition": q_f2_attrs_condition,
         "f3_skip_xid": q_f3_skip_xid,
         "f4_shard_filter": q_f4_shard_filter,
         "f6_lsn_gate": q_f6_lsn_gate,
@@ -867,6 +891,11 @@ GROUP BY event_type
         "f2_condition_filter": """
 SELECT event_id, user_id, event_type, value
 FROM events WHERE event_type <> 'error' AND value > 150.0
+""",
+        "f2_attrs_condition": """
+SELECT event_id, 'user' || CAST(user_id % 100 AS VARCHAR) AS username, event_type
+FROM events
+WHERE 'user' || CAST(user_id % 100 AS VARCHAR) = 'user7' AND event_type <> 'error'
 """,
         "f3_skip_xid": _ORACLE_DERIVED + f"""
 SELECT event_id, 'x' || CAST(event_id AS VARCHAR) AS xid, op

@@ -163,9 +163,12 @@ def run_stream_multi(
     n_buckets: int = 16,
     mode: str = "cow",
     fail_at_epoch: int | None = None,
+    processing_time: str | None = None,
     **apply_kwargs,
 ):
-    """Streaming multi-table replay (availableNow drain) into a Catalog."""
+    """Streaming multi-table replay into a Catalog.  availableNow drain by
+    default; ``processing_time`` switches to the continuous online tail
+    (same trigger contract as run_stream — returns the query handle)."""
     from ..lake.catalog import Catalog
     from .multi import apply_epoch_multi
 
@@ -181,12 +184,12 @@ def run_stream_multi(
         apply_epoch_multi(Catalog(spark, catalog_path), batch_df, epoch_id,
                           job_id=job_id, **apply_kwargs)
 
-    q = (
-        reader.writeStream.foreachBatch(fb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = reader.writeStream.foreachBatch(fb).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return Catalog(spark, catalog_path)
 
