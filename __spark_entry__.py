@@ -461,6 +461,23 @@ def q_p8_xid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p7_rowid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — rowid surrogate encode: 18 base-64 chars from (dataObj, dba,
+    slot) six-bit groups (reference alphabet RowId.h:31-70, layout
+    OOOOOOFFFBBBBBBRRR)."""
+    from openlogreplicator_spark.functions.decode import encode_rowid
+
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        encode_rowid(
+            F.col("user_id") % 262144,
+            F.col("event_id") % 16777216,
+            (F.col("event_id") % 4096).cast("long"),
+        ).alias("rid"),
+    )
+
+
 def q_w8_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8/§2.8 — per-shard op counters (shard := user_id % 4)."""
     ops = _derived_ops(spark, sf_dir)
@@ -663,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_txn_size_cap": q_t6_txn_size_cap,
         "p4_value_decode": q_p4_value_decode,
         "p8_xid_format": q_p8_xid_format,
+        "p7_rowid_encode": q_p7_rowid_encode,
         "w8_lineage_counts": q_w8_lineage_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -958,6 +976,10 @@ FROM events
 """,
         "p8_xid_format": """
 SELECT event_id, printf('0x%04x.%03x.%08x', user_id, event_id % 8, event_id) AS xid_str
+FROM events
+""",
+        "p7_rowid_encode": """
+SELECT event_id, substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 30) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 24) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 18) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 12) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 6) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((user_id % 262144) >> 0) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 48) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 42) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 36) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 30) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 24) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 18) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 12) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 6) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 16777216) >> 0) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 4096) >> 12) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 4096) >> 6) & 63 AS INTEGER) + 1, 1) || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/', CAST(((event_id % 4096) >> 0) & 63 AS INTEGER) + 1, 1) AS rid
 FROM events
 """,
         "w8_lineage_counts": _ORACLE_DERIVED + """
