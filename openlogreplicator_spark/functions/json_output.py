@@ -113,19 +113,28 @@ def write_json_mirror(
     # DAG: the stream is globally (scn, idx)-sorted across part files, so
     # the max commit scn is the last line of the last non-empty part file —
     # one tiny driver-side file read instead of recomputing the whole
-    # assemble→collapse plan for an agg.
+    # assemble→collapse plan for an agg.  Shape-sensitive fast path only:
+    # if a compression codec or a changed part-naming scheme breaks the
+    # plain-text read, fall back to the shape-agnostic aggregation.
     import glob
 
     max_scn = None
-    for path in sorted(glob.glob(os.path.join(epoch_dir, "part-*")), reverse=True):
-        last = None
-        with open(path) as pf:
-            for line in pf:
-                if line.strip():
-                    last = line
-        if last is not None:
-            max_scn = json.loads(last)["scn"]
-            break
+    try:
+        for path in sorted(glob.glob(os.path.join(epoch_dir, "part-*")), reverse=True):
+            last = None
+            with open(path, encoding="utf-8") as pf:
+                for line in pf:
+                    if line.strip():
+                        last = line
+            if last is not None:
+                max_scn = json.loads(last)["scn"]
+                break
+    except (UnicodeDecodeError, json.JSONDecodeError, KeyError, OSError):
+        max_scn = None
+    if max_scn is None:
+        # unreadable part files OR none matched the naming assumption OR a
+        # genuinely empty epoch — the agg distinguishes (None only when empty)
+        max_scn = msgs.agg(F.max("scn").alias("m")).first()["m"]
     chkpt = {
         "scn": int(max_scn) if max_scn is not None else None,
         "db": db_name,

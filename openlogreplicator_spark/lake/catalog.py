@@ -53,7 +53,11 @@ DEFAULT_VALUE_COLS = [
 
 def parse_create_columns(stmt_tail: str) -> list[tuple[str, str]] | None:
     """Parse the ``(col type, col type, ...)`` tail of CREATE TABLE; None if
-    absent (caller falls back to the transcript default)."""
+    absent (caller falls back to the transcript default).  Raises ValueError
+    for specs outside the supported grammar — including types the lake
+    cannot store — callers treat that as "no parseable column list"."""
+    from .table import _TYPE_MAP
+
     m = re.search(r"\((.*)\)", stmt_tail, re.S)
     if not m:
         return None
@@ -62,6 +66,8 @@ def parse_create_columns(stmt_tail: str) -> list[tuple[str, str]] | None:
         toks = part.split()
         if len(toks) != 2:
             raise ValueError(f"bad column spec {part!r} in CREATE TABLE")
+        if toks[1].lower() not in _TYPE_MAP:
+            raise ValueError(f"unsupported column type {toks[1]!r} in CREATE TABLE")
         cols.append((toks[0], toks[1].lower()))
     return cols
 
@@ -101,6 +107,7 @@ class Catalog:
         mode: str = "cow",
         compact_threshold: int = 8,
         ledger_mark: tuple[str, str] | None = None,
+        registry_snapshot: tuple[str, str, dict] | None = None,
     ) -> LakeTable:
         """Register + create a tracked table (reference: DDL type 1 CREATE
         TABLE, Builder.cpp:1807).  Idempotent: an existing registration
@@ -108,7 +115,15 @@ class Catalog:
         dropped table's orphan, or a crash between the LakeTable files
         landing and the registry commit — in both cases no merge has
         targeted it since, because merges only route to registered names)
-        is overwritten so CREATE always yields an empty table."""
+        is overwritten so CREATE always yields an empty table.
+
+        ``registry_snapshot=(job_id, epoch_key, {name: path})``: the
+        registry as it stood at EPOCH START, persisted in the SAME atomic
+        commit as the first registry mutation of the epoch (and never
+        overwritten) — a crash-replayed epoch seeds its segment membership
+        from this snapshot, not from the already-mutated live registry, so
+        DML that committed before this CREATE stays skipped on replay
+        exactly as it was on the clean run."""
         if not _NAME_RE.match(name):
             raise ValueError(f"bad table name {name!r}")
         if name in self.manifest["tables"]:
@@ -126,18 +141,44 @@ class Catalog:
         )
         m = dict(self.manifest)
         m["tables"] = dict(self.manifest["tables"], **{name: {"path": rel}})
+        self._record_registry_snapshot(m, registry_snapshot)
         self._commit(m, ledger_mark)
         return self.table(name)
 
-    def drop_table(self, name: str, ledger_mark: tuple[str, str] | None = None):
+    def drop_table(
+        self,
+        name: str,
+        ledger_mark: tuple[str, str] | None = None,
+        registry_snapshot: tuple[str, str, dict] | None = None,
+    ):
         """Deregister a table (reference: DDL type 12 DROP TABLE).  The data
         directory becomes an orphan (restorable until vacuumed), exactly
-        like Iceberg's DROP TABLE without PURGE."""
+        like Iceberg's DROP TABLE without PURGE.  ``registry_snapshot``:
+        see :meth:`create_table`."""
         if name not in self.manifest["tables"]:
             return
         m = dict(self.manifest)
         m["tables"] = {k: v for k, v in self.manifest["tables"].items() if k != name}
+        self._record_registry_snapshot(m, registry_snapshot)
         self._commit(m, ledger_mark)
+
+    @staticmethod
+    def _record_registry_snapshot(m: dict, snap: tuple[str, str, dict] | None):
+        if snap is None:
+            return
+        job_id, epoch_key, names = snap
+        reg = {k: dict(v) for k, v in m.get("epoch_registry", {}).items()}
+        reg.setdefault(job_id, {})
+        if epoch_key not in reg[job_id]:  # first mutation of the epoch wins
+            reg[job_id][epoch_key] = dict(names)
+        m["epoch_registry"] = reg
+
+    def epoch_start_registry(self, job_id: str, epoch_key: str) -> dict | None:
+        """The registry (name → path) as it stood when this epoch first
+        mutated it, or None if this epoch has not (yet) applied any
+        CREATE/DROP — in which case the live registry IS the epoch-start
+        registry."""
+        return self.manifest.get("epoch_registry", {}).get(job_id, {}).get(epoch_key)
 
     # ---------------------------------------------------------------- access
     @property
@@ -200,6 +241,12 @@ class Catalog:
         for mark in marks:
             ledger.setdefault(job_id, {})[mark] = True
         m["ledger"] = ledger
+        # the epoch is fenced — its start-registry snapshot (crash-replay
+        # seed, see create_table) is no longer needed
+        if m.get("epoch_registry", {}).get(job_id):
+            reg = {k: dict(v) for k, v in m["epoch_registry"].items()}
+            reg[job_id] = {}
+            m["epoch_registry"] = reg
         m["version"] = version
         LakeTable._write_manifest_static(self.path, m)
         self.manifest = m

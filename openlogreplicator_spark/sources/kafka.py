@@ -38,11 +38,14 @@ def events_to_kafka(
 ) -> DataFrame:
     """CHANGE_EVENT rows → Kafka producer rows (key/value binary, topic).
 
-    key = shard (partition routing preserves per-shard LSN order);
-    value = the event as JSON (nulls kept so changed_cols vs null-image
-    semantics survive the wire).  Shaped so a shard is produced by exactly
-    one task in LSN order: hash repartition on shard + per-task sort —
-    per-shard produce order == per-shard log order, no global sort."""
+    key = shard (consumer-side routing identity); value = the event as JSON
+    (nulls kept so changed_cols vs null-image semantics survive the wire).
+    Shaped so a shard is produced by exactly one task in LSN order: hash
+    repartition on shard + per-task sort, PLUS an explicit ``partition``
+    column (= the Spark partition id) so the producer routes by OUR
+    assignment instead of murmur2(key) — one task feeds one Kafka
+    partition, making task-sequential produce order == log order per
+    partition, with no global sort."""
     n = n_partitions or events.sparkSession.sparkContext.defaultParallelism
     events = events.repartition(n, "shard").sortWithinPartitions("shard", "lsn")
     return events.select(
@@ -52,6 +55,7 @@ def events_to_kafka(
             {"ignoreNullFields": "false"},
         ).cast("binary").alias("value"),
         F.lit(topic).alias("topic"),
+        F.spark_partition_id().alias("partition"),
     )
 
 
@@ -75,10 +79,15 @@ def messages_to_kafka(
     """W6 JSON output messages → Kafka producer rows (the WriterKafka
     egress path).  key = scn string so log-compacted consumers keep the
     newest state per commit position.  Shaping: hash repartition on key +
-    per-task (scn, idx) sort — each Kafka partition receives ITS messages
-    in commit order (per-partition monotone scn), which is the only order
-    Kafka can guarantee anyway.  No global orderBy: that was a full range
-    shuffle that still could not order produce across parallel tasks."""
+    per-task (scn, idx) sort, PLUS an explicit ``partition`` column (= the
+    Spark partition id) overriding the producer's murmur2(key) routing —
+    each Kafka partition is fed by exactly ONE task, so it receives its
+    messages in (scn, idx) order (per-partition monotone scn), which is the
+    only order Kafka can guarantee anyway.  Without the explicit partition
+    the producer interleaves messages from many concurrent tasks and only
+    the compaction guarantee (newest value per scn key) survives.  No
+    global orderBy: that was a full range shuffle that still could not
+    order produce across parallel tasks."""
     n = n_partitions or messages.sparkSession.sparkContext.defaultParallelism
     keyed = messages.withColumn("key", F.col("scn").cast("string").cast("binary"))
     return (
@@ -88,5 +97,6 @@ def messages_to_kafka(
             "key",
             F.col("message").cast("binary").alias("value"),
             F.lit(topic).alias("topic"),
+            F.spark_partition_id().alias("partition"),
         )
     )

@@ -36,10 +36,13 @@ dictionary entry and is skip-counted, exactly like untracked tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake.catalog import Catalog, parse_create_columns
+from ..lake.table import LakeTable
 from ..operators.assemble import (
     assemble_transactions,
     match_partial_rollbacks,
@@ -56,7 +59,15 @@ def parse_ddl(stmt: str, default_table: str | None) -> tuple:
     toks = (stmt or "").split()
     up = [t.upper() for t in toks]
     if len(up) >= 3 and up[0] == "CREATE" and up[1] == "TABLE":
-        return ("create", toks[2].rstrip("("), parse_create_columns(stmt))
+        # tolerated, not fatal: a column list this parser can't express
+        # ('decimal(10,2)', 'text not null', 'map<string,string>') falls back
+        # to the default transcript columns instead of killing the stream —
+        # the same policy as unknown DDL verbs (counted, not applied)
+        try:
+            cols = parse_create_columns(stmt)
+        except ValueError:
+            cols = None
+        return ("create", toks[2].rstrip("("), cols)
     if len(up) >= 3 and up[0] == "DROP" and up[1] == "TABLE":
         return ("drop", toks[2], None)
     if len(up) >= 6 and up[0] == "ALTER" and up[1] == "TABLE" and up[3] == "ADD" and up[4] == "COLUMN":
@@ -75,18 +86,33 @@ def parse_ddl(stmt: str, default_table: str | None) -> tuple:
     return ("noop", None, None)
 
 
-def _apply_ddl(catalog: Catalog, verb: str, name: str | None, arg, lm: tuple[str, str]):
+def _apply_ddl(
+    catalog: Catalog,
+    verb: str,
+    name: str | None,
+    arg,
+    lm: tuple[str, str],
+    registry_snapshot: tuple[str, str, dict] | None = None,
+):
     """Route one fenced DDL; every mutation is ledger-marked atomically with
     its own metadata commit (catalog ledger for registry changes, the
-    table's ledger for schema changes) so crash replay applies it once."""
+    table's ledger for schema changes) so crash replay applies it once.
+    ``registry_snapshot``: the epoch-start registry, persisted with the
+    FIRST create/drop of the epoch (Catalog.create_table docstring) so a
+    crash-replayed epoch routes segments exactly like the clean run."""
     job_id, mark = lm
     if verb in ("create", "drop"):
         if mark in catalog.manifest["ledger"].get(job_id, {}):
             return
         if verb == "create":
-            catalog.create_table(name, value_cols=arg, ledger_mark=lm)
+            catalog.create_table(
+                name, value_cols=arg, ledger_mark=lm,
+                registry_snapshot=registry_snapshot,
+            )
         else:
-            catalog.drop_table(name, ledger_mark=lm)
+            catalog.drop_table(
+                name, ledger_mark=lm, registry_snapshot=registry_snapshot
+            )
         return
     if name not in catalog.manifest["tables"]:
         return  # ALTER/TRUNCATE of an unknown table: tolerated, not fatal
@@ -99,6 +125,23 @@ def _apply_ddl(catalog: Catalog, verb: str, name: str | None, arg, lm: tuple[str
         table.alter_drop_column(arg, ledger_mark=lm)
     elif verb == "truncate":
         table.truncate(ledger_mark=lm)
+
+
+def _resolve_table(
+    catalog: Catalog, name: str, start_registry: dict
+) -> LakeTable | None:
+    """A segment's merge target.  Normally the registered table; on a crash
+    replay a table DROPPED mid-epoch is no longer registered, but its data
+    directory (an orphan until vacuumed) still holds the ledger marks that
+    make the replayed early-segment merges no-op — route to it by the
+    epoch-start snapshot path."""
+    if name in catalog.manifest["tables"]:
+        return catalog.table(name)
+    rel = start_registry.get(name, f"tables/{name}")
+    p = os.path.join(catalog.path, rel)
+    if os.path.exists(os.path.join(p, "VERSION")):
+        return LakeTable(catalog.spark, p)
+    return None
 
 
 def apply_epoch_multi(
@@ -125,8 +168,18 @@ def apply_epoch_multi(
     catalog.refresh()
     if f"{epoch_id}:done" in catalog.manifest["ledger"].get(job_id, {}):
         return {"applied": False, "reason": "epoch already committed"}
+    # Epoch-start registry: on a CLEAN run this is the live registry; on a
+    # CRASH REPLAY after a mid-epoch CREATE/DROP committed, the live
+    # registry has already mutated — seed from the snapshot persisted with
+    # that first mutation so early segments route exactly like the clean
+    # run (DML committed before a CREATE stays skipped).
+    start_registry = catalog.epoch_start_registry(job_id, str(epoch_id))
+    if start_registry is None:
+        start_registry = {
+            n: catalog.manifest["tables"][n]["path"] for n in catalog.table_names
+        }
     if default_table is None:
-        default_table = catalog.table_names[0] if catalog.table_names else None
+        default_table = sorted(start_registry)[0] if start_registry else None
 
     pending = catalog.pending(CHANGE_EVENT_SCHEMA)
     events = batch_df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]).unionByName(
@@ -206,7 +259,7 @@ def apply_epoch_multi(
     )
     parsed = [parse_ddl(r["ddl_stmt"], default_table) for r in ddls]
     boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
-    names_now = set(catalog.table_names)
+    names_now = set(start_registry)
     names_at: list[set[str]] = []  # registry state during segment i
     for verb, name, _arg in [(None, None, None)] + parsed:
         if verb == "create" and name:
@@ -267,7 +320,9 @@ def apply_epoch_multi(
         final = hi is None
         live = sorted(names_at[i])
         for name in live:
-            table = catalog.table(name)
+            table = _resolve_table(catalog, name, start_registry)
+            if table is None:
+                continue  # dropped-mid-epoch orphan vacuumed away: the DROP stands
             changes = collapse_net_changes(
                 seg.filter(F.col("table_name") == name), table.value_names
             ).persist()
@@ -297,7 +352,10 @@ def apply_epoch_multi(
         if not final:
             verb, name, arg = parsed[i]
             if verb != "noop":
-                _apply_ddl(catalog, verb, name, arg, (job_id, f"{epoch_id}:ddl{i}"))
+                _apply_ddl(
+                    catalog, verb, name, arg, (job_id, f"{epoch_id}:ddl{i}"),
+                    registry_snapshot=(job_id, str(epoch_id), start_registry),
+                )
         lo = hi
 
     for r in skipped_src.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect():

@@ -61,7 +61,8 @@ def test_kafka_poison_message_dropped(spark):
     fb = _feed()
     good = events_to_kafka(fb.to_spark(spark))
     poison = spark.createDataFrame(
-        [(b"0", b"{not json", "cdc-transcripts")], "key binary, value binary, topic string"
+        [(b"0", b"{not json", "cdc-transcripts", 0)],
+        "key binary, value binary, topic string, partition int",
     )
     parsed = events_from_kafka(good.unionByName(poison))
     assert parsed.count() == len(fb.rows)  # poison dropped, stream alive

@@ -385,3 +385,145 @@ def test_multi_schemaless_mirrors_unregistered(spark, tmpdir_path):
     assert cat.table_names == ["transcripts"]
     feed_rows = [r for r in cat.lineage().collect() if r["table_name"] is None]
     assert sum(r["n_skipped"] for r in feed_rows) == 0
+
+
+def test_crash_after_mid_epoch_create_replays_identically(spark, tmpdir_path):
+    """Exactly-once under the ADVICE r3 crash window: a mid-epoch CREATE
+    TABLE commits to the registry BEFORE the epoch's :done fence.  If the
+    stream crashes in that window, the replayed epoch must still skip DML
+    that committed before the CREATE (it has no dictionary entry in segment
+    0) — the epoch-start registry snapshot, not the mutated live registry,
+    seeds segment membership on replay."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="keep", ts=TS)
+    # commits BEFORE the CREATE → must be skipped on clean run AND on replay
+    t.dml_other_table("audit", "c1", 0, op="ins", role="x", text="too-early")
+    fb.commit(t)
+    fb.ddl_txn("CREATE TABLE audit (role string, text string)",
+               ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.dml_other_table("audit", "c2", 0, op="ins", role="a", text="in-audit")
+    fb.commit(t)
+
+    cat_path = os.path.join(tmpdir_path, "cat")
+    cat = Catalog.create(spark, cat_path)
+    cat.create_table("transcripts", n_buckets=2)
+
+    # crash simulation: every merge + the CREATE DDL apply, then die before
+    # the :done catalog commit
+    real_commit = Catalog.commit_epoch
+    try:
+        def boom(self, *a, **k):
+            raise RuntimeError("injected crash before :done")
+
+        Catalog.commit_epoch = boom
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_epoch_multi(cat, fb.to_spark(spark), 7, job_id="j")
+    finally:
+        Catalog.commit_epoch = real_commit
+
+    # the crash window is real: the registry already has the new table
+    cat = Catalog(spark, cat_path)
+    assert "audit" in cat.table_names
+    assert cat.epoch_start_registry("j", "7") == {"transcripts": "tables/transcripts"}
+
+    # replay the epoch (what foreachBatch does on restart)
+    apply_epoch_multi(cat, fb.to_spark(spark), 7, job_id="j")
+
+    expected = replay_multi(fb.rows)
+    assert_catalog_matches(cat, expected)
+    audit = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in cat.table("audit").read().collect()}
+    assert audit == {("c2", 0): "in-audit"}  # pre-create DML still skipped
+    # snapshot is pruned at the fence
+    assert cat.epoch_start_registry("j", "7") is None
+
+
+def test_crash_after_mid_epoch_drop_replays_identically(spark, tmpdir_path):
+    """DROP TABLE twin of the crash window: segment-0 DML of the dropped
+    table was merged on the clean run (table live then); the replay must
+    route to the orphan directory (epoch-start snapshot path) where the
+    ledger mark makes the re-merge a no-op — and the final state must show
+    the table dropped, exactly like the clean run."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="stays", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="doomed")
+    fb.commit(t)
+    fb.ddl_txn("DROP TABLE summaries", ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.upd("c1", 0, text="stays2")
+    fb.commit(t)
+
+    cat_path = os.path.join(tmpdir_path, "cat")
+    cat = Catalog.create(spark, cat_path)
+    cat.create_table("transcripts", n_buckets=2)
+    cat.create_table("summaries", n_buckets=2)
+
+    real_commit = Catalog.commit_epoch
+    try:
+        def boom(self, *a, **k):
+            raise RuntimeError("injected crash before :done")
+
+        Catalog.commit_epoch = boom
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_epoch_multi(cat, fb.to_spark(spark), 3, job_id="j")
+    finally:
+        Catalog.commit_epoch = real_commit
+
+    cat = Catalog(spark, cat_path)
+    assert cat.table_names == ["transcripts"]  # drop already committed
+    apply_epoch_multi(cat, fb.to_spark(spark), 3, job_id="j")
+
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    assert cat.table_names == ["transcripts"]
+    assert "summaries" not in expected.tables
+    assert_catalog_matches(cat, expected, names=["transcripts"])
+
+
+def test_unparseable_create_columns_fall_back_to_default(spark, tmpdir_path):
+    """A CREATE TABLE column list outside the supported grammar
+    ('decimal(10,2)', 'not null' modifiers) must not kill the stream: the
+    table is created with the default transcript columns (same policy as
+    unknown DDL verbs — tolerated, counted, never fatal)."""
+    from openlogreplicator_spark.streaming.multi import parse_ddl
+
+    verb, name, arg = parse_ddl(
+        "CREATE TABLE prices (amount decimal(10,2), note text not null)", None
+    )
+    assert (verb, name, arg) == ("create", "prices", None)
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="a", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("CREATE TABLE prices (amount decimal(10,2))",
+               ["role", "text", "tool", "ts"])
+    t = fb.begin()
+    t.dml_other_table("prices", "c2", 0, op="ins", role="p", text="1.99")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts"], n_buckets=2,
+    )
+    assert set(cat.table_names) == {"transcripts", "prices"}
+    assert cat.table("prices").value_names == ["role", "text", "tool", "ts"]
+    rows = {(r["conv_id"], r["text"]) for r in cat.table("prices").read().collect()}
+    assert rows == {("c2", "1.99")}
