@@ -186,6 +186,17 @@ class FeedBuilder:
         self.schema_version += 1
         self.active_columns = list(new_columns)
 
+    def continue_txn(self, txn: TxnHandle, shard: int | None = None) -> TxnHandle:
+        """Continue a transaction begun in ANOTHER builder — the
+        long-spanning-transaction scenario (a txn alive across several
+        epochs/log files; reference fixture @MID_SWITCH + the pending-state
+        carry).  Same xid; seq_in_txn resumes from the donor handle so
+        intra-txn order stays total."""
+        t = TxnHandle(self, txn.xid,
+                      shard if shard is not None else txn.shard, attrs=txn.attrs)
+        t.seq_in_txn = txn.seq_in_txn
+        return t
+
     def new_seq(self):
         """Start a new log file (sequence) at the current position —
         long-spanning-txn scenario (@MID_SWITCH analog)."""

@@ -22,10 +22,15 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE the multiply: a float32 product loses ~1e-8 relative
+    # precision per element vs the float64 product every other engine
+    # (and the DuckDB oracle) computes — enough to flip a cosine sitting
+    # on a round-to-6-decimals boundary.  The fold itself is sequential,
+    # matching a plain left-to-right double summation.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 

@@ -195,11 +195,9 @@ class Catalog:
 
     # ------------------------------------------------------ shared epoch state
     def pending(self, schema: T.StructType) -> DataFrame:
-        dirs = [os.path.join(self.path, d) for d in self.manifest["pending_dirs"]]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        from .table import read_pending_state
+
+        return read_pending_state(self.spark, self.path, self.manifest, schema)
 
     def lineage(self) -> DataFrame:
         from ..schema import LINEAGE_SCHEMA
@@ -217,22 +215,67 @@ class Catalog:
         pending: DataFrame | None = None,
         lineage: DataFrame | None = None,
         shard_frontier: dict | None = None,
+        pending_update: dict | None = None,
+        lineage_rows: list[tuple] | None = None,
     ):
         """One atomic catalog commit carrying the epoch's shared state: the
-        pending-transaction snapshot, the lineage append, the shard
-        frontier, and the ledger marks (``{epoch}:done`` last in ``marks``).
-        Parquet lands BEFORE the manifest swap (crash → orphans, never a
-        torn snapshot), the same write discipline as LakeTable.merge."""
+        pending-transaction state, the lineage append, the shard frontier,
+        and the ledger marks (``{epoch}:done`` last in ``marks``).  Parquet
+        lands BEFORE the manifest swap (crash → orphans, never a torn
+        snapshot), the same write discipline as LakeTable.merge.
+
+        ``pending_update`` / ``lineage_rows``: the zero-extra-job epoch
+        state protocol — same contract as LakeTable.merge (incremental
+        pending deltas + driver-side pyarrow lineage)."""
+        from .table import write_lineage_parquet
+
         version = self.manifest["version"] + 1
         m = dict(self.manifest)
 
-        if pending is not None:
+        if pending_update is not None:
+            pmode = pending_update["mode"]
+            dirs = list(self.manifest["pending_dirs"])
+            closed = list(self.manifest.get("pending_closed", []))
+            open_x = self.manifest.get("pending_open_xids")
+            if pmode == "clear":
+                dirs, closed, open_x = [], [], []
+            elif pmode == "full":
+                prel = f"pending/v{version:06d}"
+                pending_update["df"].write.mode("overwrite").parquet(
+                    os.path.join(self.path, prel)
+                )
+                dirs, closed = [prel], []
+                open_x = sorted(pending_update.get("open_xids", []))
+            elif pmode == "delta":
+                if pending_update.get("df") is not None:
+                    prel = f"pending/v{version:06d}"
+                    pending_update["df"].write.mode("overwrite").parquet(
+                        os.path.join(self.path, prel)
+                    )
+                    dirs.append(prel)
+                closed = sorted(pending_update.get("closed", []))
+                open_x = sorted(pending_update.get("open_xids", []))
+            else:
+                raise ValueError(f"bad pending_update mode {pmode!r}")
+            m["pending_dirs"] = dirs
+            m["pending_closed"] = closed
+            if open_x is not None:
+                m["pending_open_xids"] = open_x
+            else:
+                m.pop("pending_open_xids", None)
+        elif pending is not None:
             prel = f"pending/v{version:06d}"
             pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
             m["pending_dirs"] = [prel]
+            m["pending_closed"] = []
+            m.pop("pending_open_xids", None)
         if lineage is not None:
             lrel = f"lineage/v{version:06d}"
             lineage.write.mode("overwrite").parquet(os.path.join(self.path, lrel))
+            m["lineage_dirs"] = list(self.manifest["lineage_dirs"]) + [lrel]
+        elif lineage_rows is not None:
+            lrel = f"lineage/v{version:06d}"
+            write_lineage_parquet(os.path.join(self.path, lrel), lineage_rows)
             m["lineage_dirs"] = list(self.manifest["lineage_dirs"]) + [lrel]
         if shard_frontier is not None:
             m["shard_frontier"] = {str(k): int(v) for k, v in shard_frontier.items()}

@@ -71,6 +71,55 @@ def _schema_from_manifest(cols: list[dict]) -> T.StructType:
     )
 
 
+def read_pending_state(
+    spark: SparkSession, root: str, manifest: dict, schema: T.StructType
+) -> DataFrame:
+    """Open-transaction pending state = union of the manifest's pending
+    delta files minus the tombstoned xids (transactions that closed since a
+    file was written — see LakeTable.merge pending_update).  The tombstone
+    is a literal IN-list filter (bounded by the compaction cap), pushed
+    down to the parquet scan — no join."""
+    dirs = [os.path.join(root, d) for d in manifest["pending_dirs"]]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*dirs)
+    closed = manifest.get("pending_closed") or []
+    if closed:
+        df = df.filter(~F.col("xid").isin(list(closed)))
+    return df
+
+
+def write_lineage_parquet(dirpath: str, rows: list[tuple]) -> None:
+    """Per-epoch lineage rows written DRIVER-side via pyarrow: they are
+    O(shards + tables) tuples already living on the driver, so a Spark job
+    (≈4 s fixed overhead on this box) per epoch to write them is pure
+    fixed-cost waste.  The file is schema-compatible with LINEAGE_SCHEMA
+    (spark.read.schema(...) reconciles by name + identical physical
+    types)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("epoch_id", pa.int64(), nullable=False),
+            pa.field("shard", pa.int32()),
+            pa.field("table_name", pa.string()),
+            pa.field("last_applied_lsn", pa.int64()),
+            pa.field("n_ins", pa.int64(), nullable=False),
+            pa.field("n_upd", pa.int64(), nullable=False),
+            pa.field("n_del", pa.int64(), nullable=False),
+            pa.field("n_skipped", pa.int64(), nullable=False),
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in range(len(schema))]
+    table = pa.table(
+        {f.name: list(c) for f, c in zip(schema, cols)}, schema=schema
+    )
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(table, os.path.join(dirpath, "part-00000.parquet"))
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -292,6 +341,9 @@ class LakeTable:
         pending: DataFrame | None = None,
         lineage: DataFrame | None = None,
         shard_frontier: dict | None = None,
+        affected: list[int] | None = None,
+        lineage_rows: list[tuple] | None = None,
+        pending_update: dict | None = None,
     ) -> bool:
         """Apply one epoch of net changes atomically; idempotent by epoch.
 
@@ -306,6 +358,26 @@ class LakeTable:
           - reset (ins-led)       → row replaced: set cols, others NULL
           - else (upd-only)       → set cols overwrite, others keep target
           - key absent in target  → insert (set cols, others NULL)
+
+        Per-epoch job-count controls (the fixed-cost story, BASELINE.md):
+
+        ``affected``: the touched bucket ids, already measured by the
+        caller's fused counts job over a PERSISTED ``changes`` frame that
+        carries ``_bucket`` — skips this method's persist + distinct job.
+
+        ``lineage_rows``: lineage tuples (LINEAGE_SCHEMA order) written
+        driver-side via pyarrow — a per-epoch lineage append costs zero
+        Spark jobs (the rows are O(shards), already on the driver).
+
+        ``pending_update``: incremental pending-state commit (reference
+        analog: TransactionBuffer swap-to-disk, MemoryManager.cpp:1-410 —
+        the open set is carried, not rewritten).  One of:
+          {"mode": "clear"}                      — open set empty: drop all
+          {"mode": "full", "df", "open_xids"}    — full snapshot rewrite
+          {"mode": "delta", "df"|None, "closed", "open_xids"} — append only
+              this epoch's NEW open events (df None = nothing new); xids in
+              ``closed`` are tombstoned out of earlier pending files at
+              read time.  Cost per epoch: O(new events), not O(open set).
         """
         ledger = self.manifest["ledger"].get(job_id, {})
         if str(epoch_id) in ledger:
@@ -318,10 +390,15 @@ class LakeTable:
         deltas_map = {k: list(v) for k, v in self.manifest.get("deltas", {}).items()}
 
         bexpr = self._bucket_expr()
-        # persist: the changes plan is the whole assemble+collapse DAG; it
-        # feeds both the bucket discovery and the rewrite — never run twice
-        ch = changes.withColumn("_bucket", bexpr).persist()
-        affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
+        caller_persisted = affected is not None
+        if caller_persisted:
+            ch = changes  # already bucketed + persisted by the caller
+        else:
+            # persist: the changes plan is the whole assemble+collapse DAG;
+            # it feeds both the bucket discovery and the rewrite — never
+            # run twice
+            ch = changes.withColumn("_bucket", bexpr).persist()
+            affected = [r["_bucket"] for r in ch.select("_bucket").distinct().collect()]
 
         new_dirs: dict[str, list[str]] = {}
         touched_existing = [
@@ -438,21 +515,52 @@ class LakeTable:
                 if mor_delta:
                     deltas_map[str(b)] = []  # compacted into the new base
 
-        ch.unpersist()
+        if not caller_persisted:
+            ch.unpersist()
 
-        # pending-transaction state snapshot (copy-on-write)
-        pending_dirs: list[str] = []
-        if pending is not None:
+        # pending-transaction state (see docstring; legacy `pending` is a
+        # full copy-on-write snapshot)
+        pending_dirs = list(self.manifest["pending_dirs"])
+        pending_closed = list(self.manifest.get("pending_closed", []))
+        pending_open = self.manifest.get("pending_open_xids")
+        if pending_update is not None:
+            pmode = pending_update["mode"]
+            if pmode == "clear":
+                pending_dirs, pending_closed, pending_open = [], [], []
+            elif pmode == "full":
+                prel = f"pending/v{version:06d}"
+                pending_update["df"].write.mode("overwrite").parquet(
+                    os.path.join(self.path, prel)
+                )
+                pending_dirs = [prel]
+                pending_closed = []
+                pending_open = sorted(pending_update.get("open_xids", []))
+            elif pmode == "delta":
+                if pending_update.get("df") is not None:
+                    prel = f"pending/v{version:06d}"
+                    pending_update["df"].write.mode("overwrite").parquet(
+                        os.path.join(self.path, prel)
+                    )
+                    pending_dirs.append(prel)
+                pending_closed = sorted(pending_update.get("closed", []))
+                pending_open = sorted(pending_update.get("open_xids", []))
+            else:
+                raise ValueError(f"bad pending_update mode {pmode!r}")
+        elif pending is not None:
             prel = f"pending/v{version:06d}"
             pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
             pending_dirs = [prel]
-        else:
-            pending_dirs = self.manifest["pending_dirs"]
+            pending_closed = []
+            pending_open = None  # unknown xid set → next delta decision rewrites
 
         lineage_dirs = list(self.manifest["lineage_dirs"])
         if lineage is not None:
             lrel = f"lineage/v{version:06d}"
             lineage.write.mode("overwrite").parquet(os.path.join(self.path, lrel))
+            lineage_dirs.append(lrel)
+        elif lineage_rows is not None:
+            lrel = f"lineage/v{version:06d}"
+            write_lineage_parquet(os.path.join(self.path, lrel), lineage_rows)
             lineage_dirs.append(lrel)
 
         buckets = dict(self.manifest["buckets"])
@@ -467,6 +575,11 @@ class LakeTable:
         m["buckets"] = buckets
         m["deltas"] = {b: ds for b, ds in deltas_map.items() if ds}
         m["pending_dirs"] = pending_dirs
+        m["pending_closed"] = pending_closed
+        if pending_open is not None:
+            m["pending_open_xids"] = pending_open
+        else:
+            m.pop("pending_open_xids", None)
         m["lineage_dirs"] = lineage_dirs
         if shard_frontier is not None:
             # per-shard read frontier (RAC SCN watermark state) — atomic
@@ -558,11 +671,7 @@ class LakeTable:
 
     # ------------------------------------------------------------- metadata
     def pending(self, schema: T.StructType) -> DataFrame:
-        dirs = [os.path.join(self.path, d) for d in self.manifest["pending_dirs"]]
-        dirs = [d for d in dirs if os.path.isdir(d)]
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return read_pending_state(self.spark, self.path, self.manifest, schema)
 
     def lineage(self) -> DataFrame:
         from ..schema import LINEAGE_SCHEMA

@@ -122,7 +122,9 @@ def assemble_transactions(
 
 
 def match_partial_rollbacks(
-    committed: DataFrame, broadcast_key_limit: int = 1_000_000
+    committed: DataFrame,
+    broadcast_key_limit: int = 1_000_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Remove DMLs popped by savepoint partial rollbacks, and the prollback
     markers themselves.  Pure window formulation (see module docstring).
@@ -136,10 +138,15 @@ def match_partial_rollbacks(
     the payload never shuffles (the common case — savepoints are rare);
     above it the joins fall back to shuffle, which is the only shape that
     survives a savepoint-heavy feed (an unconditional broadcast there is a
-    driver OOM).  Zero prollbacks short-circuits to a plain filter."""
+    driver OOM).  Zero prollbacks short-circuits to a plain filter.
+
+    ``n_hint``: prollback count already measured by the caller (the fused
+    epoch-stats job, streaming/stats.py) — skips the probe job.  A count
+    taken BEFORE caller-side row drops is safe: zero stays zero, and an
+    over-count only makes the broadcast decision more conservative."""
     w_key = ["xid", "table_name", "conv_id", "turn_idx"]
     pr_events = committed.filter(F.col("op") == "prollback")
-    n_pr = pr_events.limit(broadcast_key_limit + 1).count()
+    n_pr = n_hint if n_hint is not None else pr_events.limit(broadcast_key_limit + 1).count()
     if n_pr == 0:
         return committed.filter(F.col("op") != "prollback")
 
@@ -169,7 +176,9 @@ def match_partial_rollbacks(
 
 
 def reassemble_chunks(
-    survivors: DataFrame, broadcast_key_limit: int = 1_000_000
+    survivors: DataFrame,
+    broadcast_key_limit: int = 1_000_000,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """LOB-analog text reassembly (reference: LobCtx page maps,
     src/common/LobCtx.cpp; invocation Transaction.cpp:286-420).
@@ -187,9 +196,13 @@ def reassemble_chunks(
     in the feed — and is NEVER broadcast: its join partner is the already-
     small contested set, so that join is a small shuffle regardless of how
     fat the text is.  The untouched bulk never shuffles at all.
+
+    ``n_hint``: chunk count already measured by the caller's fused
+    epoch-stats job (chunk events pass through savepoint matching
+    untouched, so a pre-matching count is exact).
     """
     chunk_events = survivors.filter(F.col("op") == "chunk")
-    n_chunks = chunk_events.limit(broadcast_key_limit + 1).count()
+    n_chunks = n_hint if n_hint is not None else chunk_events.limit(broadcast_key_limit + 1).count()
     if n_chunks == 0:
         return survivors.filter(F.col("op") != "chunk")
 

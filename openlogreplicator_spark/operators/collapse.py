@@ -50,11 +50,22 @@ def _ord():
     return F.struct(F.col("txn_commit_scn"), F.col("seq_in_txn"))
 
 
-def collapse_net_changes(dml: DataFrame, active_columns: list[str]) -> DataFrame:
+def collapse_net_changes(
+    dml: DataFrame, active_columns: list[str], extra_group: list[str] | None = None
+) -> DataFrame:
     """dml: surviving committed ins/upd/del rows of ONE tracked table with
     ``txn_commit_scn`` attached.  Returns one row per key:
     (conv_id, turn_idx, is_delete, reset, set_cols, vals, last_shard,
-    last_lsn)."""
+    last_lsn).
+
+    ``extra_group``: extra grouping columns BEFORE the key — multi-table
+    replication passes ``["table_name"]`` to collapse EVERY tracked table
+    in one aggregation job (per-table key spaces stay disjoint through the
+    group key); the per-table sinks then filter their slice of the one
+    persisted result.  ``active_columns`` is then the UNION of the live
+    tables' columns — safe because a per-table merge only reads its own
+    value columns out of ``set_cols``/``vals`` (extraneous entries are
+    never projected)."""
     d = dml.withColumn("_ord", _ord())
     is_write = F.col("op").isin("ins", "upd")
 
@@ -78,7 +89,8 @@ def collapse_net_changes(dml: DataFrame, active_columns: list[str]) -> DataFrame
             ).alias(f"_m_{c}")
         )
 
-    g = d.groupBy(*KEY).agg(*aggs)
+    gkey = (extra_group or []) + KEY
+    g = d.groupBy(*gkey).agg(*aggs)
 
     def gated(c: str):
         m = F.col(f"_m_{c}")
@@ -97,7 +109,7 @@ def collapse_net_changes(dml: DataFrame, active_columns: list[str]) -> DataFrame
         ]
     )
     return g.select(
-        *KEY,
+        *gkey,
         (F.col("_last").getField("op") == "del").alias("is_delete"),
         F.col("_boundary").isNotNull().alias("reset"),
         set_cols.alias("set_cols"),

@@ -6,7 +6,7 @@ One call per micro-batch (foreachBatch) or per bounded replay.  Pipeline:
                       ├─ committed payload → prollback match → chunk
                       │   reassembly → tracked split → net-change collapse
                       │   → LakeTable.merge (bucketed copy-on-write)
-                      ├─ open txns → pending snapshot (state carry)
+                      ├─ open txns → incremental pending carry (state)
                       └─ dropped/untracked → lineage skip counters
 
 DDL fencing (SURVEY.md §7.4 risk 4): committed DDLs split the epoch into
@@ -15,15 +15,21 @@ position, then the ALTER applies — never mid-merge.  Segment merges use
 ledger keys "{epoch}:{i}" so a crash between segments replays idempotently
 (re-merging identical net changes is a no-op by construction).
 
-Action budget per epoch (scale-relevant): a handful of passes over the
-batch∪pending events — each a pushed-down, codegen'd scan that is CHEAPER
-to recompute than to cache on fast storage (measured: full merge 457k ev/s
-uncached vs 157k with .persist(); flip OLR_PERSIST_EVENTS /
-OLR_PERSIST_COMMITTED to "1" on slow object-store input) — one persisted
-pass per segment for the collapsed changes (bucket discovery and the
-rewrite share it), plus tiny driver collects (DDL list, per-shard counts ≤
-shards, affected buckets ≤ n_buckets).  No O(rows) driver traffic
-anywhere.
+Action budget per epoch (the fixed-cost story — round-3 measured ~49 s of
+per-epoch overhead at ~4 s/job on this box, BASELINE.md t(c)=f+w/c fit):
+
+  1. ONE fused stats job (streaming/stats.py) for every driver scalar —
+     DDL list, per-shard skip counts + LSN frontier + scn horizon,
+     savepoint/chunk probe counts, the open-transaction set;
+  2. per segment, ONE persisted collapse pass whose single counts collect
+     yields BOTH the lineage counters and the affected buckets;
+  3. the merge write itself;
+  4. a pending DELTA write only when this batch added open events
+     (O(new events), not O(open set) — and zero jobs when it didn't);
+  5. lineage rows written driver-side via pyarrow — zero jobs;
+plus config-gated extras (watermark pre-job; one skip-count job when a
+txn cap / expiry / savepoint interplay invalidates the fused counters).
+No O(rows) driver traffic anywhere.
 
 The reference serializes all of this on one writer thread
 (/root/reference/src/writer/Writer.cpp:213-360) with a client-checkpoint
@@ -32,6 +38,8 @@ the manifest ledger gives the dedup.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,7 +52,45 @@ from ..operators.assemble import (
 )
 from ..operators.collapse import collapse_net_changes
 from ..operators.filters import split_tracked
-from ..schema import CHANGE_EVENT_SCHEMA, LINEAGE_SCHEMA
+from ..schema import CHANGE_EVENT_SCHEMA
+from .stats import epoch_stats
+
+# pending-carry compaction dials: rewrite the full open-set snapshot when
+# the delta chain or the tombstone list grows past these (same lazy-compact
+# idea as the MoR data path)
+PENDING_COMPACT_DIRS = 8
+PENDING_CLOSED_CAP = 50_000
+
+
+def plan_pending_update(
+    manifest: dict, cur_open: set, n_new_events: int
+) -> tuple[dict, bool]:
+    """Decide this epoch's pending-state commit (see LakeTable.merge).
+
+    Returns (pending_update, needs_df): ``needs_df`` tells the caller
+    whether the update requires the open-events frame (full snapshot or a
+    non-empty delta) — when False the commit is manifest-only (zero jobs).
+
+    Reference analog: TransactionBuffer keeps open txns in place and spills
+    incrementally (src/common/MemoryManager.cpp:1-410); rewriting the whole
+    open set per epoch made a months-open mega-transaction cost O(open set)
+    every epoch.
+    """
+    prev_dirs = manifest.get("pending_dirs", [])
+    prev_closed = set(manifest.get("pending_closed", []))
+    prev_open = manifest.get("pending_open_xids")
+
+    if not cur_open:
+        return {"mode": "clear"}, False
+    closed_total = (prev_closed | (set(prev_open or []) - cur_open)) - cur_open
+    if (
+        prev_open is None  # legacy snapshot: xid set unknown
+        or len(prev_dirs) >= PENDING_COMPACT_DIRS
+        or len(closed_total) > PENDING_CLOSED_CAP
+    ):
+        return {"mode": "full", "open_xids": cur_open}, True
+    upd = {"mode": "delta", "closed": closed_total, "open_xids": cur_open}
+    return upd, n_new_events > 0
 
 
 def apply_epoch(
@@ -82,7 +128,7 @@ def apply_epoch(
     checkpoint).  An open txn whose newest event scn trails the batch's max
     scn by more than the lag — and which has NO commit event (so
     watermark-gated committed txns are never touched) — is dropped whole and
-    counted skipped, instead of riding the pending snapshot forever.
+    counted skipped, instead of riding the pending state forever.
 
     ``schemaless``: the REDO_FLAGS::SCHEMALESS analog (reference:
     Parser.cpp:705, Metadata.cpp:676-706): committed DML of untracked tables
@@ -98,18 +144,21 @@ def apply_epoch(
     if f"{epoch_id}:done" in table.manifest["ledger"].get(job_id, {}):
         return {"applied": False, "reason": "epoch already committed"}
 
+    fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
     pending = table.pending(CHANGE_EVENT_SCHEMA)
-    events = batch_df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]).unionByName(
-        pending
+    # _pend marks rows carried from the previous epoch's pending state —
+    # the incremental pending writer persists only the ~_pend complement
+    events = (
+        batch_df.select(*fields)
+        .withColumn("_pend", F.lit(False))
+        .unionByName(pending.select(*fields).withColumn("_pend", F.lit(True)))
     )
     # Caching policy (measured on the 10M-event bench, local[32], tmpfs):
     # recomputing the pushed-down, codegen'd scans per reuse beats paying
     # the columnar-cache build — full merge 457k ev/s uncached vs 157k
     # cached.  On slow/remote input (object storage) flip the envs to "1":
     # there a re-scan costs more than the cache build.
-    import os as _os0
-
-    _persist_events = _os0.environ.get("OLR_PERSIST_EVENTS", "0") == "1"
+    _persist_events = os.environ.get("OLR_PERSIST_EVENTS", "0") == "1"
     if _persist_events:
         events = events.persist()
     if dump_xids and dump_dir:
@@ -120,48 +169,58 @@ def apply_epoch(
             .coalesce(1)  # trace output is tiny (named xids only)
             .sortWithinPartitions("scn")
             .write.mode("overwrite")
-            .json(_os0.path.join(dump_dir, f"epoch={int(epoch_id):06d}"))
+            .json(os.path.join(dump_dir, f"epoch={int(epoch_id):06d}"))
         )
     try:
         wm = None
         frontier = None
         if shard_watermark:
+            # one batch-only pre-job: the watermark gates the assemble plan
+            # itself, so it cannot ride the post-assemble stats job.
+            # Pending rows' scns were folded into the persisted frontier
+            # the epoch they arrived (monotone max), so batch-only is exact.
             old_front = {
                 int(k): int(v)
                 for k, v in table.manifest.get("shard_frontier", {}).items()
             }
-            # shards that exist but have not delivered yet must pin the
-            # watermark at 0 (reference: RAC thread list known upfront)
             for s_ in expected_shards or []:
                 old_front.setdefault(int(s_), 0)
-            for r in events.groupBy("shard").agg(F.max("scn").alias("m")).collect():
+            for r in batch_df.groupBy("shard").agg(F.max("scn").alias("m")).collect():
                 s = int(r["shard"])
                 old_front[s] = max(old_front.get(s, 0), int(r["m"]))
             frontier = old_front
             wm = min(frontier.values()) if frontier else None
 
         parts = assemble_transactions(events, commit_watermark=wm)
+
+        # ---- the ONE fused stats job (see module docstring) ----
+        is_tracked = F.col("table_name").isNotNull() & F.col("table_name").rlike(
+            tracked_pattern
+        )
+        stats = epoch_stats(
+            batch_df,
+            parts,
+            untracked_cond=~F.coalesce(is_tracked, F.lit(False)),
+            pending_flag="_pend",
+        )
+
         open_events = parts["open"]
+        cur_open = set(stats["open_xids"])
         expired_dml = None
-        if max_open_scn_lag is not None:
-            hz = batch_df.agg(F.max("scn").alias("m")).first()["m"]
-            if hz is not None:
-                stale = (
-                    open_events.groupBy("xid")
-                    .agg(
-                        F.max("scn").alias("_m"),
-                        F.max(F.when(F.col("op") == "commit", 1)).alias("_committed"),
-                    )
-                    .filter(
-                        (F.col("_m") < hz - max_open_scn_lag)
-                        & F.col("_committed").isNull()
-                    )
-                    .select("xid")
+        if max_open_scn_lag is not None and stats["max_scn_by_shard"]:
+            hz = max(stats["max_scn_by_shard"].values())
+            stale = sorted(
+                x
+                for x, info in stats["open_xids"].items()
+                if info["max_scn"] < hz - max_open_scn_lag and not info["has_commit"]
+            )
+            if stale:
+                expired_dml = open_events.filter(
+                    F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
                 )
-                expired_dml = open_events.join(stale, "xid", "left_semi").filter(
-                    F.col("op").isin("ins", "upd", "del")
-                )
-                open_events = open_events.join(stale, "xid", "left_anti")
+                open_events = open_events.filter(~F.col("xid").isin(stale))
+                cur_open -= set(stale)
+
         # cache only the columns downstream stages read (before-images,
         # raw scn/seq and schema_version are not needed past this point)
         committed = parts["committed"].select(
@@ -170,9 +229,7 @@ def apply_epoch(
             "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
             "attrs",
         )
-        import os as _os
-
-        _do_persist = _os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
+        _do_persist = os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
         if _do_persist:
             committed = committed.persist()
 
@@ -196,12 +253,12 @@ def apply_epoch(
             oversize_dml = committed.join(oversize, "xid", "left_semi").filter(dml_ops)
             committed = committed.join(oversize, "xid", "left_anti")
 
-        survivors = match_partial_rollbacks(committed)
+        survivors = match_partial_rollbacks(committed, n_hint=stats["n_prollback"])
         tracked, untracked = split_tracked(
             survivors.filter(F.col("op").isin("ins", "upd", "del", "chunk")),
             tracked_pattern,
         )
-        tracked = reassemble_chunks(tracked)
+        tracked = reassemble_chunks(tracked, n_hint=stats["n_chunks"])
         tracked_dml = tracked.filter(F.col("op") != "chunk")
 
         untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
@@ -215,32 +272,45 @@ def apply_epoch(
                 mirror_src = mirror_src.unionByName(untracked_dml)
             write_json_mirror(mirror_src, json_mirror_dir, epoch_id)
 
-        # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
-        ddls = sorted(
-            committed.filter(F.col("op") == "ddl")
-            .select("txn_commit_scn", "ddl_stmt")
-            .collect(),
-            key=lambda r: r["txn_commit_scn"],
-        )
-        boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
-
-        # per-shard skip counts + consumed-LSN frontier (one small agg each)
-        skipped_src = parts["dropped"].select("shard")
-        if not schemaless:
-            # schemaless mode emits untracked DML instead of skipping it
-            skipped_src = skipped_src.unionByName(untracked_dml.select("shard"))
+        # ---- per-shard skip counts, driver-side from the stats job ----
+        skip_by = dict(stats["dropped_by_shard"])
+        # the fused untracked counters are defined over committed rows
+        # BEFORE savepoint matching / txn-cap drops; with either in play the
+        # (rare-config) dedicated job below recounts post-matching
+        fused_unt_valid = stats["n_prollback"] == 0 and max_txn_ops is None
+        if fused_unt_valid and not schemaless:
+            for s, n in stats["untracked_by_shard"].items():
+                skip_by[s] = skip_by.get(s, 0) + n
+        extra_skip = []
+        if not fused_unt_valid and not schemaless:
+            extra_skip.append(untracked_dml.select("shard"))
         if oversize_dml is not None:
-            skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
+            extra_skip.append(oversize_dml.select("shard"))
         if expired_dml is not None:
-            skipped_src = skipped_src.unionByName(expired_dml.select("shard"))
-        skip_rows = (
-            skipped_src.groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n_skipped"))
-            .collect()
+            extra_skip.append(expired_dml.select("shard"))
+        if extra_skip:
+            u = extra_skip[0]
+            for e in extra_skip[1:]:
+                u = u.unionByName(e)
+            for r in u.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect():
+                skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
+
+        last_by = stats["last_lsn_by_shard"]
+
+        # ---- pending carry: delta-append, compact lazily ----
+        n_new = sum(stats["open_xids"][x]["n_new"] for x in cur_open)
+        pending_update, needs_df = plan_pending_update(
+            table.manifest, cur_open, n_new
         )
-        last_rows = (
-            batch_df.groupBy("shard").agg(F.max("lsn").alias("last_applied_lsn")).collect()
-        )
+        if needs_df:
+            df = open_events
+            if pending_update["mode"] == "delta":
+                df = df.filter(~F.col("_pend"))
+            pending_update["df"] = df.select(*fields)
+
+        # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
+        ddls = stats["ddls"]  # [(commit_scn, seq_in_txn, stmt)] sorted
+        boundaries = [d[0] for d in ddls] + [None]
 
         lo = None
         n_merged = 0
@@ -252,47 +322,48 @@ def apply_epoch(
             if hi is not None:
                 seg = seg.filter(F.col("txn_commit_scn") <= hi)
             final = hi is None
-            changes = collapse_net_changes(seg, table.value_names).persist()
-            for r in changes.groupBy("last_shard").agg(
+            # ONE persisted pass: its single counts collect feeds both the
+            # lineage counters AND the affected-bucket list (merge skips its
+            # own discovery job)
+            changes = (
+                collapse_net_changes(seg, table.value_names)
+                .withColumn("_bucket", table._bucket_expr())
+                .persist()
+            )
+            affected = set()
+            for r in changes.groupBy("_bucket", "last_shard").agg(
                 F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
                 F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
                 F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
             ).collect():
+                affected.add(r["_bucket"])
                 acc = seg_counts.setdefault(r["last_shard"], [0, 0, 0])
                 acc[0] += r["n_ins"]
                 acc[1] += r["n_upd"]
                 acc[2] += r["n_del"]
 
-            lineage = None
+            lineage_rows = None
             if final:
-                shards = (
-                    {r["shard"] for r in last_rows}
-                    | {r["shard"] for r in skip_rows}
-                    | set(seg_counts)
-                )
-                skip_by = {r["shard"]: r["n_skipped"] for r in skip_rows}
-                last_by = {r["shard"]: r["last_applied_lsn"] for r in last_rows}
-                lineage = spark.createDataFrame(
-                    [
-                        (
-                            int(epoch_id),
-                            s,
-                            tracked_pattern,
-                            last_by.get(s),
-                            *(seg_counts.get(s, [0, 0, 0])),
-                            skip_by.get(s, 0),
-                        )
-                        for s in sorted(shards, key=lambda x: (x is None, x))
-                    ],
-                    LINEAGE_SCHEMA,
-                )
+                shards = set(last_by) | set(skip_by) | set(seg_counts)
+                lineage_rows = [
+                    (
+                        int(epoch_id),
+                        s,
+                        tracked_pattern,
+                        last_by.get(s),
+                        *(seg_counts.get(s, [0, 0, 0])),
+                        skip_by.get(s, 0),
+                    )
+                    for s in sorted(shards, key=lambda x: (x is None, x))
+                ]
 
             applied = table.merge(
                 changes,
                 epoch_id=f"{epoch_id}:{i}",
                 job_id=job_id,
-                pending=open_events if final else None,
-                lineage=lineage,
+                affected=sorted(affected),
+                pending_update=pending_update if final else None,
+                lineage_rows=lineage_rows,
                 shard_frontier=frontier if final else None,
             )
             changes.unpersist()
@@ -308,7 +379,7 @@ def apply_epoch(
                 # the epoch cannot re-truncate data merged by later segments.
                 mark = f"{epoch_id}:ddl{i}"
                 if mark not in table.manifest["ledger"].get(job_id, {}):
-                    stmt = (ddls[i]["ddl_stmt"] or "").split()
+                    stmt = (ddls[i][2] or "").split()
                     verb = stmt[0].upper() if stmt else ""
                     lm = (job_id, mark)
                     if verb == "ADD" and len(stmt) >= 4 and stmt[1].upper() == "COLUMN":

@@ -10,14 +10,23 @@ fixtures tests/sql/inputs/multi-table.sql, rac-concurrent-tables.rac.sql).
 Here the same shape over a :class:`~..lake.catalog.Catalog`: the assembly
 pipeline (status join → prollback match → chunk reassembly → collapse) is
 shared — it is table-agnostic, every grouping already keys by table_name —
-and only the SINK fans out: per DDL-fenced segment, each registered table
-filters its own rows (a pushed-down ``table_name = 'x'`` scan) and merges
-into its own LakeTable.  Exactly-once composes: each per-table segment
-merge is idempotent under that table's ledger (key ``{epoch}:{segment}``),
-each DDL is ledger-marked atomically with its metadata commit, and the
-catalog's ``{epoch}:done`` marker commits LAST with the shared state
-(pending snapshot, shard frontier, per-(shard, table) lineage) — a crash
-anywhere replays the epoch and every committed piece no-ops.
+and only the SINK fans out.  Per DDL-fenced segment, ALL live tables
+collapse in ONE aggregation job (grouped by (table_name, key); the
+per-table bucket id is computed through a table→n_buckets literal map), a
+single counts collect yields every table's lineage counters AND affected
+buckets, and only the final per-table WRITES fan out over the one
+persisted result — O(1) Spark jobs per segment plus one write per touched
+table, instead of the round-3 O(tables) collapse jobs + O(tables) driver
+collects that serialized a 50-table catalog.
+
+Exactly-once composes: each per-table segment merge is idempotent under
+that table's ledger (key ``{epoch}:{segment}``), each DDL is ledger-marked
+atomically with its metadata commit, and the catalog's ``{epoch}:done``
+marker commits LAST with the shared state (pending carry, shard frontier,
+per-(shard, table) lineage) — a crash anywhere replays the epoch and every
+committed piece no-ops.  Mid-epoch CREATE/DROP snapshot the epoch-start
+registry (Catalog.create_table docstring) so replayed segments route
+identically.
 
 DDL verbs (superset of the single-table ones; bare verbs route to the
 default table for single-table feed compatibility):
@@ -49,7 +58,9 @@ from ..operators.assemble import (
     reassemble_chunks,
 )
 from ..operators.collapse import collapse_net_changes
-from ..schema import CHANGE_EVENT_SCHEMA, LINEAGE_SCHEMA
+from ..schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_COLUMNS_ALL
+from .apply import plan_pending_update
+from .stats import epoch_stats
 
 
 def parse_ddl(stmt: str, default_table: str | None) -> tuple:
@@ -162,7 +173,10 @@ def apply_epoch_multi(
     Same contract as :func:`..streaming.apply.apply_epoch` (see its
     docstring for shard_watermark / max_open_scn_lag / schemaless), with the
     tracked set = the catalog registry as it evolves across the epoch's DDL
-    fence instead of one regex pattern.
+    fence instead of one regex pattern.  Same per-epoch action budget
+    (apply.py module docstring): one fused stats job, one persisted
+    collapse + one counts collect per segment (covering ALL live tables),
+    per-table writes, an incremental pending delta, driver-side lineage.
     """
     spark = catalog.spark
     catalog.refresh()
@@ -181,44 +195,52 @@ def apply_epoch_multi(
     if default_table is None:
         default_table = sorted(start_registry)[0] if start_registry else None
 
+    fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
     pending = catalog.pending(CHANGE_EVENT_SCHEMA)
-    events = batch_df.select(*[f.name for f in CHANGE_EVENT_SCHEMA.fields]).unionByName(
-        pending
+    events = (
+        batch_df.select(*fields)
+        .withColumn("_pend", F.lit(False))
+        .unionByName(pending.select(*fields).withColumn("_pend", F.lit(True)))
     )
 
     wm = None
     frontier = None
     if shard_watermark:
+        # batch-only pre-job (see apply.py: pending scns are already folded
+        # into the persisted frontier)
         old_front = {
             int(k): int(v)
             for k, v in catalog.manifest.get("shard_frontier", {}).items()
         }
         for s_ in expected_shards or []:
             old_front.setdefault(int(s_), 0)
-        for r in events.groupBy("shard").agg(F.max("scn").alias("m")).collect():
+        for r in batch_df.groupBy("shard").agg(F.max("scn").alias("m")).collect():
             old_front[int(r["shard"])] = max(old_front.get(int(r["shard"]), 0), int(r["m"]))
         frontier = old_front
         wm = min(frontier.values()) if frontier else None
 
     parts = assemble_transactions(events, commit_watermark=wm)
+
+    # ---- ONE fused stats job (stats.py): DDLs, frontier, skip counters,
+    # probe counts, per-table DML counts, the open set ----
+    stats = epoch_stats(batch_df, parts, pending_flag="_pend", per_table_dml=True)
+
     open_events = parts["open"]
+    cur_open = set(stats["open_xids"])
     expired_dml = None
-    if max_open_scn_lag is not None:
-        hz = batch_df.agg(F.max("scn").alias("m")).first()["m"]
-        if hz is not None:
-            stale = (
-                open_events.groupBy("xid")
-                .agg(
-                    F.max("scn").alias("_m"),
-                    F.max(F.when(F.col("op") == "commit", 1)).alias("_committed"),
-                )
-                .filter((F.col("_m") < hz - max_open_scn_lag) & F.col("_committed").isNull())
-                .select("xid")
+    if max_open_scn_lag is not None and stats["max_scn_by_shard"]:
+        hz = max(stats["max_scn_by_shard"].values())
+        stale = sorted(
+            x
+            for x, info in stats["open_xids"].items()
+            if info["max_scn"] < hz - max_open_scn_lag and not info["has_commit"]
+        )
+        if stale:
+            expired_dml = open_events.filter(
+                F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
             )
-            expired_dml = open_events.join(stale, "xid", "left_semi").filter(
-                F.col("op").isin("ins", "upd", "del")
-            )
-            open_events = open_events.join(stale, "xid", "left_anti")
+            open_events = open_events.filter(~F.col("xid").isin(stale))
+            cur_open -= set(stale)
 
     committed = parts["committed"].select(
         "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
@@ -227,11 +249,8 @@ def apply_epoch_multi(
     )
     # Caching policy mirrors apply.py: recomputing the pushed-down codegen'd
     # scans beats paying the columnar-cache build on fast storage (measured
-    # there), BUT the multi-table fan-out re-scans once per (segment, table)
-    # — with many tracked tables on slow/remote input, flip the env to "1".
-    import os as _os
-
-    _do_persist = _os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
+    # there); on slow/remote input flip the env to "1".
+    _do_persist = os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
     if _do_persist:
         committed = committed.persist()
 
@@ -248,17 +267,12 @@ def apply_epoch_multi(
         oversize_dml = committed.join(oversize, "xid", "left_semi").filter(dml_ops)
         committed = committed.join(oversize, "xid", "left_anti")
 
-    survivors = match_partial_rollbacks(committed)
+    survivors = match_partial_rollbacks(committed, n_hint=stats["n_prollback"])
 
     # ---- DDL fence + the registry's evolution across it ----
-    ddls = sorted(
-        committed.filter(F.col("op") == "ddl")
-        .select("txn_commit_scn", "seq_in_txn", "ddl_stmt")
-        .collect(),
-        key=lambda r: (r["txn_commit_scn"], r["seq_in_txn"]),
-    )
-    parsed = [parse_ddl(r["ddl_stmt"], default_table) for r in ddls]
-    boundaries = [r["txn_commit_scn"] for r in ddls] + [None]
+    ddls = stats["ddls"]  # [(commit_scn, seq_in_txn, stmt)] sorted
+    parsed = [parse_ddl(stmt, default_table) for _, _, stmt in ddls]
+    boundaries = [scn for scn, _, _ in ddls] + [None]
     names_now = set(start_registry)
     names_at: list[set[str]] = []  # registry state during segment i
     for verb, name, _arg in [(None, None, None)] + parsed:
@@ -282,7 +296,7 @@ def apply_epoch_multi(
     else:
         tracked = payload.filter(F.lit(False))
         untracked = payload
-    tracked = reassemble_chunks(tracked)
+    tracked = reassemble_chunks(tracked, n_hint=stats["n_chunks"])
     tracked_dml = tracked.filter(F.col("op") != "chunk")
     untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
 
@@ -294,18 +308,43 @@ def apply_epoch_multi(
             mirror_src = mirror_src.unionByName(untracked_dml)
         write_json_mirror(mirror_src, json_mirror_dir, epoch_id)
 
-    # per-shard skip counts + consumed-LSN frontier
-    skipped_src = parts["dropped"].select("shard")
-    if not schemaless:
-        skipped_src = skipped_src.unionByName(untracked_dml.select("shard"))
+    # ---- per-shard skip counts, driver-side from the stats job ----
+    skip_by: dict = dict(stats["dropped_by_shard"])
+    fused_unt_valid = stats["n_prollback"] == 0 and max_txn_ops is None
+    if fused_unt_valid and not schemaless:
+        for (tname, s), n in stats["dml_by_table_shard"].items():
+            if tname not in names_any:
+                skip_by[s] = skip_by.get(s, 0) + n
+    extra_skip = []
+    if not fused_unt_valid and not schemaless:
+        extra_skip.append(untracked_dml.select("shard"))
     if oversize_dml is not None:
-        skipped_src = skipped_src.unionByName(oversize_dml.select("shard"))
+        extra_skip.append(oversize_dml.select("shard"))
     if expired_dml is not None:
-        skipped_src = skipped_src.unionByName(expired_dml.select("shard"))
-    skip_by: dict = {}
+        extra_skip.append(expired_dml.select("shard"))
+    if extra_skip:
+        u = extra_skip[0]
+        for e in extra_skip[1:]:
+            u = u.unionByName(e)
+        for r in u.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect():
+            skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
 
-    last_rows = (
-        batch_df.groupBy("shard").agg(F.max("lsn").alias("last_applied_lsn")).collect()
+    # ---- pending carry (apply.py protocol) ----
+    n_new = sum(stats["open_xids"][x]["n_new"] for x in cur_open)
+    pending_update, needs_df = plan_pending_update(catalog.manifest, cur_open, n_new)
+    if needs_df:
+        df = open_events
+        if pending_update["mode"] == "delta":
+            df = df.filter(~F.col("_pend"))
+        pending_update["df"] = df.select(*fields)
+
+    # per-table sinks for every name live at some point this epoch (a table
+    # CREATEd later this epoch resolves to None until its DDL applies)
+    table_objs = {n: _resolve_table(catalog, n, start_registry) for n in names_any}
+    fused_ok = all(
+        t.key_names == ["conv_id", "turn_idx"]
+        for t in table_objs.values()
+        if t is not None
     )
 
     lo = None
@@ -318,36 +357,100 @@ def apply_epoch_multi(
         if hi is not None:
             seg = seg.filter(F.col("txn_commit_scn") <= hi)
         final = hi is None
-        live = sorted(names_at[i])
-        for name in live:
-            table = _resolve_table(catalog, name, start_registry)
-            if table is None:
-                continue  # dropped-mid-epoch orphan vacuumed away: the DROP stands
-            changes = collapse_net_changes(
-                seg.filter(F.col("table_name") == name), table.value_names
-            ).persist()
-            for r in changes.groupBy("last_shard").agg(
+        live = sorted(n for n in names_at[i] if table_objs.get(n) is not None)
+        if live and fused_ok:
+            # ---- ONE collapse job for ALL live tables ----
+            # union of live value columns: a per-table merge only projects
+            # its own columns out of set_cols/vals, so the union is safe
+            # (collapse_net_changes docstring); the bucket id routes through
+            # a table→n_buckets literal map so per-table bucket counts hold
+            union_cols = [
+                c
+                for c in TRANSCRIPT_COLUMNS_ALL
+                if any(c in table_objs[n].value_names for n in live)
+            ]
+            nb_pairs = []
+            for n in live:
+                nb_pairs += [F.lit(n), F.lit(table_objs[n].n_buckets)]
+            bucket = F.pmod(
+                F.xxhash64(F.col("conv_id")),
+                F.element_at(F.create_map(*nb_pairs), F.col("table_name")),
+            ).cast("int")
+            changes_all = (
+                collapse_net_changes(
+                    seg.filter(F.col("table_name").isin(live)),
+                    union_cols,
+                    extra_group=["table_name"],
+                )
+                .withColumn("_bucket", bucket)
+                .persist()
+            )
+            affected: dict[str, set] = {n: set() for n in live}
+            for r in changes_all.groupBy("table_name", "_bucket", "last_shard").agg(
                 F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
                 F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
                 F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
             ).collect():
-                acc = seg_counts.setdefault((name, r["last_shard"]), [0, 0, 0])
+                affected[r["table_name"]].add(r["_bucket"])
+                acc = seg_counts.setdefault((r["table_name"], r["last_shard"]), [0, 0, 0])
                 acc[0] += r["n_ins"]
                 acc[1] += r["n_upd"]
                 acc[2] += r["n_del"]
-            applied = table.merge(changes, epoch_id=f"{epoch_id}:{i}", job_id=job_id)
-            changes.unpersist()
-            if applied:
-                n_merged += 1
+            for name in live:
+                ch_t = changes_all.filter(F.col("table_name") == name).drop("table_name")
+                applied = table_objs[name].merge(
+                    ch_t,
+                    epoch_id=f"{epoch_id}:{i}",
+                    job_id=job_id,
+                    affected=sorted(affected[name]),
+                )
+                if applied:
+                    n_merged += 1
+            changes_all.unpersist()
+        else:
+            # heterogeneous key columns: per-table fallback (correct, O(T)
+            # jobs — the fused path covers every DDL-created table, which
+            # always uses the default keys)
+            for name in live:
+                table = table_objs[name]
+                changes = (
+                    collapse_net_changes(
+                        seg.filter(F.col("table_name") == name), table.value_names
+                    )
+                    .withColumn("_bucket", table._bucket_expr())
+                    .persist()
+                )
+                affected_t: set = set()
+                for r in changes.groupBy("_bucket", "last_shard").agg(
+                    F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
+                    F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
+                    F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
+                ).collect():
+                    affected_t.add(r["_bucket"])
+                    acc = seg_counts.setdefault((name, r["last_shard"]), [0, 0, 0])
+                    acc[0] += r["n_ins"]
+                    acc[1] += r["n_upd"]
+                    acc[2] += r["n_del"]
+                applied = table.merge(
+                    changes,
+                    epoch_id=f"{epoch_id}:{i}",
+                    job_id=job_id,
+                    affected=sorted(affected_t),
+                )
+                changes.unpersist()
+                if applied:
+                    n_merged += 1
         # rows whose table has no registry entry DURING this segment are
-        # skipped (reference: no dictionary entry → not applied)
-        seg_untracked = seg
-        if live:
-            seg_untracked = seg.filter(~F.col("table_name").isin(live))
-        for r in seg_untracked.groupBy("shard").agg(
-            F.count(F.lit(1)).alias("n")
-        ).collect():
-            skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
+        # skipped (reference: no dictionary entry → not applied); only
+        # possible when a CREATE/DROP fenced this epoch
+        if set(live) != names_any:
+            seg_untracked = seg
+            if live:
+                seg_untracked = seg.filter(~F.col("table_name").isin(live))
+            for r in seg_untracked.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect():
+                skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
 
         if not final:
             verb, name, arg = parsed[i]
@@ -356,16 +459,23 @@ def apply_epoch_multi(
                     catalog, verb, name, arg, (job_id, f"{epoch_id}:ddl{i}"),
                     registry_snapshot=(job_id, str(epoch_id), start_registry),
                 )
+                if verb == "create" and name and table_objs.get(name) is None:
+                    table_objs[name] = _resolve_table(catalog, name, start_registry)
+                elif (
+                    verb in ("add_col", "drop_col", "truncate")
+                    and table_objs.get(name) is not None
+                ):
+                    # _apply_ddl mutated the table through its own instance;
+                    # refresh ours so later segments see the new schema and
+                    # the manifest version chain stays linear
+                    table_objs[name].refresh()
         lo = hi
 
-    for r in skipped_src.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect():
-        skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
-
     # lineage: per-shard feed rows (position + skips, table NULL) plus
-    # per-(shard, table) DML counter rows
-    last_by = {r["shard"]: r["last_applied_lsn"] for r in last_rows}
+    # per-(shard, table) DML counter rows — driver-side tuples, zero jobs
+    last_by = stats["last_lsn_by_shard"]
     shards = set(last_by) | set(skip_by)
-    rows = [
+    lineage_rows = [
         (int(epoch_id), s, None, last_by.get(s), 0, 0, 0, skip_by.get(s, 0))
         for s in sorted(shards, key=lambda x: (x is None, x))
     ] + [
@@ -374,14 +484,13 @@ def apply_epoch_multi(
             seg_counts.items(), key=lambda kv: (kv[0][0], (kv[0][1] is None, kv[0][1]))
         )
     ]
-    lineage = spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
     # shared epoch state + the :done fence, ONE atomic catalog commit
     catalog.commit_epoch(
         job_id,
         marks=[f"{epoch_id}:done"],
-        pending=open_events,
-        lineage=lineage,
+        pending_update=pending_update,
+        lineage_rows=lineage_rows,
         shard_frontier=frontier,
     )
     if _do_persist:
