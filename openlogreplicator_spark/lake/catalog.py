@@ -294,17 +294,18 @@ class Catalog:
         LakeTable._write_manifest_static(self.path, m)
         self.manifest = m
 
-    def vacuum(self) -> dict:
-        """Catalog-wide GC: vacuum every registered table, then remove
-        catalog-level pending/lineage dirs not referenced by the current
-        manifest AND unregistered table directories (DROP TABLE orphans) —
-        the expire_snapshots + remove_orphan_files analog one level up."""
+    def vacuum(self, retain_last: int = 1) -> dict:
+        """Catalog-wide GC: vacuum every registered table (honoring the
+        same time-travel retention window), then remove catalog-level
+        pending/lineage dirs not referenced by the current manifest AND
+        unregistered table directories (DROP TABLE orphans) — the
+        expire_snapshots + remove_orphan_files analog one level up."""
         import glob
         import shutil
 
         removed: dict[str, list[str]] = {}
         for name in self.table_names:
-            removed[name] = self.table(name).vacuum()["removed"]
+            removed[name] = self.table(name).vacuum(retain_last=retain_last)["removed"]
 
         ref = set(self.manifest["pending_dirs"]) | set(self.manifest["lineage_dirs"])
         cat_removed: list[str] = []

@@ -233,9 +233,12 @@ class LakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(F.col(self.key_names[0])), F.lit(self.n_buckets)).cast("int")
 
-    def _read_base(self, buckets: list[int] | None = None) -> DataFrame:
-        schema = self.row_schema()
-        sel = self.manifest["buckets"]
+    def _read_base(
+        self, buckets: list[int] | None = None, m: dict | None = None
+    ) -> DataFrame:
+        m = m if m is not None else self.manifest
+        schema = _schema_from_manifest(m["key_cols"] + m["value_cols"])
+        sel = m["buckets"]
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel = {b: d for b, d in sel.items() if b in want}
@@ -245,9 +248,10 @@ class LakeTable:
         # explicit schema → files written before an ADD COLUMN yield NULLs
         return self.spark.read.schema(schema).parquet(*dirs)
 
-    def _delta_schema(self) -> T.StructType:
-        key_fields = _schema_from_manifest(self.manifest["key_cols"]).fields
-        vals_type = _schema_from_manifest(self.manifest["value_cols"])
+    def _delta_schema(self, m: dict | None = None) -> T.StructType:
+        m = m if m is not None else self.manifest
+        key_fields = _schema_from_manifest(m["key_cols"]).fields
+        vals_type = _schema_from_manifest(m["value_cols"])
         return T.StructType(
             [
                 *key_fields,
@@ -260,25 +264,32 @@ class LakeTable:
         )
 
     def _read_deltas(
-        self, buckets: list[int] | None = None, dmap: dict | None = None
+        self,
+        buckets: list[int] | None = None,
+        dmap: dict | None = None,
+        m: dict | None = None,
     ) -> DataFrame | None:
-        sel = dmap if dmap is not None else self.manifest.get("deltas", {})
+        m = m if m is not None else self.manifest
+        sel = dmap if dmap is not None else m.get("deltas", {})
         if buckets is not None:
             want = {str(b) for b in buckets}
             sel = {b: d for b, d in sel.items() if b in want}
         dirs = [os.path.join(self.path, d) for ds in sel.values() for d in ds]
         if not dirs:
             return None
-        return self.spark.read.schema(self._delta_schema()).parquet(*dirs)
+        return self.spark.read.schema(self._delta_schema(m)).parquet(*dirs)
 
-    def _fold_deltas(self, base: DataFrame, deltas: DataFrame) -> DataFrame:
+    def _fold_deltas(
+        self, base: DataFrame, deltas: DataFrame, m: dict | None = None
+    ) -> DataFrame:
         """Apply ordered per-key net-change deltas onto base rows with ONE
         aggregation + one join (no iteration): sequential-apply semantics —
         is_delete removes, reset redefines, set_cols overwrite — expressed
         as 'value of the last delta setting the column at/after the last
         boundary (delete/reset)'."""
-        key = self.key_names
-        vals = self.value_names
+        m = m if m is not None else self.manifest
+        key = [c["name"] for c in m["key_cols"]]
+        vals = [c["name"] for c in m["value_cols"]]
 
         def set_cond(c: str):
             return F.array_contains(F.coalesce(F.col("set_cols"), F.array()), c)
@@ -323,14 +334,35 @@ class LakeTable:
         out_key = [F.coalesce(F.col(f"t.{k}"), F.col(f"d.{k}")).alias(k) for k in key]
         return j.filter(keep).select(*out_key, *[out_col(c) for c in vals])
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Snapshot read; optional bucket pruning; merge-on-read deltas
-        folded onto the base (one agg + one join)."""
-        base = self._read_base(buckets)
-        deltas = self._read_deltas(buckets)
+        folded onto the base (one agg + one join).
+
+        ``version``: TIME TRAVEL — read the table as of an earlier manifest
+        snapshot (Iceberg ``VERSION AS OF`` / the reference's checkpoint
+        refScn chain, src/metadata/Metadata.cpp:586-613, which keeps
+        history so a late client can restart from an older confirmed
+        position).  Valid for any version whose data files are still
+        retained (``vacuum(retain_last=N)``)."""
+        m = self.manifest if version is None else self.manifest_at(version)
+        base = self._read_base(buckets, m=m)
+        deltas = self._read_deltas(buckets, m=m)
         if deltas is None:
             return base
-        return self._fold_deltas(base, deltas)
+        return self._fold_deltas(base, deltas, m=m)
+
+    def manifest_at(self, version: int) -> dict:
+        """Load a historical manifest snapshot (the time-travel index —
+        manifests are tiny JSON and are never vacuumed)."""
+        mpath = os.path.join(self.path, "manifest", f"v{version:06d}.json")
+        if not os.path.exists(mpath):
+            raise ValueError(
+                f"no snapshot v{version} (current {self.manifest['version']})"
+            )
+        with open(mpath) as f:
+            return json.load(f)
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -631,22 +663,32 @@ class LakeTable:
         k0 = self.key_names[0]
         return self.read(self.buckets_for_keys(keys)).filter(F.col(k0).isin(keys))
 
-    def vacuum(self) -> dict:
+    def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data/delta/pending/lineage directories not referenced by
-        the CURRENT manifest — the Iceberg expire_snapshots +
-        remove_orphan_files analog.  Copy-on-write commits make old dirs
-        garbage the moment the pointer swaps; readers of older snapshots
-        must finish before vacuuming (same caveat as Iceberg)."""
+        the last ``retain_last`` manifest snapshots — the Iceberg
+        expire_snapshots + remove_orphan_files analog.  ``retain_last=1``
+        keeps only the live snapshot; larger values keep a time-travel
+        window: ``read(version=v)`` works for every v whose manifest is
+        inside the retained range (reference analog: the checkpoint refScn
+        chain keeps history for late-client restarts,
+        src/metadata/Metadata.cpp:586-613).  Readers of snapshots OUTSIDE
+        the window must finish before vacuuming (same caveat as Iceberg)."""
         import glob
         import shutil
 
         ref: set[str] = set()
-        for ds in self.manifest["buckets"].values():
-            ref.update(ds)
-        for ds in self.manifest.get("deltas", {}).values():
-            ref.update(ds)
-        ref.update(self.manifest["pending_dirs"])
-        ref.update(self.manifest["lineage_dirs"])
+        cur = self.manifest["version"]
+        for v in range(max(0, cur - max(retain_last, 1) + 1), cur + 1):
+            try:
+                m = self.manifest_at(v) if v != cur else self.manifest
+            except ValueError:
+                continue
+            for ds in m["buckets"].values():
+                ref.update(ds)
+            for ds in m.get("deltas", {}).values():
+                ref.update(ds)
+            ref.update(m["pending_dirs"])
+            ref.update(m["lineage_dirs"])
 
         removed: list[str] = []
         for pattern in ("data/v*/_bucket=*", "delta/v*/_bucket=*",

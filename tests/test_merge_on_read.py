@@ -254,3 +254,54 @@ def test_bootstrap_load_then_cdc(spark, tmpdir_path):
                          table.value_names)
     want = normalize_rows(expected.as_records(), expected.columns)
     assert got == want
+
+
+def test_time_travel_and_retention(spark, tmpdir_path):
+    """Snapshot time travel: read(version=v) reconstructs the table as of
+    an earlier manifest, vacuum(retain_last=N) keeps the data files those
+    snapshots reference, and vacuum(retain_last=1) expires them (reference
+    analog: the checkpoint refScn chain keeps history for late-client
+    restarts, Metadata.cpp:586-613)."""
+    import os
+    from datetime import datetime, timezone
+
+    import pytest
+    from openlogreplicator_spark.feedgen import FeedBuilder
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    TS = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    table = create_target(spark, os.path.join(tmpdir_path, "tbl"), n_buckets=2)
+
+    fb0 = FeedBuilder()
+    t = fb0.begin()
+    t.ins("c1", 0, role="u", text="v1", ts=TS)
+    fb0.commit(t)
+    apply_epoch(table, fb0.to_spark(spark), 0, job_id="j")
+    v0 = table.manifest["version"]
+
+    fb1 = FeedBuilder(start_scn=50_000)
+    fb1._xid_counter = 100
+    t = fb1.begin()
+    t.upd("c1", 0, text="v2")
+    t.ins("c2", 0, role="u", text="new", ts=TS)
+    fb1.commit(t)
+    apply_epoch(table, fb1.to_spark(spark), 1, job_id="j")
+
+    now = {(r["conv_id"], r["text"]) for r in table.read().collect()}
+    assert now == {("c1", "v2"), ("c2", "new")}
+    then = {(r["conv_id"], r["text"]) for r in table.read(version=v0).collect()}
+    assert then == {("c1", "v1")}
+
+    # retention window keeps the old snapshot's files
+    removed = table.vacuum(retain_last=100)["removed"]
+    then2 = {(r["conv_id"], r["text"]) for r in table.read(version=v0).collect()}
+    assert then2 == {("c1", "v1")}
+
+    # expiry: retain only the live snapshot → the old base is garbage
+    removed = table.vacuum(retain_last=1)["removed"]
+    assert removed, "expected the superseded snapshot's files to be removed"
+    assert {(r["conv_id"], r["text"]) for r in table.read().collect()} == now
+
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.read(version=10_000)
