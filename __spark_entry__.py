@@ -239,6 +239,48 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=3, dim=64)
 
 
+_TRAINED_CENTROIDS: list | None = None
+
+
+def _trained_ivf_centroids() -> list:
+    """Spherical-k-means centroids trained ONCE on a deterministic,
+    engine-independent sample (pyarrow + hashlib only) of a FIXED fixture
+    (sf0.001 embeddings — always present, tiny).  Fixed-source training
+    keeps the centroid literals identical between queries() and
+    oracle_sql() at any contract SF; production would train on a sample of
+    the live corpus the same way (functions/similarity.py
+    train_ivf_centroids docstring)."""
+    global _TRAINED_CENTROIDS
+    if _TRAINED_CENTROIDS is None:
+        from openlogreplicator_spark.functions.similarity import (
+            sample_vectors_deterministic,
+            train_ivf_centroids,
+        )
+
+        sample = sample_vectors_deterministic(
+            "/root/testdata/sf0.001/embeddings.parquet", n=1024
+        )
+        _TRAINED_CENTROIDS = train_ivf_centroids(sample, n_centroids=8, iters=8)
+    return _TRAINED_CENTROIDS
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids (spherical k-means on a
+    deterministic data sample) instead of the md5 pseudo-matrix — the
+    production shape for clustered corpora (recall comparison in
+    tests/test_ivf_trained.py); same trained literals embedded in the
+    DuckDB oracle."""
+    from openlogreplicator_spark.functions.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, k=5, n_probe=3, dim=64,
+                    centroids=_trained_ivf_centroids())
+
+
 def q_t11_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11 — keyed last-writer-wins dedup over the raw events."""
     from openlogreplicator_spark.functions.dedup import lww_dedup
@@ -665,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "t11_lww_dedup": q_t11_lww_dedup,
         "t5_partial_rollback": q_t5_partial_rollback,
         "t2_txn_group_stats": q_t2_txn_group_stats,
@@ -728,16 +771,73 @@ def oracle_sql() -> dict[str, str]:
 
     # the SAME centroid literals the Spark ivf_topk plan embeds
     cents = centroid_matrix(8, 64)
+    tcents = _trained_ivf_centroids()
 
-    def _cscores(col: str) -> str:
-        terms = []
-        for c in range(8):
-            lit = "[" + ",".join(repr(w) for w in cents[c]) + "]"
-            terms.append(
-                f"list_sum(list_transform(range(1, 65), i -> "
-                f"CAST({col}[i] AS DOUBLE) * ({lit})[i]))"
-            )
-        return "[" + ", ".join(terms) + "]"
+    def _cscores_for(cc):
+        def f(col: str) -> str:
+            terms = []
+            for c in range(len(cc)):
+                lit = "[" + ",".join(repr(w) for w in cc[c]) + "]"
+                terms.append(
+                    f"list_sum(list_transform(range(1, 65), i -> "
+                    f"CAST({col}[i] AS DOUBLE) * ({lit})[i]))"
+                )
+            return "[" + ", ".join(terms) + "]"
+
+        return f
+
+    _cscores = _cscores_for(cents)
+    _cscores_trained = _cscores_for(tcents)
+
+    def _ivf_sql(csc):
+        # shared IVF oracle shape; `csc` builds the 8-centroid score
+        # array from either the md5 pseudo-centroids or the TRAINED
+        # centroids (same literals the Spark plan embeds)
+        return f"""
+WITH q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
+), cs AS (
+  SELECT n_id, n_vec, {csc('n_vec')} AS s FROM c0
+), cb AS (
+  SELECT n_id, n_vec, list_position(s, list_max(s)) AS cid FROM cs
+), qs AS (
+  SELECT q_id, q_vec, {csc('q_vec')} AS s FROM q0
+), q1 AS (
+  SELECT q_id, q_vec, s, list_position(s, list_max(s)) AS p1 FROM qs
+), q2 AS (
+  SELECT q_id, q_vec, p1,
+         list_transform(range(1, 9), i -> CASE WHEN i = p1 THEN -1e18 ELSE s[i] END) AS s2
+  FROM q1
+), q3 AS (
+  SELECT q_id, q_vec, p1, s2, list_position(s2, list_max(s2)) AS p2 FROM q2
+), q4 AS (
+  SELECT q_id, q_vec, p1, p2,
+         list_transform(range(1, 9), i -> CASE WHEN i = p2 THEN -1e18 ELSE s2[i] END) AS s3
+  FROM q3
+), q5 AS (
+  SELECT q_id, q_vec, p1, p2, list_position(s3, list_max(s3)) AS p3 FROM q4
+), qp AS (
+  SELECT q_id, q_vec, unnest([p1, p2, p3]) AS cid FROM q5
+), scored AS (
+  SELECT qp.q_id, cb.n_id,
+    round(
+      list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, len(cb.n_vec) + 1),
+               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(cb.n_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, len(qp.q_vec) + 1),
+               i -> CAST(qp.q_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))),
+          1e-12), 6) AS cos_sim
+  FROM cb JOIN qp ON cb.cid = qp.cid
+)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
     def _sw(lang: str) -> str:
         return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -794,51 +894,8 @@ JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
 JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
 WHERE l.last_op <> 'del'
 """,
-        "ann_ivf_topk": f"""
-WITH q0 AS (
-  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
-), c0 AS (
-  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
-), cs AS (
-  SELECT n_id, n_vec, {_cscores('n_vec')} AS s FROM c0
-), cb AS (
-  SELECT n_id, n_vec, list_position(s, list_max(s)) AS cid FROM cs
-), qs AS (
-  SELECT q_id, q_vec, {_cscores('q_vec')} AS s FROM q0
-), q1 AS (
-  SELECT q_id, q_vec, s, list_position(s, list_max(s)) AS p1 FROM qs
-), q2 AS (
-  SELECT q_id, q_vec, p1,
-         list_transform(range(1, 9), i -> CASE WHEN i = p1 THEN -1e18 ELSE s[i] END) AS s2
-  FROM q1
-), q3 AS (
-  SELECT q_id, q_vec, p1, s2, list_position(s2, list_max(s2)) AS p2 FROM q2
-), q4 AS (
-  SELECT q_id, q_vec, p1, p2,
-         list_transform(range(1, 9), i -> CASE WHEN i = p2 THEN -1e18 ELSE s2[i] END) AS s3
-  FROM q3
-), q5 AS (
-  SELECT q_id, q_vec, p1, p2, list_position(s3, list_max(s3)) AS p3 FROM q4
-), qp AS (
-  SELECT q_id, q_vec, unnest([p1, p2, p3]) AS cid FROM q5
-), scored AS (
-  SELECT qp.q_id, cb.n_id,
-    round(
-      list_sum(list_transform(range(1, len(cb.n_vec) + 1),
-               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))
-      / greatest(
-          sqrt(list_sum(list_transform(range(1, len(cb.n_vec) + 1),
-               i -> CAST(cb.n_vec[i] AS DOUBLE) * CAST(cb.n_vec[i] AS DOUBLE))))
-        * sqrt(list_sum(list_transform(range(1, len(qp.q_vec) + 1),
-               i -> CAST(qp.q_vec[i] AS DOUBLE) * CAST(qp.q_vec[i] AS DOUBLE)))),
-          1e-12), 6) AS cos_sim
-  FROM cb JOIN qp ON cb.cid = qp.cid
-)
-SELECT q_id, n_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
-  FROM scored
-) WHERE rank <= 5
-""",
+        "ann_ivf_topk": _ivf_sql(_cscores),
+        "ann_ivf_trained": _ivf_sql(_cscores_trained),
         "t11_lww_dedup": _ORACLE_DERIVED + """
 SELECT conv_id, turn_idx, event_id AS last_event_id, event_type AS last_event_type
 FROM (

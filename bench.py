@@ -218,6 +218,36 @@ def run_cdc_group() -> dict:
         extra["update_events_per_sec_cow"] = round(n_upd / times["cdc_update_epoch_cow"], 1)
         extra["update_events_per_sec_mor"] = round(n_upd / times["cdc_update_epoch_mor"], 1)
 
+    # 3c) stateful-variant assembly (applyInPandasWithState, T13) over the
+    # ~1M-event feed — the state-store architecture measured next to the
+    # pending-snapshot default (same feed as the update-epoch entries)
+    if not skip_skew:
+        from openlogreplicator_spark.sources.feed import read_feed_stream
+        from openlogreplicator_spark.streaming.stateful import assemble_stateful
+
+        st_dir = feed_cache_dir(max(N_TXNS // 10, 1000), 0.0)
+        n_st = read_feed_batch(spark, st_dir).count()
+
+        def stateful_once(tag):
+            t0 = time.perf_counter()
+            q = (
+                assemble_stateful(read_feed_stream(spark, st_dir, None))
+                .writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(work, f"stck{tag}"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0
+
+        times["cdc_stateful_assemble"] = round(
+            min(stateful_once("_w0"), stateful_once("")), 3
+        )
+        extra["stateful_events_per_sec"] = round(
+            n_st / times["cdc_stateful_assemble"], 1
+        )
+
     shutil.rmtree(work, ignore_errors=True)
     return {"queries": times, **extra}
 
@@ -273,6 +303,30 @@ def run_side_group() -> dict:
             ).mode("overwrite").save()
 
         _timed(times, "ann_ivf_topk", ann_ivf, best_of=2)
+
+        # trained centroids (offline step, untimed): same query shape,
+        # data-following cells — the clustered-corpus recall fix
+        from openlogreplicator_spark.functions.similarity import (
+            sample_vectors_deterministic,
+            train_ivf_centroids,
+        )
+
+        tcents = train_ivf_centroids(
+            sample_vectors_deterministic(emb_path, n=2048), n_centroids=8, iters=8
+        )
+
+        def ann_ivf_trained():
+            from openlogreplicator_spark.functions.similarity import ivf_topk
+
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            ivf_topk(emb.filter(F.col("vec_id") >= 10), q, k=5, n_probe=3,
+                     dim=64, centroids=tcents).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        _timed(times, "ann_ivf_topk_trained", ann_ivf_trained, best_of=2)
 
         # the production IVF shape: cell ids materialized at ingest
         # (untimed, once), queries join the stored inverted lists only

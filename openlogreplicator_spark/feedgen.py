@@ -64,7 +64,7 @@ class TxnHandle:
 
     def ins(self, conv_id: str, turn_idx: int, **cols):
         """Insert: sets every schema column (unspecified → NULL)."""
-        after = _image(**cols)
+        after = self._b.image_dict(**cols)
         changed = list(self._b.active_columns)
         self._b._emit(self, "ins", conv_id=conv_id, turn_idx=turn_idx,
                       after=after, changed_cols=changed)
@@ -73,7 +73,7 @@ class TxnHandle:
     def upd(self, conv_id: str, turn_idx: int, **cols):
         """Update: sets exactly the given columns (value may be None —
         changed_cols carries presence, COLUMN_FORMAT::CHANGED analog)."""
-        after = _image(**cols)
+        after = self._b.image_dict(**cols)
         changed = sorted(cols.keys())
         self._b._emit(self, "upd", conv_id=conv_id, turn_idx=turn_idx,
                       after=after, changed_cols=changed)
@@ -98,7 +98,7 @@ class TxnHandle:
 
     def dml_other_table(self, table_name: str, conv_id: str, turn_idx: int, op: str = "ins", **cols):
         """DML on a non-tracked table (multi-table scenario, filter F1)."""
-        after = _image(**cols) if op in ("ins", "upd") else None
+        after = self._b.image_dict(**cols) if op in ("ins", "upd") else None
         changed = sorted(cols.keys()) if op == "upd" else (list(self._b.active_columns) if op == "ins" else None)
         self._b._emit(self, op, table_name=table_name, conv_id=conv_id,
                       turn_idx=turn_idx, after=after, changed_cols=changed)
@@ -107,7 +107,12 @@ class TxnHandle:
 
 class FeedBuilder:
     def __init__(self, n_shards: int = 1, table_name: str = "transcripts",
-                 start_scn: int = 1000, columns: list[str] | None = None):
+                 start_scn: int = 1000, columns: list[str] | None = None,
+                 image_columns: list[str] | None = None):
+        # image_columns: widen the feed's before/after struct beyond the
+        # transcript superset (many-columns scenario) — the engine derives
+        # its column universe from the frame, so this is feed-side only
+        self.image_columns = list(image_columns) if image_columns else None
         self.n_shards = n_shards
         self.table_name = table_name
         self.rows: list[dict] = []
@@ -202,13 +207,30 @@ class FeedBuilder:
         long-spanning-txn scenario (@MID_SWITCH analog)."""
         self._seq_marks.append(len(self.rows))
 
+    @property
+    def event_schema(self):
+        if self.image_columns is None:
+            return CHANGE_EVENT_SCHEMA
+        from .schema import change_event_schema_for
+
+        return change_event_schema_for(self.image_columns)
+
+    def image_dict(self, **kwargs):
+        cols = self.image_columns or _IMG_COLS
+        img = {c: None for c in cols}
+        for k, v in kwargs.items():
+            if k not in img:
+                raise KeyError(f"unknown column {k!r} for this feed")
+            img[k] = v
+        return img
+
     # -- output -------------------------------------------------------------
     def to_pandas(self) -> pd.DataFrame:
         df = pd.DataFrame(self.rows)
         return df
 
     def to_spark(self, spark):
-        return spark.createDataFrame(self.rows, schema=CHANGE_EVENT_SCHEMA)
+        return spark.createDataFrame(self.rows, schema=self.event_schema)
 
     def write_parquet(self, spark, out_dir: str):
         """One parquet file per seq (log-file analog), named so
@@ -219,7 +241,7 @@ class FeedBuilder:
             part = self.rows[marks[k]: marks[k + 1]]
             if not part:
                 continue
-            pdf = spark.createDataFrame(part, schema=CHANGE_EVENT_SCHEMA)
+            pdf = spark.createDataFrame(part, schema=self.event_schema)
             pdf.coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"seq={k:05d}")
             )

@@ -41,11 +41,14 @@ from pyspark.sql import functions as F
 DML_OPS = ("ins", "upd", "del")
 
 
-def _null_image():
-    from ..schema import IMAGE_TYPE
+def _null_image(image_type=None):
+    """All-NULL image struct.  The field set comes from the caller's frame
+    (wide schemas keep working); the static schema is only a fallback."""
+    if image_type is None:
+        from ..schema import IMAGE_TYPE as image_type
 
     return F.struct(
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in IMAGE_TYPE.fields]
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in image_type.fields]
     )
 
 
@@ -252,9 +255,9 @@ def reassemble_chunks(
             "after",
             F.when(
                 F.col("_take_chunk"),
-                F.coalesce(F.col("after"), _null_image()).withField(
-                    "text", F.col("_chunked_text")
-                ),
+                F.coalesce(
+                    F.col("after"), _null_image(survivors.schema["after"].dataType)
+                ).withField("text", F.col("_chunked_text")),
             ).otherwise(F.col("after")),
         )
         .withColumn(

@@ -38,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schema import TRANSCRIPT_COLUMNS_ALL
-
 KEY = ["conv_id", "turn_idx"]
 
 
@@ -65,7 +63,16 @@ def collapse_net_changes(
     persisted result.  ``active_columns`` is then the UNION of the live
     tables' columns — safe because a per-table merge only reads its own
     value columns out of ``set_cols``/``vals`` (extraneous entries are
-    never projected)."""
+    never projected).
+
+    The column UNIVERSE (the vals struct fields) is the input frame's
+    ``after`` struct — not a hardcoded list — so wide schemas (the
+    reference's many-columns fixture class, 60+ columns) collapse with one
+    conditional-max aggregate per column and zero code changes; columns in
+    ``active_columns`` missing from the feed struct are simply never set."""
+    universe = [
+        c for c in dml.schema["after"].dataType.names
+    ]
     d = dml.withColumn("_ord", _ord())
     is_write = F.col("op").isin("ins", "upd")
 
@@ -74,7 +81,7 @@ def collapse_net_changes(
         F.max(F.when(F.col("op").isin("ins", "del"), F.col("_ord"))).alias("_boundary"),
         F.max(F.col("lsn")).alias("last_lsn"),
     ]
-    for c in TRANSCRIPT_COLUMNS_ALL:
+    for c in universe:
         if c in active_columns:
             sets_c = is_write & F.array_contains(
                 F.coalesce(F.col("changed_cols"), F.array()), c
@@ -100,12 +107,12 @@ def collapse_net_changes(
         return ok
 
     set_cols = F.array_compact(
-        F.array(*[F.when(gated(c), F.lit(c)) for c in TRANSCRIPT_COLUMNS_ALL])
+        F.array(*[F.when(gated(c), F.lit(c)) for c in universe])
     )
     vals = F.struct(
         *[
             F.when(gated(c), F.col(f"_m_{c}").getField("v")).alias(c)
-            for c in TRANSCRIPT_COLUMNS_ALL
+            for c in universe
         ]
     )
     return g.select(

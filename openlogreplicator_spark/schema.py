@@ -111,3 +111,25 @@ LINEAGE_SCHEMA = T.StructType(
 def image_type_for(columns: list[str]) -> T.StructType:
     by_name = {f.name: f for f in _IMAGE_FIELDS}
     return T.StructType([by_name[c] for c in columns])
+
+
+def change_event_schema_for(image_columns: list[str]) -> T.StructType:
+    """CHANGE_EVENT schema with a CUSTOM image column set — the
+    many-columns fixture class (reference PLAN.md wide-schema scenarios,
+    60+ columns).  Known transcript columns keep their types; extras
+    default to string.  The engine derives its per-collapse column
+    universe from the frame's ``after`` struct, so a wide feed needs no
+    engine changes — only this schema."""
+    by_name = {f.name: f for f in _IMAGE_FIELDS}
+    img = T.StructType(
+        [
+            by_name.get(c, T.StructField(c, T.StringType()))
+            for c in image_columns
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField(f.name, img, True) if f.name in ("before", "after") else f
+            for f in CHANGE_EVENT_SCHEMA.fields
+        ]
+    )

@@ -145,7 +145,11 @@ def apply_epoch(
         return {"applied": False, "reason": "epoch already committed"}
 
     fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
-    pending = table.pending(CHANGE_EVENT_SCHEMA)
+    # the event schema comes from the BATCH (a wide feed carries a wider
+    # before/after struct than the transcript superset; the pending state
+    # was written by the same feed and reads back with the same schema)
+    ev_schema = batch_df.select(*fields).schema
+    pending = table.pending(ev_schema)
     # _pend marks rows carried from the previous epoch's pending state —
     # the incremental pending writer persists only the ~_pend complement
     events = (

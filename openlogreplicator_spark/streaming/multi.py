@@ -58,7 +58,7 @@ from ..operators.assemble import (
     reassemble_chunks,
 )
 from ..operators.collapse import collapse_net_changes
-from ..schema import CHANGE_EVENT_SCHEMA, TRANSCRIPT_COLUMNS_ALL
+from ..schema import CHANGE_EVENT_SCHEMA
 from .apply import plan_pending_update
 from .stats import epoch_stats
 
@@ -196,7 +196,11 @@ def apply_epoch_multi(
         default_table = sorted(start_registry)[0] if start_registry else None
 
     fields = [f.name for f in CHANGE_EVENT_SCHEMA.fields]
-    pending = catalog.pending(CHANGE_EVENT_SCHEMA)
+    # the event schema comes from the BATCH (a wide feed carries a wider
+    # before/after struct than the transcript superset; the pending state
+    # was written by the same feed and reads back with the same schema)
+    ev_schema = batch_df.select(*fields).schema
+    pending = catalog.pending(ev_schema)
     events = (
         batch_df.select(*fields)
         .withColumn("_pend", F.lit(False))
@@ -366,7 +370,7 @@ def apply_epoch_multi(
             # a table→n_buckets literal map so per-table bucket counts hold
             union_cols = [
                 c
-                for c in TRANSCRIPT_COLUMNS_ALL
+                for c in seg.schema["after"].dataType.names
                 if any(c in table_objs[n].value_names for n in live)
             ]
             nb_pairs = []

@@ -520,3 +520,125 @@ def test_manifest_conflict_not_silently_overwritten(spark, tmpdir_path):
     table.refresh()
     assert table.manifest["version"] == v + 1
     assert any(c["name"] == "meta" for c in table.manifest["value_cols"])
+
+
+def test_wide_schema_60_columns(spark, tmpdir_path):
+    """many-columns fixture class (reference PLAN.md wide-schema scenarios,
+    60+ columns): the table grows one ADD COLUMN at a time to 61 columns,
+    then takes full CRUD touching early, middle, and late columns.  The
+    engine's collapse derives its column universe from the feed's after
+    struct, so every column gets its own conditional-max aggregate —
+    map-side combinable, no row explosion."""
+    wide = [f"col_{i:02d}" for i in range(57)]
+    cols = ["role", "text", "tool", "ts"]
+    fb = FeedBuilder(image_columns=["role", "text", "tool", "ts", "meta"] + wide)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v0", ts=TS)
+    fb.commit(t)
+    for w in wide:
+        cols = cols + [w]
+        fb.ddl_txn(f"ADD COLUMN {w} string", cols)
+    # full CRUD across the widened schema
+    t = fb.begin()
+    t.upd("c1", 0, col_00="a", col_28="m", col_56="z")
+    t.ins("c2", 0, role="bot", text="wide", col_13="x", col_55="y", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("c2", 0, col_13=None, col_54="w")   # set-to-NULL on a wide column
+    t.delete("c1", 0)
+    t.ins("c1", 0, role="re", text="reborn", col_56="again", ts=TS)
+    fb.commit(t)
+    table, expected = run_and_compare(spark, fb, tmpdir_path)
+    assert len(table.value_names) == 61
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c2", 0)]["col_13"] is None
+    assert rows[("c2", 0)]["col_54"] == "w"
+    assert rows[("c1", 0)]["col_56"] == "again"
+    assert rows[("c1", 0)]["col_00"] is None  # delete+reinsert wiped it
+
+
+def test_rac_same_row_cross_shard_same_window(spark, tmpdir_path):
+    """rac-same-row fixture class: the SAME (conv, turn) updated from TWO
+    shards whose commits land inside one watermark window — the collapse
+    order key (commit_scn, seq_in_txn) alone must decide the winner,
+    independent of arrival order or shard id.  The txn committing at the
+    window's top edge rightly gates until the other shard's frontier
+    passes it; a later heartbeat on that shard releases it."""
+    import os
+
+    from openlogreplicator_spark.oracle import replay
+    from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+    from helpers import normalize_rows
+
+    def contested_feed():
+        fb = FeedBuilder(n_shards=2)
+        t = fb.begin(shard=0)
+        t.ins("c1", 0, role="u", text="base", ts=TS)
+        fb.commit(t)
+        # shard 1 updates first (lower commit scn), shard 0 second — both
+        # commits inside one SCN window, touching the SAME row
+        t1 = fb.begin(shard=1)
+        t1.upd("c1", 0, text="from-s1")
+        t0 = fb.begin(shard=0)
+        t0.upd("c1", 0, tool="t-s0")
+        fb.commit(t1)
+        fb.commit(t0)
+        return fb
+
+    def heartbeat(shard, scn):
+        hb = FeedBuilder(n_shards=2, start_scn=scn)
+        hb._xid_counter = 50 + scn % 97
+        t = hb.begin(shard=shard)
+        t.ins(f"hb{scn}", 0, role="hb", text="x", ts=TS)
+        hb.commit(t)
+        return hb
+
+    fb = contested_feed()
+    expected = replay(fb.rows)
+
+    # --- both shards in one epoch ---
+    table = create_target(spark, os.path.join(tmpdir_path, "tbl"), n_buckets=2)
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j",
+                shard_watermark=True, expected_shards=[0, 1])
+    # shard 0's update committed at the window top → gated behind shard 1
+    pend_xids = {r["xid"] for r in table.pending(CHANGE_EVENT_SCHEMA).collect()}
+    assert len(pend_xids) == 1
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("c1", 0)]["text"] == "from-s1" and rows[("c1", 0)]["tool"] is None
+
+    # shard-1 heartbeat advances its frontier → the gated txn releases
+    apply_epoch(table, heartbeat(1, 100_000).to_spark(spark), 1, job_id="j",
+                shard_watermark=True, expected_shards=[0, 1])
+    got = normalize_rows(
+        [r.asDict() for r in table.read().collect()
+         if not r["conv_id"].startswith("hb")],
+        table.value_names,
+    )
+    assert got == normalize_rows(expected.as_records(), expected.columns)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    # column-wise LWW: text from shard 1's txn, tool from shard 0's — both
+    # survive because they touched different columns of the same row
+    assert rows[("c1", 0)]["text"] == "from-s1"
+    assert rows[("c1", 0)]["tool"] == "t-s0"
+
+    # --- arrival-order independence: shard 1's slice arrives FIRST ---
+    fbA = contested_feed()
+    by_shard = {s_: [r for r in fbA.rows if r["shard"] == s_] for s_ in (0, 1)}
+    tbl2 = create_target(spark, os.path.join(tmpdir_path, "tbl2"), n_buckets=2)
+    df1 = spark.createDataFrame(by_shard[1], schema=fbA.event_schema)
+    apply_epoch(tbl2, df1, 0, job_id="j", shard_watermark=True,
+                expected_shards=[0, 1])
+    assert tbl2.read().count() == 0  # everything gated: shard 0 silent
+    df0 = spark.createDataFrame(by_shard[0], schema=fbA.event_schema)
+    apply_epoch(tbl2, df0, 1, job_id="j", shard_watermark=True,
+                expected_shards=[0, 1])
+    apply_epoch(tbl2, heartbeat(1, 200_000).to_spark(spark), 2, job_id="j",
+                shard_watermark=True, expected_shards=[0, 1])
+    got2 = normalize_rows(
+        [r.asDict() for r in tbl2.read().collect()
+         if not r["conv_id"].startswith("hb")],
+        tbl2.value_names,
+    )
+    assert got2 == normalize_rows(expected.as_records(), expected.columns)
