@@ -166,29 +166,43 @@ def run_cdc_group() -> dict:
     if not skip_skew:
         from openlogreplicator_spark.streaming.job import replay_batch_multi
 
-        mt_feed = feed.withColumn(
-            "table_name",
-            F.when(
-                F.col("table_name").isNotNull(),
+        def mt_feed_for(names):
+            # same 10M events hash-routed across len(names) tracked tables
+            arms = F.array(*[F.lit(n) for n in names])
+            return feed.withColumn(
+                "table_name",
                 F.when(
-                    F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "transcripts"
-                ).otherwise("summaries"),
-            ),
-        )
+                    F.col("table_name").isNotNull(),
+                    F.element_at(
+                        arms,
+                        (F.pmod(F.xxhash64("conv_id"), F.lit(len(names))) + 1).cast("int"),
+                    ),
+                ),
+            )
 
-        def multi_once(tag):
+        def multi_once(tag, names):
             t0 = time.perf_counter()
             replay_batch_multi(
-                spark, mt_feed, os.path.join(work, f"cat{tag}"),
-                tables=["transcripts", "summaries"], n_buckets=64,
+                spark, mt_feed_for(names), os.path.join(work, f"cat{tag}"),
+                tables=names, n_buckets=64,
             )
             return time.perf_counter() - t0
 
+        t2 = ["transcripts", "summaries"]
         times["cdc_multi_table_merge"] = round(
-            min(multi_once("_w0"), multi_once("")), 3
+            min(multi_once("_w0", t2), multi_once("", t2)), 3
         )
         extra["events_per_sec_multi_table"] = round(
             n_events / times["cdc_multi_table_merge"], 1
+        )
+        # breadth scaling: SAME events over 8 tracked tables must stay near
+        # the T=2 cost (single-job collapse; only writes fan out)
+        t8 = t2 + ["audit", "notes", "labels", "scores", "spans", "tags"]
+        times["cdc_multi_table_merge_t8"] = round(
+            min(multi_once("_t8_w0", t8), multi_once("_t8", t8)), 3
+        )
+        extra["multi_t8_over_t2"] = round(
+            times["cdc_multi_table_merge_t8"] / times["cdc_multi_table_merge"], 3
         )
 
     # 3b) update-epoch cost: CoW (bucket rewrite) vs merge-on-read (delta

@@ -196,8 +196,40 @@ def apply_epoch(
             wm = min(frontier.values()) if frontier else None
 
         parts = assemble_transactions(events, commit_watermark=wm)
+        committed_all = parts["committed"].select(
+            "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
+            "conv_id", "turn_idx", "before", "after", "changed_cols",
+            "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
+            "attrs",
+        )
 
         # ---- the ONE fused stats job (see module docstring) ----
+        # OPTIMISTIC fusion: when no txn cap is configured, the whole-epoch
+        # collapse (built assuming no savepoints/chunks/DDL — the common
+        # feed) rides the stats job as a counter branch, so the stats
+        # action ALSO fills the collapse persist cache and returns the
+        # lineage counters + affected buckets: stats and counts become ONE
+        # job.  If the stats then reveal savepoints, chunks, or DDL, the
+        # optimistic frame is discarded and the exact per-segment path
+        # below recomputes (rare; one extra pass).
+        optimistic = max_txn_ops is None
+        changes0 = None
+        extra_branches = None
+        if optimistic:
+            surv0 = match_partial_rollbacks(committed_all, n_hint=0)
+            tr0, _ = split_tracked(
+                surv0.filter(F.col("op").isin("ins", "upd", "del", "chunk")),
+                tracked_pattern,
+            )
+            tdml0 = reassemble_chunks(tr0, n_hint=0).filter(F.col("op") != "chunk")
+            changes0 = (
+                collapse_net_changes(tdml0, table.value_names)
+                .withColumn("_bucket", table._bucket_expr())
+                .persist()
+            )
+            from .stats import collapse_counts_branch
+
+            extra_branches = [collapse_counts_branch(changes0)]
         is_tracked = F.col("table_name").isNotNull() & F.col("table_name").rlike(
             tracked_pattern
         )
@@ -206,7 +238,17 @@ def apply_epoch(
             parts,
             untracked_cond=~F.coalesce(is_tracked, F.lit(False)),
             pending_flag="_pend",
+            extra_branches=extra_branches,
         )
+        use_fused = (
+            changes0 is not None
+            and stats["n_prollback"] == 0
+            and stats["n_chunks"] == 0
+            and not stats["ddls"]
+        )
+        if changes0 is not None and not use_fused:
+            changes0.unpersist()
+            changes0 = None
 
         open_events = parts["open"]
         cur_open = set(stats["open_xids"])
@@ -225,14 +267,9 @@ def apply_epoch(
                 open_events = open_events.filter(~F.col("xid").isin(stale))
                 cur_open -= set(stale)
 
-        # cache only the columns downstream stages read (before-images,
-        # raw scn/seq and schema_version are not needed past this point)
-        committed = parts["committed"].select(
-            "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
-            "conv_id", "turn_idx", "before", "after", "changed_cols",
-            "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts",
-            "attrs",
-        )
+        # only the columns downstream stages read (before-images, raw
+        # scn/seq and schema_version are not needed past this point)
+        committed = committed_all
         _do_persist = os.environ.get("OLR_PERSIST_COMMITTED", "0") == "1"
         if _do_persist:
             committed = committed.persist()
@@ -326,25 +363,36 @@ def apply_epoch(
             if hi is not None:
                 seg = seg.filter(F.col("txn_commit_scn") <= hi)
             final = hi is None
-            # ONE persisted pass: its single counts collect feeds both the
-            # lineage counters AND the affected-bucket list (merge skips its
-            # own discovery job)
-            changes = (
-                collapse_net_changes(seg, table.value_names)
-                .withColumn("_bucket", table._bucket_expr())
-                .persist()
-            )
             affected = set()
-            for r in changes.groupBy("_bucket", "last_shard").agg(
-                F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
-                F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
-                F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
-            ).collect():
-                affected.add(r["_bucket"])
-                acc = seg_counts.setdefault(r["last_shard"], [0, 0, 0])
-                acc[0] += r["n_ins"]
-                acc[1] += r["n_upd"]
-                acc[2] += r["n_del"]
+            if use_fused:
+                # the stats job already materialized the collapse cache AND
+                # collected its counters — zero extra jobs here
+                changes = changes0
+                for (_t, s, b), (ni, nu, nd) in stats["counts"].items():
+                    affected.add(b)
+                    acc = seg_counts.setdefault(s, [0, 0, 0])
+                    acc[0] += ni
+                    acc[1] += nu
+                    acc[2] += nd
+            else:
+                # ONE persisted pass per segment: its single counts collect
+                # feeds both the lineage counters AND the affected-bucket
+                # list (merge skips its own discovery job)
+                changes = (
+                    collapse_net_changes(seg, table.value_names)
+                    .withColumn("_bucket", table._bucket_expr())
+                    .persist()
+                )
+                for r in changes.groupBy("_bucket", "last_shard").agg(
+                    F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
+                    F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
+                    F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
+                ).collect():
+                    affected.add(r["_bucket"])
+                    acc = seg_counts.setdefault(r["last_shard"], [0, 0, 0])
+                    acc[0] += r["n_ins"]
+                    acc[1] += r["n_upd"]
+                    acc[2] += r["n_del"]
 
             lineage_rows = None
             if final:

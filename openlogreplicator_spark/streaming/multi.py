@@ -224,10 +224,67 @@ def apply_epoch_multi(
         wm = min(frontier.values()) if frontier else None
 
     parts = assemble_transactions(events, commit_watermark=wm)
+    committed_all = parts["committed"].select(
+        "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
+        "conv_id", "turn_idx", "before", "after", "changed_cols",
+        "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts", "attrs",
+    )
 
     # ---- ONE fused stats job (stats.py): DDLs, frontier, skip counters,
-    # probe counts, per-table DML counts, the open set ----
-    stats = epoch_stats(batch_df, parts, pending_flag="_pend", per_table_dml=True)
+    # probe counts, per-table DML counts, the open set — PLUS, optimistic
+    # fusion (apply.py): the whole-epoch all-tables collapse rides along as
+    # a counter branch when no txn cap is configured, so a no-DDL epoch
+    # costs 1 stats job + T writes ----
+    optimistic = max_txn_ops is None
+    changes0 = None
+    extra_branches = None
+    cur_names = sorted(start_registry)
+    pre_objs = {n: _resolve_table(catalog, n, start_registry) for n in cur_names}
+    fused_ok0 = bool(cur_names) and all(
+        t is not None and t.key_names == ["conv_id", "turn_idx"]
+        for t in pre_objs.values()
+    )
+    if optimistic and fused_ok0:
+        surv0 = match_partial_rollbacks(committed_all, n_hint=0)
+        pay0 = surv0.filter(
+            F.col("op").isin("ins", "upd", "del", "chunk")
+            & F.col("table_name").isin(cur_names)
+        )
+        tdml0 = reassemble_chunks(pay0, n_hint=0).filter(F.col("op") != "chunk")
+        ucols0 = [
+            c
+            for c in tdml0.schema["after"].dataType.names
+            if any(c in pre_objs[n].value_names for n in cur_names)
+        ]
+        nbp0 = []
+        for n in cur_names:
+            nbp0 += [F.lit(n), F.lit(pre_objs[n].n_buckets)]
+        bucket0 = F.pmod(
+            F.xxhash64(F.col("conv_id")),
+            F.element_at(F.create_map(*nbp0), F.col("table_name")),
+        ).cast("int")
+        changes0 = (
+            collapse_net_changes(tdml0, ucols0, extra_group=["table_name"])
+            .withColumn("_bucket", bucket0)
+            .persist()
+        )
+        from .stats import collapse_counts_branch
+
+        extra_branches = [collapse_counts_branch(changes0, per_table=True)]
+
+    stats = epoch_stats(
+        batch_df, parts, pending_flag="_pend", per_table_dml=True,
+        extra_branches=extra_branches,
+    )
+    use_fused0 = (
+        changes0 is not None
+        and stats["n_prollback"] == 0
+        and stats["n_chunks"] == 0
+        and not stats["ddls"]
+    )
+    if changes0 is not None and not use_fused0:
+        changes0.unpersist()
+        changes0 = None
 
     open_events = parts["open"]
     cur_open = set(stats["open_xids"])
@@ -246,11 +303,7 @@ def apply_epoch_multi(
             open_events = open_events.filter(~F.col("xid").isin(stale))
             cur_open -= set(stale)
 
-    committed = parts["committed"].select(
-        "lsn", "shard", "xid", "seq_in_txn", "op", "table_name",
-        "conv_id", "turn_idx", "before", "after", "changed_cols",
-        "chunk_no", "chunk_text", "ddl_stmt", "txn_commit_scn", "ts", "attrs",
-    )
+    committed = committed_all
     # Caching policy mirrors apply.py: recomputing the pushed-down codegen'd
     # scans beats paying the columnar-cache build on fast storage (measured
     # there); on slow/remote input flip the env to "1".
@@ -363,43 +416,55 @@ def apply_epoch_multi(
         final = hi is None
         live = sorted(n for n in names_at[i] if table_objs.get(n) is not None)
         if live and fused_ok:
-            # ---- ONE collapse job for ALL live tables ----
-            # union of live value columns: a per-table merge only projects
-            # its own columns out of set_cols/vals, so the union is safe
-            # (collapse_net_changes docstring); the bucket id routes through
-            # a table→n_buckets literal map so per-table bucket counts hold
-            union_cols = [
-                c
-                for c in seg.schema["after"].dataType.names
-                if any(c in table_objs[n].value_names for n in live)
-            ]
-            nb_pairs = []
-            for n in live:
-                nb_pairs += [F.lit(n), F.lit(table_objs[n].n_buckets)]
-            bucket = F.pmod(
-                F.xxhash64(F.col("conv_id")),
-                F.element_at(F.create_map(*nb_pairs), F.col("table_name")),
-            ).cast("int")
-            changes_all = (
-                collapse_net_changes(
-                    seg.filter(F.col("table_name").isin(live)),
-                    union_cols,
-                    extra_group=["table_name"],
-                )
-                .withColumn("_bucket", bucket)
-                .persist()
-            )
             affected: dict[str, set] = {n: set() for n in live}
-            for r in changes_all.groupBy("table_name", "_bucket", "last_shard").agg(
-                F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
-                F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
-                F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
-            ).collect():
-                affected[r["table_name"]].add(r["_bucket"])
-                acc = seg_counts.setdefault((r["table_name"], r["last_shard"]), [0, 0, 0])
-                acc[0] += r["n_ins"]
-                acc[1] += r["n_upd"]
-                acc[2] += r["n_del"]
+            if use_fused0:
+                # stats job already materialized the all-tables collapse
+                # cache AND collected its counters — zero extra jobs
+                changes_all = changes0
+                for (t_, s_, b_), (ni, nu, nd) in stats["counts"].items():
+                    affected.setdefault(t_, set()).add(b_)
+                    acc = seg_counts.setdefault((t_, s_), [0, 0, 0])
+                    acc[0] += ni
+                    acc[1] += nu
+                    acc[2] += nd
+            else:
+                # ---- ONE collapse job for ALL live tables ----
+                # union of live value columns: a per-table merge only
+                # projects its own columns out of set_cols/vals, so the
+                # union is safe (collapse_net_changes docstring); the bucket
+                # id routes through a table→n_buckets literal map so
+                # per-table bucket counts hold
+                union_cols = [
+                    c
+                    for c in seg.schema["after"].dataType.names
+                    if any(c in table_objs[n].value_names for n in live)
+                ]
+                nb_pairs = []
+                for n in live:
+                    nb_pairs += [F.lit(n), F.lit(table_objs[n].n_buckets)]
+                bucket = F.pmod(
+                    F.xxhash64(F.col("conv_id")),
+                    F.element_at(F.create_map(*nb_pairs), F.col("table_name")),
+                ).cast("int")
+                changes_all = (
+                    collapse_net_changes(
+                        seg.filter(F.col("table_name").isin(live)),
+                        union_cols,
+                        extra_group=["table_name"],
+                    )
+                    .withColumn("_bucket", bucket)
+                    .persist()
+                )
+                for r in changes_all.groupBy("table_name", "_bucket", "last_shard").agg(
+                    F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
+                    F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
+                    F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
+                ).collect():
+                    affected[r["table_name"]].add(r["_bucket"])
+                    acc = seg_counts.setdefault((r["table_name"], r["last_shard"]), [0, 0, 0])
+                    acc[0] += r["n_ins"]
+                    acc[1] += r["n_upd"]
+                    acc[2] += r["n_del"]
             for name in live:
                 ch_t = changes_all.filter(F.col("table_name") == name).drop("table_name")
                 applied = table_objs[name].merge(

@@ -51,6 +51,7 @@ def _branch(df: DataFrame, tag: str, **cols) -> DataFrame:
         "stmt": F.lit(None).cast("string"),
         "n": F.lit(1).cast("long"),
         "m": F.lit(0).cast("long"),
+        "o": F.lit(0).cast("long"),
         "lsn": F.lit(None).cast("long"),
         "scn": F.lit(None).cast("long"),
     }
@@ -60,12 +61,33 @@ def _branch(df: DataFrame, tag: str, **cols) -> DataFrame:
     )
 
 
+def collapse_counts_branch(changes: DataFrame, per_table: bool = False) -> DataFrame:
+    """Net-change counter rows for the fused stats job: one input row per
+    collapsed key, aggregating to per-(table?, shard, bucket) ins/upd/del
+    sums (n/m/o slots; k_scn carries the bucket id).  Unioning this branch
+    into epoch_stats makes the stats action ALSO materialize the persisted
+    ``changes`` frame — the epoch's collapse output — so the driver gets
+    stats + lineage counters + affected buckets in ONE job and the merge
+    write reuses the now-warm cache: a no-DDL epoch costs 2 actions."""
+    return _branch(
+        changes,
+        "cnt",
+        shard=F.col("last_shard"),
+        k_scn=F.col("_bucket").cast("long"),
+        stmt=F.col("table_name") if per_table else F.lit(None).cast("string"),
+        n=(~F.col("is_delete") & F.col("reset")).cast("long"),
+        m=(~F.col("is_delete") & ~F.col("reset")).cast("long"),
+        o=F.col("is_delete").cast("long"),
+    )
+
+
 def epoch_stats(
     batch_df: DataFrame,
     parts: dict[str, DataFrame],
     untracked_cond: Column | None = None,
     pending_flag: str | None = None,
     per_table_dml: bool = False,
+    extra_branches: list[DataFrame] | None = None,
 ) -> dict:
     """Collect every driver-side epoch scalar in one aggregation job.
 
@@ -124,6 +146,7 @@ def epoch_stats(
             )
         )
 
+    branches.extend(extra_branches or [])
     u = branches[0]
     for b in branches[1:]:
         u = u.unionByName(b)
@@ -132,6 +155,7 @@ def epoch_stats(
         .agg(
             F.sum("n").alias("n"),
             F.sum("m").alias("m"),
+            F.sum("o").alias("o"),
             F.max("lsn").alias("lsn"),
             F.max("scn").alias("scn"),
         )
@@ -139,6 +163,7 @@ def epoch_stats(
     )
 
     out = {
+        "counts": {},  # (table|None, shard, bucket) -> [n_ins, n_upd, n_del]
         "ddls": [],
         "last_lsn_by_shard": {},
         "max_scn_by_shard": {},
@@ -173,5 +198,9 @@ def epoch_stats(
                 "max_scn": r["scn"],
                 "has_commit": r["lsn"] == 1,
             }
+        elif t == "cnt":
+            out["counts"][(r["stmt"], r["shard"], int(r["k_scn"]))] = [
+                r["n"], r["m"], r["o"]
+            ]
     out["ddls"].sort(key=lambda x: (x[0], x[1]))
     return out

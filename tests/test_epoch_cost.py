@@ -51,16 +51,17 @@ def _committed_feed(n_txns=6):
 
 def test_epoch_job_count_single_table(spark, tmpdir_path):
     """A plain epoch (no DDL, no open txns, no watermark/cap config) must
-    cost exactly: 1 fused stats job + 1 collapse/counts job + 1 merge
-    write — the budget in apply.py's module docstring.  One slack slot for
-    engine-version noise; 8+ means the round-3 job sprawl regressed."""
+    cost exactly TWO actions: the fused stats+counts job (which also fills
+    the collapse cache) and the merge write — the budget in apply.py's
+    module docstring.  One slack slot for engine-version noise; 8+ means
+    the round-3 job sprawl regressed."""
     fb = _committed_feed()
     table = create_target(spark, os.path.join(tmpdir_path, "tbl"), n_buckets=4)
     njobs = _count_jobs(
         spark, "epoch-cost-single",
         lambda: apply_epoch(table, fb.to_spark(spark), 0, job_id="j"),
     )
-    assert njobs <= 4, f"single-table epoch ran {njobs} Spark jobs (budget 3+1 slack)"
+    assert njobs <= 3, f"single-table epoch ran {njobs} Spark jobs (budget 2+1 slack)"
     got = normalize_rows([r.asDict() for r in table.read().collect()], table.value_names)
     want = replay(fb.rows)
     assert got == normalize_rows(want.as_records(), want.columns)
@@ -90,7 +91,7 @@ def test_epoch_job_count_multi_table(spark, tmpdir_path):
         spark, "epoch-cost-multi",
         lambda: apply_epoch_multi(cat, fb.to_spark(spark), 0, job_id="j"),
     )
-    budget = 2 + len(tables) + 1
+    budget = 1 + len(tables) + 1
     assert njobs <= budget, (
         f"multi-table epoch over T={len(tables)} tables ran {njobs} Spark jobs "
         f"(budget {budget}); the driver-side fan-out loop is back"
