@@ -1,0 +1,262 @@
+"""W7 — protobuf output-message builder, pure-Python wire format.
+
+The reference's protobuf output (/root/reference/src/builder/
+BuilderProtobuf.cpp; message schema /root/reference/proto/
+OraProtoBuf.proto) emits one ``RedoResponse`` per transaction op.  This
+image has no protobuf runtime, but proto3's WIRE FORMAT is tiny and
+stable (varints + length-delimited fields), so this module implements the
+encoder/decoder directly — zero dependencies, byte-compatible with any
+standard protobuf consumer of the reference's ``OraProtoBuf.proto``
+(field numbers and wire types below mirror that file exactly).
+
+Messages and the field numbers used (OraProtoBuf.proto:80-163):
+
+    Value        { name=1 str; value_int=2 int64; value_string=5 str }
+    Schema       { owner=1 str; name=2 str }
+    Payload      { op=1 enum; schema=2; rid=3 str; before=4 rep Value;
+                   after=5 rep Value; ddl=6 str }
+    RedoResponse { code=1 enum; scn=2 uint64 (oneof scn_val);
+                   tm=4 uint64 (oneof tm_val); xid=6 str (oneof xid_val);
+                   db=8 str; payload=9 rep Payload; c_scn=10; c_idx=11;
+                   attributes=12 map<string,string> }
+
+    enum Op: BEGIN=0 COMMIT=1 INSERT=2 UPDATE=3 DELETE=4 DDL=5 CHKPT=6
+    enum ResponseCode: ... PAYLOAD=5 (the data-stream code)
+
+Scale shape: the per-row encode is a vectorized Arrow-batched pandas UDF
+(mapInPandas) over the same committed-op frame the JSON builder uses —
+the slow path is confined to byte assembly, everything upstream stays
+JVM-side; one encoded message per op, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .decode import encode_rowid
+
+OP_ENUM = {"begin": 0, "commit": 1, "ins": 2, "upd": 3, "del": 4, "ddl": 5, "chkpt": 6}
+RESPONSE_PAYLOAD = 5  # ResponseCode::PAYLOAD
+
+
+# ---------------------------------------------------------------- wire format
+def _varint(n: int) -> bytes:
+    if n < 0:  # proto int64: negatives as 10-byte two's complement
+        n += 1 << 64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def field_varint(field: int, v: int, keep_zero: bool = False) -> bytes:
+    """Wire type 0.  proto3 omits zero-valued scalars UNLESS the field is
+    inside a oneof (presence-tracked) — callers pass keep_zero there."""
+    if v == 0 and not keep_zero:
+        return b""
+    return _tag(field, 0) + _varint(v)
+
+
+def field_bytes(field: int, b: bytes, keep_empty: bool = False) -> bytes:
+    if not b and not keep_empty:
+        return b""
+    return _tag(field, 2) + _varint(len(b)) + b
+
+
+def field_string(field: int, s: str | None, keep_empty: bool = False) -> bytes:
+    if s is None:
+        return b""
+    return field_bytes(field, s.encode("utf-8"), keep_empty)
+
+
+def encode_value(name: str, value) -> bytes:
+    """Value message: oneof datum — ints via value_int(2), everything else
+    stringified via value_string(5) (the feed's typed columns are
+    string/timestamp; the reference picks per Oracle column type)."""
+    body = field_string(1, name)
+    if isinstance(value, bool):
+        body += field_varint(2, int(value), keep_zero=True)
+    elif isinstance(value, int):
+        body += field_varint(2, value, keep_zero=True)
+    else:
+        body += field_string(5, "" if value is None else str(value), keep_empty=True)
+    return body
+
+
+def encode_schema(owner: str, table: str) -> bytes:
+    return field_string(1, owner) + field_string(2, table)
+
+
+def encode_payload(op: str, owner: str, table: str | None, rid: str | None,
+                   before: list[tuple] | None, after: list[tuple] | None,
+                   ddl: str | None = None) -> bytes:
+    body = field_varint(1, OP_ENUM[op])
+    if table is not None:
+        body += field_bytes(2, encode_schema(owner, table))
+    body += field_string(3, rid)
+    for n, v in before or []:
+        body += field_bytes(4, encode_value(n, v), keep_empty=True)
+    for n, v in after or []:
+        body += field_bytes(5, encode_value(n, v), keep_empty=True)
+    body += field_string(6, ddl)
+    return body
+
+
+def encode_redo_response(scn: int, tm: int, xid: str | None, db: str,
+                         payloads: list[bytes],
+                         attributes: dict | None = None,
+                         c_scn: int | None = None,
+                         c_idx: int | None = None) -> bytes:
+    body = field_varint(1, RESPONSE_PAYLOAD)
+    body += field_varint(2, scn, keep_zero=True)   # oneof scn_val
+    body += field_varint(4, tm, keep_zero=True)    # oneof tm_val
+    if xid is not None:
+        body += field_string(6, xid, keep_empty=True)  # oneof xid_val
+    body += field_string(8, db)
+    for p in payloads:
+        body += field_bytes(9, p, keep_empty=True)
+    if c_scn is not None:
+        body += field_varint(10, c_scn, keep_zero=False)
+    if c_idx is not None:
+        body += field_varint(11, c_idx, keep_zero=False)
+    for k, v in sorted((attributes or {}).items()):
+        entry = field_string(1, k, keep_empty=True) + field_string(2, v, keep_empty=True)
+        body += field_bytes(12, entry, keep_empty=True)
+    return body
+
+
+def decode_message(buf: bytes) -> dict[int, list]:
+    """Generic proto3 decoder: field number → list of raw values (ints for
+    wire 0, bytes for wire 2).  Enough to round-trip-test the encoder and
+    to parse RedoRequest frames on the network server — nested messages
+    decode by recursing on the bytes."""
+    out: dict[int, list] = {}
+    i = 0
+    while i < len(buf):
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            out.setdefault(field, []).append(v)
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            out.setdefault(field, []).append(bytes(buf[i:i + ln]))
+            i += ln
+        elif wire == 1:
+            out.setdefault(field, []).append(bytes(buf[i:i + 8]))
+            i += 8
+        elif wire == 5:
+            out.setdefault(field, []).append(bytes(buf[i:i + 4]))
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+    return out
+
+
+# ------------------------------------------------------------- spark builder
+_PB_OUT = T.StructType(
+    [
+        T.StructField("scn", T.LongType()),
+        T.StructField("idx", T.IntegerType()),
+        T.StructField("message", T.BinaryType()),
+    ]
+)
+
+
+def build_protobuf_messages(
+    committed_dml: DataFrame, db_name: str = "transcripts_feed", owner: str = "APP"
+) -> DataFrame:
+    """Committed DML events → one encoded ``RedoResponse`` per op with the
+    same ordered identity (scn, idx) as the JSON builder (W6) — the
+    BuilderProtobuf analog (BuilderProtobuf.cpp:30-118 processInsert/
+    Update/Delete → one numbered message each).
+
+    before/after Values carry the PRESENT columns only: after = the
+    changed_cols set (ins/upd), before = non-null undo-image columns
+    (upd/del) — protobuf has no null datum, so presence IS the encoding,
+    exactly like the reference's column lists."""
+    rid = encode_rowid(
+        F.crc32(F.col("table_name")).bitwiseAND(F.lit(0x3FFFF)),
+        F.crc32(F.col("conv_id")).bitwiseAND(F.lit(0xFFFFFF)),
+        (F.coalesce(F.col("turn_idx"), F.lit(0)) % 4096).cast("long"),
+    )
+    src = committed_dml.select(
+        F.col("txn_commit_scn").alias("scn"),
+        F.col("seq_in_txn").alias("idx"),
+        F.unix_timestamp(F.col("ts")).alias("tm"),
+        "xid",
+        "op",
+        "table_name",
+        rid.alias("rid"),
+        "before",
+        "after",
+        "changed_cols",
+        "attrs",
+        F.col("ddl_stmt"),
+    )
+
+    def encode_iter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            msgs = []
+            for r in pdf.itertuples(index=False):
+                after_cols = None
+                if r.op in ("ins", "upd") and r.after is not None:
+                    changed = [] if r.changed_cols is None else list(r.changed_cols)
+                    after_cols = [(c, r.after.get(c)) for c in changed]
+                before_cols = None
+                if r.op in ("upd", "del") and r.before is not None:
+                    before_cols = [
+                        (k, v) for k, v in r.before.items() if v is not None
+                    ]
+                payload = encode_payload(
+                    r.op, owner, r.table_name, r.rid, before_cols, after_cols,
+                    ddl=r.ddl_stmt,
+                )
+                msgs.append(
+                    encode_redo_response(
+                        int(r.scn), int(r.tm), r.xid, db_name, [payload],
+                        attributes=r.attrs,
+                    )
+                )
+            yield pd.DataFrame(
+                {"scn": pdf["scn"], "idx": pdf["idx"], "message": msgs}
+            )
+
+    return src.mapInPandas(encode_iter, _PB_OUT)

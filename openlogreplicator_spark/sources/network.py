@@ -1,0 +1,246 @@
+"""W4 — network writer: the reference's redo-stream TCP protocol.
+
+The reference's WriterStream (/root/reference/src/writer/
+WriterStream.cpp:1-300) serves committed messages over a socket
+(StreamNetwork, /root/reference/src/stream/StreamNetwork.cpp) with a
+CLIENT-DRIVEN restart protocol: the client sends INFO to learn the
+server's confirmed position, START(scn) to begin/resume, and CONFIRM
+(c_scn) as it durably applies — on reconnect the stream resumes after the
+confirmed position, giving the client at-least-once delivery with its own
+dedup (or exactly-once if it confirms transactionally).
+
+Here the same protocol over plain TCP (no ZMQ in this image — not
+needed): 4-byte big-endian length-prefixed frames, each frame one
+protobuf message from the reference's own schema
+(proto/OraProtoBuf.proto: RedoRequest/RedoResponse), encoded by the
+pure-Python wire format in functions/protobuf_output.py.
+
+Division of labor at scale: Spark (distributed) builds + spools the
+ordered message stream per epoch (``write_protobuf_mirror`` — same
+(scn, idx) range-partitioned file layout as the JSON mirror); the server
+is a DRIVER-SIDE tail over the spool, exactly like the reference's
+single writer thread.  The socket was never the parallel part.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import socket
+import socketserver
+import struct
+import threading
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.protobuf_output import (
+    build_protobuf_messages,
+    decode_message,
+    field_string,
+    field_varint,
+)
+
+# RequestCode / ResponseCode (OraProtoBuf.proto:143-163)
+REQ_INFO, REQ_START, REQ_CONTINUE, REQ_CONFIRM = 0, 1, 2, 3
+RESP_READY, RESP_FAILED_START, RESP_STARTING = 0, 1, 2
+RESP_ALREADY_STARTED, RESP_REPLICATE, RESP_PAYLOAD = 3, 4, 5
+RESP_INVALID_DATABASE, RESP_INVALID_COMMAND = 6, 7
+
+
+def write_protobuf_mirror(
+    committed_dml: DataFrame, out_dir: str, epoch_id: int | str,
+    db_name: str = "transcripts_feed", owner: str = "APP",
+    n_files: int | None = None,
+) -> None:
+    """Spool one epoch of encoded RedoResponse messages as (scn, idx,
+    message) parquet in global (scn, idx) order — the binary twin of
+    ``write_json_mirror`` (same rotation/idempotence contract: one dir per
+    epoch, overwritten whole on replay)."""
+    msgs = build_protobuf_messages(committed_dml, db_name=db_name, owner=owner)
+    spark = committed_dml.sparkSession
+    n = n_files or spark.sparkContext.defaultParallelism
+    (
+        msgs.repartitionByRange(n, "scn", "idx")
+        .sortWithinPartitions("scn", "idx")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"epoch={int(epoch_id):06d}"))
+    )
+
+
+def read_spool_messages(out_dir: str, after_scn: int = 0):
+    """Driver-side ordered tail over the spool: epochs ascending, part
+    files lexicographic, rows in stored order; yields (scn, idx, bytes)
+    with scn > after_scn.  pyarrow, no Spark job."""
+    import pyarrow.parquet as pq
+
+    for epoch_dir in sorted(glob.glob(os.path.join(out_dir, "epoch=*"))):
+        parts = sorted(
+            p for p in glob.glob(os.path.join(epoch_dir, "part-*"))
+            if p.endswith(".parquet")
+        )
+        for p in parts:
+            t = pq.read_table(p, columns=["scn", "idx", "message"])
+            for scn, idx, msg in zip(
+                t["scn"].to_pylist(), t["idx"].to_pylist(), t["message"].to_pylist()
+            ):
+                if scn > after_scn:
+                    yield scn, idx, msg
+
+
+def _send_frame(sock, payload: bytes):
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def _recv_frame(sock) -> bytes | None:
+    hdr = b""
+    while len(hdr) < 4:
+        c = sock.recv(4 - len(hdr))
+        if not c:
+            return None
+        hdr += c
+    (n,) = struct.unpack(">I", hdr)
+    buf = b""
+    while len(buf) < n:
+        c = sock.recv(n - len(buf))
+        if not c:
+            return None
+        buf += c
+    return buf
+
+
+def _encode_control(code: int, scn: int | None = None) -> bytes:
+    body = field_varint(1, code, keep_zero=True)
+    if scn is not None:
+        body += field_varint(2, scn, keep_zero=True)
+    return body
+
+
+class RedoStreamServer:
+    """The WriterStream analog: serve the spooled message stream with the
+    INFO/START/CONFIRM protocol; the confirmed position persists in a
+    checkpoint file so client restarts resume exactly where they left off
+    (reference: confirmed scn chain, Writer.cpp:362-399)."""
+
+    def __init__(self, spool_dir: str, db_name: str = "transcripts_feed",
+                 host: str = "127.0.0.1", port: int = 0):
+        self.spool_dir = spool_dir
+        self.db_name = db_name
+        self.chkpt_path = os.path.join(spool_dir, "confirmed.json")
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                outer._serve(self.request)
+
+        self._srv = socketserver.ThreadingTCPServer((host, port), Handler)
+        self._srv.daemon_threads = True
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> tuple[str, int]:
+        self._thread.start()
+        return self._srv.server_address
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    # ------------------------------------------------------------ checkpoint
+    def confirmed_scn(self) -> int:
+        try:
+            with open(self.chkpt_path) as f:
+                return int(json.load(f)["c_scn"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _record_confirm(self, scn: int):
+        tmp = self.chkpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"c_scn": int(scn)}, f)
+        os.replace(tmp, self.chkpt_path)
+
+    # -------------------------------------------------------------- protocol
+    def _serve(self, sock):
+        while True:
+            frame = _recv_frame(sock)
+            if frame is None:
+                return
+            req = decode_message(frame)
+            code = req.get(1, [0])[0]
+            db = req.get(2, [b""])[0].decode("utf-8") if 2 in req else ""
+            if db and db != self.db_name:
+                _send_frame(sock, _encode_control(RESP_INVALID_DATABASE))
+                continue
+            if code == REQ_INFO:
+                _send_frame(
+                    sock,
+                    _encode_control(RESP_READY, scn=self.confirmed_scn()),
+                )
+            elif code == REQ_START:
+                start_scn = req.get(3, [0])[0] if 3 in req else self.confirmed_scn()
+                _send_frame(sock, _encode_control(RESP_STARTING, scn=start_scn))
+                for scn, idx, msg in read_spool_messages(self.spool_dir, start_scn):
+                    # stamp the confirm coordinates (c_scn/c_idx fields 10/11)
+                    _send_frame(
+                        sock,
+                        msg + field_varint(10, scn) + field_varint(11, idx),
+                    )
+                # spool drained: tell the client it is at the live edge
+                _send_frame(sock, _encode_control(RESP_REPLICATE))
+            elif code == REQ_CONFIRM:
+                c_scn = req.get(8, [0])[0] if 8 in req else req.get(3, [0])[0]
+                if c_scn > self.confirmed_scn():
+                    self._record_confirm(c_scn)
+            else:
+                _send_frame(sock, _encode_control(RESP_INVALID_COMMAND))
+
+
+# ------------------------------------------------------------------- client
+def encode_request(code: int, db_name: str, scn: int | None = None,
+                   c_scn: int | None = None) -> bytes:
+    body = field_varint(1, code, keep_zero=True)
+    body += field_string(2, db_name)
+    if scn is not None:
+        body += field_varint(3, scn, keep_zero=True)
+    if c_scn is not None:
+        body += field_varint(8, c_scn, keep_zero=True)
+    return body
+
+
+class RedoStreamClient:
+    """Test/consumer client: INFO → START(resume point) → iterate payload
+    frames, confirming as it applies."""
+
+    def __init__(self, host: str, port: int, db_name: str):
+        self.sock = socket.create_connection((host, port))
+        self.db_name = db_name
+
+    def info(self) -> int:
+        _send_frame(self.sock, encode_request(REQ_INFO, self.db_name))
+        resp = decode_message(_recv_frame(self.sock))
+        assert resp.get(1, [RESP_READY])[0] == RESP_READY
+        return resp.get(2, [0])[0] if 2 in resp else 0
+
+    def stream(self, start_scn: int):
+        """Yield decoded RedoResponse field-maps until the live edge."""
+        _send_frame(self.sock, encode_request(REQ_START, self.db_name, scn=start_scn))
+        starting = decode_message(_recv_frame(self.sock))
+        assert starting.get(1, [None])[0] == RESP_STARTING
+        while True:
+            frame = _recv_frame(self.sock)
+            if frame is None:
+                return
+            msg = decode_message(frame)
+            if msg.get(1, [None])[0] == RESP_REPLICATE and 9 not in msg:
+                return
+            yield msg
+
+    def confirm(self, c_scn: int):
+        _send_frame(
+            self.sock, encode_request(REQ_CONFIRM, self.db_name, c_scn=c_scn)
+        )
+
+    def close(self):
+        self.sock.close()

@@ -1,0 +1,184 @@
+"""W7 protobuf wire format + W4 network writer protocol.
+
+The encoder is pure Python (no protobuf runtime in this image), so the
+tests pin the WIRE BYTES against hand-computed proto3 golden values (any
+standard protobuf consumer of the reference's OraProtoBuf.proto decodes
+them), round-trip every message through the generic decoder, check parity
+with the JSON builder on the same feed, and drive the full
+INFO/START/CONFIRM client-restart protocol over a real localhost socket
+(reference: WriterStream.cpp + StreamNetwork.cpp).
+"""
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.functions.protobuf_output import (
+    OP_ENUM,
+    build_protobuf_messages,
+    decode_message,
+    encode_payload,
+    encode_redo_response,
+    encode_value,
+    field_varint,
+)
+from openlogreplicator_spark.operators.assemble import assemble_transactions
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _committed_dml(spark, fb):
+    committed = assemble_transactions(fb.to_spark(spark))["committed"]
+    return committed.filter(F.col("op").isin("ins", "upd", "del"))
+
+
+def _feed(n=6, shards=1):
+    fb = FeedBuilder(n_shards=shards)
+    for i in range(n):
+        t = fb.begin(shard=i % shards, attrs={"user": f"u{i}"})
+        t.ins(f"c{i}", 0, role="user", text=f"v{i}", ts=TS)
+        fb.commit(t)
+    return fb
+
+
+def test_wire_format_golden_bytes():
+    """Hand-computed proto3 bytes: tag = (field << 3) | wire."""
+    # Value{name="a"(field1,wire2), value_string="b"(field5,wire2)}
+    assert encode_value("a", "b") == b"\x0a\x01a\x2a\x01b"
+    # Value{name="n", value_int=300}: field2 wire0, varint 300 = AC 02
+    assert encode_value("n", 300) == b"\x0a\x01n\x10\xac\x02"
+    # varint field skips zero outside oneof, keeps it inside
+    assert field_varint(7, 0) == b""
+    assert field_varint(7, 0, keep_zero=True) == b"\x38\x00"
+    # negative int64 → 10-byte two's-complement varint (proto3 rule)
+    assert len(field_varint(2, -1, keep_zero=True)) == 1 + 10
+
+
+def test_redo_response_round_trip():
+    p = encode_payload(
+        "upd", "APP", "transcripts", "AAABBBCCC",
+        before=[("text", "old")], after=[("text", "new")],
+    )
+    msg = encode_redo_response(
+        1234, 99, "0.001.0a", "db1", [p], attributes={"user": "u1"},
+        c_scn=1234, c_idx=2,
+    )
+    d = decode_message(msg)
+    assert d[1] == [5]          # ResponseCode::PAYLOAD
+    assert d[2] == [1234] and d[4] == [99]
+    assert d[6] == [b"0.001.0a"] and d[8] == [b"db1"]
+    assert d[10] == [1234] and d[11] == [2]
+    entry = decode_message(d[12][0])
+    assert entry[1] == [b"user"] and entry[2] == [b"u1"]
+    pay = decode_message(d[9][0])
+    assert pay[1] == [OP_ENUM["upd"]]
+    schema = decode_message(pay[2][0])
+    assert schema[1] == [b"APP"] and schema[2] == [b"transcripts"]
+    before = decode_message(pay[4][0])
+    assert before[1] == [b"text"] and before[5] == [b"old"]
+    after = decode_message(pay[5][0])
+    assert after[1] == [b"text"] and after[5] == [b"new"]
+
+
+def test_builder_parity_with_json(spark):
+    """Same committed ops → protobuf and JSON builders agree on identity
+    (scn, idx), op, table, rid, xid, and attributes."""
+    from openlogreplicator_spark.functions.json_output import build_json_messages
+
+    fb = _feed(5)
+    dml = _committed_dml(spark, fb)
+    pb = {(r["scn"], r["idx"]): bytes(r["message"])
+          for r in build_protobuf_messages(dml).collect()}
+    js = {(r["scn"], r["idx"]): json.loads(r["message"])
+          for r in build_json_messages(dml).collect()}
+    assert set(pb) == set(js) and pb
+    op_rev = {0: "begin", 1: "commit", 2: "c", 3: "u", 4: "d", 5: "ddl"}
+    for key, raw in pb.items():
+        d = decode_message(raw)
+        j = js[key]
+        assert d[2] == [j["scn"]]
+        assert d[6][0].decode() == j["xid"]
+        pay = decode_message(d[9][0])
+        jp = j["payload"][0]
+        assert op_rev[pay[1][0]] == jp["op"]
+        schema = decode_message(pay[2][0])
+        assert schema[2][0].decode() == jp["schema"]["table"]
+        assert pay[3][0].decode() == jp["rid"]
+        entries = {
+            decode_message(e)[1][0].decode(): decode_message(e)[2][0].decode()
+            for e in d.get(12, [])
+        }
+        assert entries == (j["attributes"] or {})
+
+
+def test_network_writer_confirm_restart(spark, tmpdir_path):
+    """The WriterStream protocol end to end over localhost: INFO reports
+    the confirmed position, START streams in (scn, idx) order from the
+    requested position, CONFIRM persists, and a reconnecting client
+    resumes after its confirm — the client-driven restart contract the
+    reference implements in WriterStream.cpp."""
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamClient,
+        RedoStreamServer,
+        write_protobuf_mirror,
+    )
+
+    spool = os.path.join(tmpdir_path, "spool")
+    fb = _feed(8)
+    dml = _committed_dml(spark, fb)
+    # two epochs split by commit scn median (two spool dirs)
+    scns = sorted(r["txn_commit_scn"] for r in dml.select("txn_commit_scn").distinct().collect())
+    cut = scns[len(scns) // 2 - 1]
+    write_protobuf_mirror(dml.filter(F.col("txn_commit_scn") <= cut), spool, 0)
+    write_protobuf_mirror(dml.filter(F.col("txn_commit_scn") > cut), spool, 1)
+
+    server = RedoStreamServer(spool, db_name="transcripts_feed")
+    host, port = server.start()
+    try:
+        c = RedoStreamClient(host, port, "transcripts_feed")
+        assert c.info() == 0  # nothing confirmed yet
+        msgs = list(c.stream(start_scn=0))
+        assert len(msgs) == 8
+        order = [(m[10][0], m[11][0]) for m in msgs]
+        assert order == sorted(order)  # global (scn, idx) order across epochs
+        # apply the first half, confirm, drop the connection
+        mid_scn = msgs[3][10][0]
+        c.confirm(mid_scn)
+        c.close()
+
+        import time
+
+        for _ in range(50):  # confirm is fire-and-forget; wait for the file
+            if server.confirmed_scn() == mid_scn:
+                break
+            time.sleep(0.05)
+        assert server.confirmed_scn() == mid_scn
+
+        # reconnect: INFO reports the confirm; resume streams ONLY the rest
+        c2 = RedoStreamClient(host, port, "transcripts_feed")
+        resume = c2.info()
+        assert resume == mid_scn
+        rest = list(c2.stream(start_scn=resume))
+        assert [(m[10][0], m[11][0]) for m in rest] == order[4:]
+        c2.close()
+
+        # wrong database → INVALID_DATABASE
+        import socket as _socket
+
+        from openlogreplicator_spark.sources.network import (
+            RESP_INVALID_DATABASE,
+            _recv_frame,
+            _send_frame,
+            encode_request,
+        )
+
+        s = _socket.create_connection((host, port))
+        _send_frame(s, encode_request(0, "wrong_db"))
+        resp = decode_message(_recv_frame(s))
+        assert resp[1] == [RESP_INVALID_DATABASE]
+        s.close()
+    finally:
+        server.stop()
