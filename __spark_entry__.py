@@ -190,6 +190,38 @@ def q_s6_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_d4_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/time travel — the checkpoint refScn-chain analog (reference:
+    src/metadata/Metadata.cpp:586-613 keeps snapshot history so a late
+    client restarts from an older confirmed position): the derived feed is
+    applied in TWO epochs split at the event-id midpoint through the REAL
+    lake sink (apply_epoch → LakeTable), then the table is read AS OF the
+    post-epoch-0 snapshot — which must equal a replay of only the first
+    half (the DuckDB oracle replays events with event_id <= max//2)."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    max_id = _load(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    cut = int(max_id) // 2
+    eid = F.substring(F.col("xid"), 2, 100).cast("long")  # xid = 'x' || event_id
+
+    path = tempfile.mkdtemp(prefix="olr-tt-")
+    table = LakeTable.create(
+        spark, path,
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    apply_epoch(table, feed.filter(eid <= cut), 0, job_id="tt")
+    v0 = table.manifest["version"]
+    apply_epoch(table, feed.filter(eid > cut), 1, job_id="tt")
+    return table.read(version=v0).select("conv_id", "turn_idx", "role", "text")
+
+
 def q_mt_multi_table_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table replication (reference: Schema::buildMaps,
     /root/reference/src/metadata/Schema.h:129-132; fixture
@@ -706,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
         "mt_multi_table_state": q_mt_multi_table_state,
+        "d4_time_travel_as_of": q_d4_time_travel_as_of,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "t11_lww_dedup": q_t11_lww_dedup,
@@ -846,30 +879,8 @@ SELECT q_id, n_id, cos_sim, rank FROM (
         return f"len(list_filter({tok}, t -> list_contains({_sw(lang)}, t)))"
 
     return {
-        "s6_cdc_replay_final_state": _ORACLE_DERIVED + """
-, st AS (
-  SELECT conv_id, turn_idx,
-         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,
-         max(event_id) AS last_eid
-  FROM ev GROUP BY conv_id, turn_idx
-), last_op AS (
-  SELECT e.conv_id, e.turn_idx, e.op AS last_op
-  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
-                      AND e.event_id = s.last_eid
-), surv AS (
-  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
-  WHERE e.op <> 'del' AND e.event_id >= s.boundary
-), sv AS (
-  SELECT conv_id, turn_idx, max(event_id) AS me,
-         max(CASE WHEN op = 'ins' THEN event_type END) AS role
-  FROM surv GROUP BY conv_id, turn_idx
-)
-SELECT l.conv_id, l.turn_idx, s.role, e.props AS text
-FROM last_op l
-JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
-JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
-WHERE l.last_op <> 'del'
-""",
+        "s6_cdc_replay_final_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
+        "d4_time_travel_as_of": _ORACLE_DERIVED.replace("FROM events", "FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)") + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "mt_multi_table_state": _ORACLE_DERIVED_MT + """
 , st AS (
   SELECT conv_id, turn_idx,
