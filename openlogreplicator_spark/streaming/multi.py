@@ -465,16 +465,30 @@ def apply_epoch_multi(
                     acc[0] += r["n_ins"]
                     acc[1] += r["n_upd"]
                     acc[2] += r["n_del"]
-            for name in live:
+            # per-table writes fan out CONCURRENTLY: each table's merge is
+            # an independent Spark job over the shared persisted collapse
+            # result plus its own manifest commit (disjoint directories, no
+            # shared driver state) — Spark's scheduler overlaps the jobs,
+            # so breadth no longer serializes through the driver.
+            # Exactly-once is unaffected: commit ORDER across tables never
+            # mattered (each table's ledger mark is independent; the
+            # catalog :done fence still commits last, after every write).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _merge_one(name):
                 ch_t = changes_all.filter(F.col("table_name") == name).drop("table_name")
-                applied = table_objs[name].merge(
+                return table_objs[name].merge(
                     ch_t,
                     epoch_id=f"{epoch_id}:{i}",
                     job_id=job_id,
                     affected=sorted(affected[name]),
                 )
-                if applied:
-                    n_merged += 1
+
+            if len(live) > 1:
+                with ThreadPoolExecutor(max_workers=min(8, len(live))) as ex:
+                    n_merged += sum(bool(a) for a in ex.map(_merge_one, live))
+            else:
+                n_merged += sum(bool(_merge_one(n)) for n in live)
             changes_all.unpersist()
         else:
             # heterogeneous key columns: per-table fallback (correct, O(T)
