@@ -73,3 +73,17 @@ def changed_only_projection(after: Column, changed_cols: Column, columns: list[s
             for c in columns
         ]
     )
+
+
+def decode_xmltype(xml: Column, xpath: str) -> Column:
+    """P10 — XMLTYPE decode (experimental in the reference too:
+    Builder.cpp:143-148 XmlCtx-gated XMLTYPE column emission).  Our feed
+    carries XML payloads as strings (the reference reassembles them from
+    LOB pages first — that half is reassemble_chunks here); extraction is
+    Spark's native xpath machinery, JVM-side, no UDF."""
+    return F.xpath_string(xml, F.lit(xpath))
+
+
+def decode_xmltype_list(xml: Column, xpath: str) -> Column:
+    """Repeated-node variant: array<string> of every xpath match."""
+    return F.xpath(xml, F.lit(xpath))

@@ -286,3 +286,27 @@ def test_ivf_precomputed_cells_match_inline(spark):
               for r in ivf_topk(pre, q, k=5, n_centroids=8, n_probe=3, dim=64,
                                 precomputed_cell_col="ivf_cid").collect()}
     assert inline == stored and len(inline) == 50
+
+
+def test_decode_xmltype(spark):
+    """P10 XMLTYPE extraction (reference Builder.cpp:143-148, experimental
+    there as well): XML payloads as strings + native xpath extraction."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.functions.decode import (
+        decode_xmltype,
+        decode_xmltype_list,
+    )
+
+    df = spark.createDataFrame(
+        [("<doc><title>t1</title><tag>a</tag><tag>b</tag></doc>",),
+         ("<doc><title>t2</title></doc>",),
+         (None,)],
+        "x string",
+    )
+    out = df.select(
+        decode_xmltype(F.col("x"), "/doc/title/text()").alias("title"),
+        decode_xmltype_list(F.col("x"), "/doc/tag/text()").alias("tags"),
+    ).collect()
+    assert [r["title"] for r in out] == ["t1", "t2", None]
+    assert out[0]["tags"] == ["a", "b"] and out[1]["tags"] == []
