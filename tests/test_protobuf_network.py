@@ -182,3 +182,52 @@ def test_network_writer_confirm_restart(spark, tmpdir_path):
         s.close()
     finally:
         server.stop()
+
+
+def test_wire_format_property_round_trip():
+    """Property: any (scn, tm, xid, db, attrs, values) survives
+    encode→decode exactly (hypothesis fuzz over the pure-Python codec)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(max_size=40)
+    attrs = st.dictionaries(st.text(min_size=1, max_size=10), text, max_size=4)
+    vals = st.lists(
+        st.tuples(st.text(min_size=1, max_size=8),
+                  st.one_of(text, st.integers(-2**62, 2**62), st.none())),
+        max_size=5,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(scn=st.integers(0, 2**62), tm=st.integers(0, 2**40),
+           xid=text, db=text, a=attrs, before=vals, after=vals)
+    def check(scn, tm, xid, db, a, before, after):
+        p = encode_payload("upd", "APP", "t", "RID", before, after)
+        msg = encode_redo_response(scn, tm, xid, db, [p], attributes=a)
+        d = decode_message(msg)
+        assert d[2] == [scn] and d[4] == [tm]
+        assert d[6][0].decode() == xid and (d.get(8, [b""])[0]).decode() == db
+        got_attrs = {
+            decode_message(e).get(1, [b""])[0].decode():
+            decode_message(e).get(2, [b""])[0].decode()
+            for e in d.get(12, [])
+        }
+        assert got_attrs == {k: v for k, v in a.items()}
+        pay = decode_message(d[9][0])
+        for field, src in ((4, before), (5, after)):
+            got = []
+            for vb in pay.get(field, []):
+                vd = decode_message(vb)
+                name = vd.get(1, [b""])[0].decode()
+                if 2 in vd:  # value_int: decode two's-complement varint
+                    raw = vd[2][0]
+                    v = raw - (1 << 64) if raw >= (1 << 63) else raw
+                elif 5 in vd:
+                    v = vd[5][0].decode()
+                else:
+                    v = ""
+                got.append((name, v))
+            want = [(n, ("" if v is None else v)) for n, v in src]
+            assert got == want
+
+    check()
