@@ -190,3 +190,41 @@ def test_kafka_egress_no_global_sort(spark, tmpdir_path):
         plan = plan_string(out)
         assert "rangepartitioning" not in plan.lower(), plan[:2000]
         assert "hashpartitioning" in plan.lower(), plan[:2000]
+
+
+def test_fused_stats_union_reuses_status_shuffle(spark):
+    """The fused epoch-stats job's value rests on ONE status-join shuffle
+    shared across the tagged-union branches (apply.py action budget): the
+    physical plan must carry ReusedExchange nodes for the repeated
+    status aggregation, not independent exchanges per branch.  (Measured
+    with AQE off — AQE performs the same reuse at stage granularity but
+    does not label it in the pre-execution plan.)"""
+    from datetime import datetime, timezone
+
+    from openlogreplicator_spark.operators.assemble import assemble_transactions
+    from openlogreplicator_spark.plans.explain import plan_string
+    from openlogreplicator_spark.streaming.stats import _branch
+
+    TS = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        fb = FeedBuilder()
+        for i in range(4):
+            t = fb.begin()
+            t.ins(f"c{i}", 0, role="u", text="x", ts=TS)
+            fb.commit(t)
+        ev = fb.to_spark(spark).withColumn("_pend", F.lit(False))
+        parts = assemble_transactions(ev)
+        u = (
+            _branch(parts["committed"].filter(F.col("op") == "ddl"), "ddl")
+            .unionByName(_branch(parts["dropped"], "drop", shard=F.col("shard")))
+            .unionByName(_branch(parts["open"], "open", xid=F.col("xid")))
+        )
+        agg = u.groupBy("tag", "shard", "xid", "k_scn", "k_seq", "stmt").agg(
+            F.sum("n").alias("n")
+        )
+        plan = plan_string(agg)
+        assert plan.lower().count("reusedexchange") >= 2, plan[:3000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
