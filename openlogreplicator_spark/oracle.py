@@ -244,12 +244,16 @@ def replay_multi(
     events: list[dict],
     initial_tables: dict[str, list[str]] | None = None,
     default_table: str | None = None,
+    auto_register: bool = False,
 ) -> MultiReplayResult:
     """Sequential multi-table oracle: one event at a time in SCN order;
     registry evolves via CREATE/DROP TABLE DDL; DML routes to its table's
     own key space.  DDL verbs mirror streaming/multi.parse_ddl.  DML whose
     table has no registry entry at its COMMIT position is skipped (the
-    reference's 'no dictionary entry' path)."""
+    reference's 'no dictionary entry' path) — unless ``auto_register``
+    (the adaptive-schema mode, Metadata::loadAdaptiveSchema analog):
+    an unregistered table sighted in committed DML registers itself with
+    the default columns before the transaction applies."""
     from .streaming.multi import parse_ddl
 
     tables: dict = {
@@ -265,6 +269,13 @@ def replay_multi(
 
     def apply_committed(t: _Txn):
         nonlocal n_skipped
+        if auto_register:
+            # sighting-based (pre-savepoint-pop), matching the engine's
+            # stats-driven registration over all committed DML
+            for o in t.ops:
+                tn = o.get("table_name")
+                if o["op"] in ("ins", "upd", "del") and tn and tn not in tables:
+                    tables[tn] = {"rows": {}, "columns": ["role", "text", "tool", "ts"]}
         ops = [o for o in t.ops if not o["_popped"]]
 
         # chunk reassembly per (table, key), exactly like single-table

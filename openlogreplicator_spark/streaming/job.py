@@ -137,9 +137,12 @@ def replay_batch_multi(
     n_buckets: int = 16,
     mode: str = "cow",
     max_txn_ops: int | None = None,
+    auto_register: bool = False,
 ):
     """Bounded multi-table replay: whole feed as one epoch into a Catalog
-    (the reference's multi-table batch mode, fixtures multi-table.sql)."""
+    (the reference's multi-table batch mode, fixtures multi-table.sql).
+    ``auto_register``: adaptive-schema mode — unregistered tables sighted
+    in committed DML register themselves (apply_epoch_multi docstring)."""
     from ..lake.catalog import Catalog
     from .multi import apply_epoch_multi
 
@@ -148,7 +151,8 @@ def replay_batch_multi(
     catalog = Catalog.create(spark, catalog_path)
     for name in tables or []:
         catalog.create_table(name, n_buckets=n_buckets, mode=mode)
-    apply_epoch_multi(catalog, feed, epoch_id, job_id=job_id, max_txn_ops=max_txn_ops)
+    apply_epoch_multi(catalog, feed, epoch_id, job_id=job_id,
+                      max_txn_ops=max_txn_ops, auto_register=auto_register)
     return catalog.refresh()
 
 

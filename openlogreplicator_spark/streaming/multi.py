@@ -167,6 +167,7 @@ def apply_epoch_multi(
     json_mirror_dir: str | None = None,
     schemaless: bool = False,
     default_table: str | None = None,
+    auto_register: bool = False,
 ) -> dict:
     """Apply one epoch of change events across every registered table.
 
@@ -276,11 +277,35 @@ def apply_epoch_multi(
         batch_df, parts, pending_flag="_pend", per_table_dml=True,
         extra_branches=extra_branches,
     )
+    # adaptive-schema mode (reference: REDO_FLAGS::SCHEMALESS +
+    # Metadata::loadAdaptiveSchema, Metadata.cpp:676-706 — here the
+    # stronger half: unregistered tables sighted in committed DML REGISTER
+    # themselves with the default columns and their DML applies, instead of
+    # being skip-counted).  Registration is ledger-marked per (epoch, name)
+    # and carries the epoch-start snapshot, so crash replay registers and
+    # routes identically; autos are live in EVERY segment (they exist from
+    # the epoch's first sighting, not from a DDL fence position).
+    autos: set[str] = set()
+    if auto_register:
+        autos = {
+            t
+            for (t, _s) in stats["dml_by_table_shard"]
+            if t is not None and t not in start_registry
+        }
+        for name in sorted(autos):
+            mark = f"{epoch_id}:auto:{name}"
+            if mark not in catalog.manifest["ledger"].get(job_id, {}):
+                catalog.create_table(
+                    name,
+                    ledger_mark=(job_id, mark),
+                    registry_snapshot=(job_id, str(epoch_id), start_registry),
+                )
     use_fused0 = (
         changes0 is not None
         and stats["n_prollback"] == 0
         and stats["n_chunks"] == 0
         and not stats["ddls"]
+        and not autos  # the pre-built collapse excluded unseen tables
     )
     if changes0 is not None and not use_fused0:
         changes0.unpersist()
@@ -330,7 +355,7 @@ def apply_epoch_multi(
     ddls = stats["ddls"]  # [(commit_scn, seq_in_txn, stmt)] sorted
     parsed = [parse_ddl(stmt, default_table) for _, _, stmt in ddls]
     boundaries = [scn for scn, _, _ in ddls] + [None]
-    names_now = set(start_registry)
+    names_now = set(start_registry) | autos
     names_at: list[set[str]] = []  # registry state during segment i
     for verb, name, _arg in [(None, None, None)] + parsed:
         if verb == "create" and name:

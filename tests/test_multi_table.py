@@ -527,3 +527,51 @@ def test_unparseable_create_columns_fall_back_to_default(spark, tmpdir_path):
     assert cat.table("prices").value_names == ["role", "text", "tool", "ts"]
     rows = {(r["conv_id"], r["text"]) for r in cat.table("prices").read().collect()}
     assert rows == {("c2", "1.99")}
+
+
+def test_adaptive_auto_register_mode(spark, tmpdir_path):
+    """Adaptive-schema mode (reference REDO_FLAGS::SCHEMALESS +
+    Metadata::loadAdaptiveSchema, Metadata.cpp:676-706): committed DML of
+    an UNREGISTERED table registers the table with default columns and
+    applies, instead of being skip-counted — including DML that commits
+    before the table's own CREATE TABLE (the adaptive semantic).  Replay
+    of the committed epoch stays a no-op."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="tracked", ts=TS)
+    t.dml_other_table("events_log", "c1", 0, op="ins", role="sys", text="auto!")
+    fb.commit(t)
+    t = fb.begin()
+    t.dml_other_table("events_log", "c1", 0, op="upd", text="auto2")
+    t.dml_other_table("audit", "c9", 0, op="ins", role="a", text="pre-create")
+    fb.commit(t)
+    fb.ddl_txn("CREATE TABLE audit (role string, text string)",
+               ["role", "text", "tool", "ts"])
+
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts"], n_buckets=2, auto_register=True,
+    )
+    expected = replay_multi(fb.rows, auto_register=True)
+    assert set(cat.table_names) == {"transcripts", "events_log", "audit"}
+    assert_catalog_matches(cat, expected)
+    el = {(r["conv_id"], r["turn_idx"]): r["text"]
+          for r in cat.table("events_log").read().collect()}
+    assert el == {("c1", 0): "auto2"}
+    # adaptive: the pre-CREATE DML applied (auto-registration at sighting)
+    au = {(r["conv_id"], r["turn_idx"]): r["text"]
+          for r in cat.table("audit").read().collect()}
+    assert au == {("c9", 0): "pre-create"}
+    # nothing skip-counted
+    feed_rows = [r for r in cat.lineage().collect() if r["table_name"] is None]
+    assert sum(r["n_skipped"] for r in feed_rows) == 0
+
+    # committed-epoch replay is a no-op
+    out = apply_epoch_multi(
+        Catalog(spark, os.path.join(tmpdir_path, "cat")),
+        fb.to_spark(spark), 0, job_id="batch", auto_register=True,
+    )
+    assert out == {"applied": False, "reason": "epoch already committed"}
