@@ -663,6 +663,92 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(corpus, queries, k=5, n_planes=4, dim=64)
 
 
+_TRAINED_PQ_BOOKS: list | None = None
+
+
+def _trained_pq_codebooks() -> list:
+    """PQ codebooks (M=8 subspaces × K=16 codewords over dim 64) trained
+    ONCE on the same deterministic engine-independent sample as
+    :func:`_trained_ivf_centroids` — fixed-source training keeps the
+    codebook literals identical between queries() and oracle_sql() at any
+    contract SF."""
+    global _TRAINED_PQ_BOOKS
+    if _TRAINED_PQ_BOOKS is None:
+        from openlogreplicator_spark.functions.similarity import (
+            sample_vectors_deterministic,
+            train_pq_codebooks,
+        )
+
+        sample = sample_vectors_deterministic(
+            "/root/testdata/sf0.001/embeddings.parquet", n=1024
+        )
+        _TRAINED_PQ_BOOKS = train_pq_codebooks(
+            sample, n_subspaces=8, n_codes=16, iters=8
+        )
+    return _TRAINED_PQ_BOOKS
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN: corpus vectors quantized to 8 codes (argmin-L2 against
+    trained per-subspace codebooks, plan-time literals), scored by exact
+    query vs reconstructed corpus cosine.  The production scan reads ONLY
+    the code column (~32× less than the floats; ReadSchema plan-gated in
+    tests/test_pq.py); same codebook literals embedded in the DuckDB
+    oracle."""
+    from openlogreplicator_spark.functions.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return pq_topk(corpus, queries, _trained_pq_codebooks(), k=5, dim=64)
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist (top-4k by quantized score) + EXACT cosine rerank —
+    the standard billion-vector serving stack: quantization error only
+    costs recall when a true neighbor misses the shortlist (recall lift
+    measured in tests/test_pq.py)."""
+    from openlogreplicator_spark.functions.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return pq_topk(corpus, queries, _trained_pq_codebooks(), k=5, dim=64,
+                   rerank=4)
+
+
+def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket-scoped self-join (the
+    quadratic verifier runs per bucket, never all-pairs); same plane
+    literals embedded in the DuckDB oracle."""
+    from openlogreplicator_spark.functions.dedup import embedding_near_dups
+    from openlogreplicator_spark.functions.similarity import hyperplane_bucket
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb,
+        threshold=0.25,
+        bucket_col=hyperplane_bucket(F.col("v"), n_planes=4, dim=64),
+    )
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting over documents — the cheap cost estimator every
+    training-data pipeline runs first (pure column expressions)."""
+    from openlogreplicator_spark.functions.text import token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classical operator inventory evidence (§2.7): agg / join / window / sort
 # ---------------------------------------------------------------------------
@@ -769,6 +855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "text_token_count": q_text_token_count,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_broadcast_dims": q_join_broadcast_dims,
         "window_topk_per_group": q_window_topk_per_group,
@@ -872,6 +962,85 @@ SELECT q_id, n_id, cos_sim, rank FROM (
 ) WHERE rank <= 5
 """
 
+    # ---- PQ/ADC oracle: the SAME trained codebook literals the Spark
+    # pq_encode/pq_reconstruct plans embed.  Score per (subspace, codeword)
+    # is list_sum(products) - half_norm — the same association
+    # (sum first, then subtract) the Spark expression computes, so
+    # near-tie argmins agree bit-for-bit.
+    books = _trained_pq_codebooks()
+    pq_m = len(books)
+    pq_d0 = len(books[0][0])
+
+    def _pq_scores_sel(col: str) -> str:
+        cols = []
+        for i, book in enumerate(books):
+            lo = i * pq_d0
+            exprs = []
+            for cw in book:
+                lit = "[" + ",".join(repr(w) for w in cw) + "]"
+                h = repr(0.5 * sum(w * w for w in cw))
+                exprs.append(
+                    f"(list_sum(list_transform(range(1, {pq_d0 + 1}), j -> "
+                    f"CAST({col}[{lo} + j] AS DOUBLE) * ({lit})[j])) - ({h}))"
+                )
+            cols.append("[" + ", ".join(exprs) + "] AS s" + str(i))
+        return ", ".join(cols)
+
+    _pq_code = (
+        "["
+        + ", ".join(
+            f"list_position(s{i}, list_max(s{i}))" for i in range(pq_m)
+        )
+        + "]"
+    )
+    _pq_cb_lits = [
+        "[" + ",".join("[" + ",".join(repr(w) for w in cw) + "]" for cw in book) + "]"
+        for book in books
+    ]
+    _pq_rec = (
+        "flatten(["
+        + ", ".join(f"({_pq_cb_lits[i]})[code[{i + 1}]]" for i in range(pq_m))
+        + "])"
+    )
+    _pq_adc = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * rec[i]))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65), i -> rec[i] * rec[i]))),
+          1e-12), 6)"""
+    _pq_base = f"""
+WITH q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings WHERE vec_id >= 10
+), cs AS (
+  SELECT n_id, {_pq_scores_sel('n_vec')} FROM c0
+), cd AS (
+  SELECT n_id, {_pq_code} AS code FROM cs
+), rc AS (
+  SELECT n_id, {_pq_rec} AS rec FROM cd
+), scored AS (
+  SELECT q0.q_id, rc.n_id, {_pq_adc} AS adc_sim
+  FROM rc CROSS JOIN q0
+)"""
+    _pq_exact_cos = """
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q_vec[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(n_vec[i] AS DOUBLE) * CAST(n_vec[i] AS DOUBLE)))),
+          1e-12), 6)"""
+
+    def _neardup_cos(a: str, b: str) -> str:
+        return f"""
+    round(
+      list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / greatest(
+          sqrt(list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))),
+          1e-12), 6)"""
+
     def _sw(lang: str) -> str:
         return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -907,6 +1076,42 @@ WHERE l.last_op <> 'del'
 """,
         "ann_ivf_topk": _ivf_sql(_cscores),
         "ann_ivf_trained": _ivf_sql(_cscores_trained),
+        "ann_pq_adc": _pq_base + """
+SELECT q_id, n_id, adc_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+        "ann_pq_rerank": _pq_base + f"""
+, sl AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_sim DESC, n_id) AS arank
+    FROM scored
+  ) WHERE arank <= 20
+), ex AS (
+  SELECT sl.q_id, sl.n_id, {_pq_exact_cos} AS cos_sim
+  FROM sl
+  JOIN q0 ON q0.q_id = sl.q_id
+  JOIN c0 ON c0.n_id = sl.n_id
+)
+SELECT q_id, n_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+  FROM ex
+) WHERE rank <= 5
+""",
+        "dedup_embedding_neardup": f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, {_bucket('embedding')} AS bkt FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_neardup_cos('a.v', 'b.v')} AS cos_sim
+FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {_neardup_cos('a.v', 'b.v')} >= 0.25
+""",
+        "text_token_count": f"""
+SELECT doc_id, len({tok}) AS n_tokens, length(text) AS n_chars
+FROM documents
+""",
         "t11_lww_dedup": _ORACLE_DERIVED + """
 SELECT conv_id, turn_idx, event_id AS last_event_id, event_type AS last_event_type
 FROM (

@@ -367,6 +367,36 @@ def run_side_group() -> dict:
         _timed(times, "ann_ivf_topk_precomputed", ann_ivf_pre, best_of=2)
         shutil.rmtree(pre_dir, ignore_errors=True)
 
+        # PQ/ADC: codes materialized at ingest (untimed, once); the query
+        # scan reads ONLY (id, code) and reranks its shortlist exactly —
+        # the billion-vector memory shape (codes ~32× smaller than floats)
+        from openlogreplicator_spark.functions.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebooks,
+        )
+
+        books = train_pq_codebooks(
+            sample_vectors_deterministic(emb_path, n=2048),
+            n_subspaces=8, n_codes=16, iters=8,
+        )
+        pq_dir = tempfile.mkdtemp(prefix="olrbench-pq-")
+        pq_encode(
+            emb.filter(F.col("vec_id") >= 10), books, dim=64
+        ).write.mode("overwrite").parquet(pq_dir)
+        pqc = spark.read.parquet(pq_dir)
+
+        def ann_pq():
+            q = emb.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding"
+            )
+            pq_topk(pqc, q, books, k=5, dim=64,
+                    precomputed_code_col="pq_code",
+                    rerank=4).write.format("noop").mode("overwrite").save()
+
+        _timed(times, "ann_pq_rerank_precomputed", ann_pq, best_of=2)
+        shutil.rmtree(pq_dir, ignore_errors=True)
+
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
         li = spark.read.parquet(li_path)

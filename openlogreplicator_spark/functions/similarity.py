@@ -279,6 +279,56 @@ def assign_ivf_cells(corpus: DataFrame, n_centroids: int = 8, dim: int = 64,
     return corpus.withColumn(cell_col, _ivf_cid(F.col(vec_col), cents, dim))
 
 
+def _probe_frame(queries: DataFrame, cents: list[list[float]], n_probe: int,
+                 dim: int, q_id_col: str, vec_col: str) -> DataFrame:
+    """Exploded (q_id, q_vec, cid) probe frame: each query's top-``n_probe``
+    coarse centroids by (score desc, index asc).
+
+    Each score is projected ONCE into its own column, then a sort of
+    (negated score, index) structs picks the probes — an argmax-and-mask
+    chain built inline would re-embed the whole prior expression per
+    probe (exponential plan growth, minutes of Catalyst analysis at
+    n_probe ≥ 4).  Tie-break (equal score → smaller index) matches the
+    DuckDB oracle's repeated list_position-of-max, which also takes the
+    first (= smallest-index) maximum."""
+    q0 = queries.select(
+        F.col(q_id_col),
+        F.col(vec_col).alias("q_vec"),
+        (F.size(F.col(vec_col)) == dim).alias("_ok"),
+        *[
+            sc.alias(f"_s{j}")
+            for j, sc in enumerate(
+                [
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col),
+                            F.array(*[F.lit(w) for w in cent]),
+                            lambda x, w: x.cast("double") * w,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for cent in cents
+                ]
+            )
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(j + 1).alias("j"))
+            for j in range(len(cents))
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda x: x["j"].cast("int")
+    )
+    return q0.select(
+        F.col(q_id_col),
+        F.col("q_vec"),
+        F.when(F.col("_ok"), probes).alias("_probes"),
+    ).select(q_id_col, "q_vec", F.explode("_probes").alias("cid"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -314,50 +364,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         cid_expr.alias("cid"),
     )
 
-    # query probes: top-n_probe centroids by (score desc, index asc).
-    # Each score is projected ONCE into its own column, then a sort of
-    # (negated score, index) structs picks the probes — an argmax-and-mask
-    # chain built inline would re-embed the whole prior expression per
-    # probe (exponential plan growth, minutes of Catalyst analysis at
-    # n_probe ≥ 4).  Tie-break (equal score → smaller index) matches the
-    # DuckDB oracle's repeated list_position-of-max, which also takes the
-    # first (= smallest-index) maximum.
-    q0 = queries.select(
-        F.col(q_id_col),
-        F.col(vec_col).alias("q_vec"),
-        (F.size(F.col(vec_col)) == dim).alias("_ok"),
-        *[
-            sc.alias(f"_s{j}")
-            for j, sc in enumerate(
-                [
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            F.array(*[F.lit(w) for w in cent]),
-                            lambda x, w: x.cast("double") * w,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    for cent in cents
-                ]
-            )
-        ],
-    )
-    pairs = F.array(
-        *[
-            F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(j + 1).alias("j"))
-            for j in range(len(cents))
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(pairs), 1, n_probe), lambda x: x["j"].cast("int")
-    )
-    q = q0.select(
-        F.col(q_id_col),
-        F.col("q_vec"),
-        F.when(F.col("_ok"), probes).alias("_probes"),
-    ).select(q_id_col, "q_vec", F.explode("_probes").alias("cid"))
+    q = _probe_frame(queries, cents, n_probe, dim, q_id_col, vec_col)
 
     if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
         q = F.broadcast(q)
@@ -366,3 +373,288 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = j.select(q_id_col, "n_id", sim)
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the memory-compression half of billion-scale ANN
+# ---------------------------------------------------------------------------
+#
+# IVF (above) prunes WHICH vectors a query scores; PQ shrinks WHAT the scan
+# reads: each dim-D vector becomes M small codes (one per D/M-dim subspace,
+# argmin-L2 against a per-subspace codebook of K codewords).  At 10^10
+# dim-64 float32 vectors the raw corpus is ~2.5 TB; M=8, K=16 codes are
+# 8 nibbles (~10 GB) — the ADC scan reads ONLY the code column (verified by
+# a ReadSchema plan test) and scores against literal codebooks, never
+# touching the floats.  Reference analog: none (the reference has no vector
+# ops); this is the standard IVF-PQ decomposition (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+
+def train_pq_codebooks(
+    sample: "list[list[float]]", n_subspaces: int = 8, n_codes: int = 16,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means → PQ codebooks
+    ``[subspace][code][component]``.
+
+    Assignment uses argmax(<x, c> - ||c||²/2), which is exactly argmin
+    L2(x, c) (ties → lowest code index) — the SAME rule :func:`pq_encode`
+    compiles into the Spark plan and the DuckDB oracle, so training,
+    engine, and oracle partition the space identically.  Init = first
+    ``n_codes`` sample subvectors (the sample is hash-shuffled — a uniform
+    draw); an emptied cluster reseeds to the worst-represented sample
+    point.  Every step is order-deterministic.
+
+    Scale shape: identical to :func:`train_ivf_centroids` — the sample is
+    O(thousands) regardless of corpus size, training is a driver-side
+    numpy loop, and the OUTPUT is a literal codebook embedded in the plan;
+    at 10^10 vectors only the sampling becomes distributed."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    d0 = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        xs = x[:, m * d0:(m + 1) * d0]
+        k = min(n_codes, len(xs))
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            # argmax(<x,c> - |c|^2/2) == argmin L2; np.argmax takes the
+            # first max, matching array_position/list_position-of-max
+            scores = xs @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            best = scores[np.arange(len(xs)), assign]
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = xs[best.argmin()]
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def _pq_subscores(vec: Column, book_m: list[list[float]], lo: int) -> Column:
+    """array<double> of (<subvector, codeword> - ||codeword||²/2) for one
+    subspace; subvector = vec[lo .. lo+d0-1] (1-based), codewords are
+    plan-time literals.  The half-norm is subtracted AFTER the fold —
+    ``sum - h``, the same association the DuckDB mirror
+    (``list_sum(...) - h``) computes, so near-tie argmins agree
+    bit-for-bit."""
+    d0 = len(book_m[0])
+    sub = F.slice(vec, lo, d0)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(w) for w in cw]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            - F.lit(0.5 * sum(w * w for w in cw))
+            for cw in book_m
+        ]
+    )
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              dim: int = 64, vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """The at-INGEST half of PQ: materialize each vector's code array
+    (1-based codeword ids, one per subspace) as a column.  Pure column
+    expressions — per-subspace score arrays are projected once each, then
+    argmin'd (array_position of max), never re-embedded.  Store the result
+    once; :func:`pq_topk` / :func:`ivf_pq_topk` with
+    ``precomputed_code_col`` then scan ONLY the codes.  Fixed-dim contract
+    as everywhere in this module: length != dim → NULL code → excluded."""
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    if m * d0 != dim:
+        raise ValueError(f"codebooks cover {m}x{d0} != dim {dim}")
+    keep = df.columns
+    s = df.select(
+        *keep,
+        *[
+            _pq_subscores(F.col(vec_col), codebooks[i], i * d0 + 1).alias(f"_pqs{i}")
+            for i in range(m)
+        ],
+    )
+    code = F.array(
+        *[
+            F.array_position(
+                F.col(f"_pqs{i}"), F.array_max(F.col(f"_pqs{i}"))
+            ).cast("int")
+            for i in range(m)
+        ]
+    )
+    return s.select(
+        *keep,
+        F.when(F.size(F.col(vec_col)) == dim, code).alias(code_col),
+    )
+
+
+def pq_codebook_literal(codebooks: list[list[list[float]]]) -> Column:
+    """The codebooks as one array<array<array<double>>> literal."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(w)) for w in cw]) for cw in book])
+            for book in codebooks
+        ]
+    )
+
+
+def pq_reconstruct(code: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Decode a PQ code array back to its quantized vector (array<double>):
+    concatenation of the chosen codeword per subspace.  ADC scoring against
+    the reconstruction is arithmetically identical to the classic M×K
+    lookup-table sum (dot(q, x̂) = Σ_m dot(q_m, x̂_m)) — the LUT is a flop
+    optimization, not a different answer."""
+    cb = pq_codebook_literal(codebooks)
+    return F.flatten(
+        F.transform(
+            code,
+            lambda c, i: F.element_at(F.element_at(cb, (i + 1).cast("int")), c),
+        )
+    )
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame,
+            codebooks: list[list[list[float]]], k: int = 5, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id",
+            precomputed_code_col: str | None = None,
+            rerank: int | None = None,
+            broadcast_query_limit: int = 1_000_000) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: exact query vector vs
+    PQ-reconstructed corpus vectors, cosine, per-query top-k.  With
+    ``precomputed_code_col`` (codes materialized at ingest by
+    :func:`pq_encode`) the corpus scan reads ONLY (id, code) — at 10^10
+    vectors that is the difference between scanning ~10 GB of codes and
+    ~2.5 TB of floats; plan-gated in tests/test_pq.py (ReadSchema must not
+    contain the vector column).  Scoring is a full scan of the (pruned)
+    corpus — compose with IVF cells (:func:`ivf_pq_topk`) to prune
+    candidates too.
+
+    ``rerank=R``: the production recall fix — ADC picks a top-``R·k``
+    shortlist per query from the codes alone, then the EXACT cosine is
+    computed only for shortlist members (a join back to the raw vectors
+    that touches R·k rows per query, not the corpus) and the final top-k
+    is by exact score (column ``cos_sim``).  Quantization error then only
+    costs recall when a true neighbor falls outside the shortlist.
+    Without rerank the returned score column is ``adc_sim``."""
+    if precomputed_code_col is not None:
+        c = corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(precomputed_code_col).alias("_code"),
+        )
+    else:
+        c = pq_encode(corpus, codebooks, dim, vec_col, "_code").select(
+            F.col(id_col).alias("n_id"), "_code"
+        )
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"))
+    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+        q = F.broadcast(q)
+    rec = pq_reconstruct(F.col("_code"), codebooks)
+    sim = F.round(cosine(F.col("q_vec"), rec), 6).alias("adc_sim")
+    scored = c.filter(F.col("_code").isNotNull()).crossJoin(q).select(
+        q_id_col, "q_vec", "n_id", sim
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_sim").desc(), F.col("n_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "n_id", "adc_sim", "rank")
+        )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w))
+        .filter(F.col("_arank") <= rerank * k)
+        .select(q_id_col, "q_vec", "n_id")
+    )
+    raw = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # shortlist is R·k rows per query — AQE broadcasts it to the raw scan
+    exact = shortlist.join(raw, "n_id").select(
+        q_id_col,
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
+                codebooks: list[list[list[float]]], k: int = 5,
+                n_centroids: int = 8, n_probe: int = 2, dim: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id",
+                centroids: list[list[float]] | None = None,
+                precomputed_cell_col: str | None = None,
+                precomputed_code_col: str | None = None,
+                rerank: int | None = None,
+                broadcast_query_limit: int = 1_000_000) -> DataFrame:
+    """The full billion-scale composition: IVF coarse cells prune WHICH
+    vectors are scored (equi-join on cid, cost ≈ n_probe/n_centroids of a
+    full scan) and PQ codes shrink WHAT the scan reads (ADC against
+    literal codebooks).  With both ``precomputed_cell_col`` and
+    ``precomputed_code_col`` (the production shape — both materialized
+    once at ingest) a query batch touches only (id, cid, code).
+    ``rerank=R``: exact-cosine rerank of the ADC top-``R·k`` shortlist
+    (see :func:`pq_topk`) — IVF-PQ + rerank is the standard
+    billion-vector serving stack."""
+    cents = centroids if centroids is not None else centroid_matrix(n_centroids, dim)
+
+    cid = (
+        F.col(precomputed_cell_col)
+        if precomputed_cell_col is not None
+        else _ivf_cid(F.col(vec_col), cents, dim)
+    )
+    if precomputed_code_col is not None:
+        c = corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(precomputed_code_col).alias("_code"),
+            cid.alias("cid"),
+        )
+    else:
+        c = pq_encode(corpus, codebooks, dim, vec_col, "_code").select(
+            F.col(id_col).alias("n_id"), "_code", cid.alias("cid")
+        )
+
+    q = _probe_frame(queries, cents, n_probe, dim, q_id_col, vec_col)
+    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+        q = F.broadcast(q)
+    j = c.filter(F.col("_code").isNotNull()).join(q, "cid")
+    rec = pq_reconstruct(F.col("_code"), codebooks)
+    sim = F.round(cosine(F.col("q_vec"), rec), 6).alias("adc_sim")
+    scored = j.select(q_id_col, "q_vec", "n_id", sim)
+    w = Window.partitionBy(q_id_col).orderBy(F.col("adc_sim").desc(), F.col("n_id"))
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, "n_id", "adc_sim", "rank")
+        )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w))
+        .filter(F.col("_arank") <= rerank * k)
+        .select(q_id_col, "q_vec", "n_id")
+    )
+    raw = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    exact = shortlist.join(raw, "n_id").select(
+        q_id_col,
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

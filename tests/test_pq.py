@@ -1,0 +1,177 @@
+"""Product quantization (PQ/ADC) — the memory-compression half of
+billion-scale ANN (IVF prunes WHICH vectors are scored, PQ shrinks WHAT
+the scan reads).
+
+Covers the four properties that make the operator real at scale:
+  * encode determinism — Spark codes == numpy argmin-L2 codes (the same
+    rule training uses, and the property that lets the DuckDB contract
+    oracle embed the codebooks as literals);
+  * column pruning — with codes materialized at ingest the ADC scan's
+    ReadSchema must NOT contain the raw vector column (at 10^10 dim-64
+    float32 vectors: ~10 GB of codes vs ~2.5 TB of floats);
+  * exact-rerank recall — on a clustered corpus the ADC shortlist + exact
+    rerank essentially recovers brute-force top-k, and rerank recall >=
+    plain ADC recall on the same codes;
+  * IVF-PQ composition — the fully-precomputed path (cells + codes from
+    ingest) returns the same rows as the inline path.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.functions.similarity import (
+    assign_ivf_cells,
+    brute_force_topk,
+    ivf_pq_topk,
+    pq_encode,
+    pq_topk,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+
+DIM = 32
+K_CLUSTERS = 8
+PER_CLUSTER = 120
+
+
+def _clustered_corpus():
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(K_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(K_CLUSTERS):
+        pts = centers[c] + 0.15 * rng.normal(size=(PER_CLUSTER, DIM))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return _clustered_corpus()
+
+
+@pytest.fixture(scope="module")
+def books(corpus_rows):
+    sample = [v for _, v in corpus_rows[::3]]
+    return train_pq_codebooks(sample, n_subspaces=8, n_codes=16, iters=8)
+
+
+def _frames(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 89 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return df, queries
+
+
+def _np_codes(vec, books):
+    d0 = len(books[0][0])
+    out = []
+    for m, book in enumerate(books):
+        sub = np.asarray(vec[m * d0:(m + 1) * d0], dtype=np.float64)
+        cb = np.asarray(book)
+        scores = cb @ sub - 0.5 * (cb * cb).sum(axis=1)
+        out.append(int(scores.argmax()) + 1)  # 1-based, first max
+    return out
+
+
+def test_pq_encode_matches_numpy(spark, corpus_rows, books):
+    df, _ = _frames(spark, corpus_rows)
+    got = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(df, books, dim=DIM).collect()
+    }
+    # float32 storage: numpy must quantize the same float32-rounded input
+    for vid, vec in corpus_rows[:200]:
+        vec32 = [float(np.float32(x)) for x in vec]
+        assert got[vid] == _np_codes(vec32, books), vid
+
+
+def test_pq_encode_null_for_wrong_dim(spark, books):
+    df = spark.createDataFrame(
+        [(1, [0.5] * DIM), (2, [0.5] * (DIM - 1))],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["pq_code"] for r in pq_encode(df, books, dim=DIM).collect()}
+    assert rows[1] is not None and rows[2] is None
+
+
+def test_pq_precomputed_scan_prunes_vector_column(spark, corpus_rows, books, tmp_path):
+    df, queries = _frames(spark, corpus_rows)
+    enc_path = str(tmp_path / "pq_enc")
+    pq_encode(df, books, dim=DIM).write.parquet(enc_path)
+    enc = spark.read.parquet(enc_path)
+    out = pq_topk(enc, queries, books, k=5, dim=DIM,
+                  precomputed_code_col="pq_code")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.split("\n") if "ReadSchema" in ln and "pq_enc" in ln
+    ]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "embedding" not in ln, ln
+    # and the pruned path returns the same rows as inline encoding
+    inline = {(r["q_id"], r["n_id"], r["adc_sim"])
+              for r in pq_topk(df, queries, books, k=5, dim=DIM).collect()}
+    pruned = {(r["q_id"], r["n_id"], r["adc_sim"]) for r in out.collect()}
+    assert inline == pruned
+
+
+def test_pq_rerank_recovers_exact_topk_on_clusters(spark, corpus_rows, books):
+    df, queries = _frames(spark, corpus_rows)
+    truth = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r_adc = recall(pq_topk(df, queries, books, k=5, dim=DIM))
+    r_rr = recall(pq_topk(df, queries, books, k=5, dim=DIM, rerank=16))
+    assert r_rr >= r_adc, (r_rr, r_adc)
+    # exact rerank of a 16k shortlist on planted clusters ~= brute force
+    # (measured curve: rerank 8 → 0.87, 16 → 0.98, 24 → 1.0)
+    assert r_rr >= 0.9, r_rr
+
+
+def test_ivf_pq_precomputed_path_matches_inline(spark, corpus_rows, books, tmp_path):
+    df, queries = _frames(spark, corpus_rows)
+    sample = [v for _, v in corpus_rows[::3]]
+    cents = train_ivf_centroids(sample, n_centroids=K_CLUSTERS, iters=8)
+
+    inline = ivf_pq_topk(df, queries, books, k=5, n_probe=3, dim=DIM,
+                         centroids=cents)
+    pre_path = str(tmp_path / "ivfpq_enc")
+    pq_encode(
+        assign_ivf_cells(df, dim=DIM, centroids=cents), books, dim=DIM
+    ).write.parquet(pre_path)
+    pre = spark.read.parquet(pre_path)
+    precomp = ivf_pq_topk(pre, queries, books, k=5, n_probe=3, dim=DIM,
+                          centroids=cents, precomputed_cell_col="ivf_cid",
+                          precomputed_code_col="pq_code")
+    a = {(r["q_id"], r["n_id"], r["adc_sim"]) for r in inline.collect()}
+    b = {(r["q_id"], r["n_id"], r["adc_sim"]) for r in precomp.collect()}
+    assert a == b
+    # rerank composes with IVF-PQ too
+    rr = ivf_pq_topk(df, queries, books, k=5, n_probe=3, dim=DIM,
+                     centroids=cents, rerank=4)
+    assert rr.columns == ["q_id", "n_id", "cos_sim", "rank"]
+    assert rr.count() == queries.count() * 5
+
+
+def test_pq_training_is_deterministic(corpus_rows):
+    sample = [v for _, v in corpus_rows[::5]]
+    a = train_pq_codebooks(sample, n_subspaces=8, n_codes=16, iters=6)
+    b = train_pq_codebooks(sample, n_subspaces=8, n_codes=16, iters=6)
+    assert a == b
+    with pytest.raises(ValueError):
+        train_pq_codebooks(sample, n_subspaces=5)  # 32 % 5 != 0
