@@ -232,6 +232,40 @@ def run_cdc_group() -> dict:
         extra["update_events_per_sec_cow"] = round(n_upd / times["cdc_update_epoch_cow"], 1)
         extra["update_events_per_sec_mor"] = round(n_upd / times["cdc_update_epoch_mor"], 1)
 
+    # 3b'') point lookup before/after OPTIMIZE: cluster() range-rewrites
+    # the bucket bases and records per-file key zone maps; read_for_keys
+    # then skips every base file whose [min,max] excludes the keys.  The
+    # serving-path data-skipping win, measured.
+    if not skip_skew:
+        from openlogreplicator_spark.lake import LakeTable
+
+        tbl = LakeTable(spark, os.path.join(work, "tbl"))
+        keys = sorted(
+            r["conv_id"]
+            for r in tbl.read().select("conv_id").distinct().limit(20).collect()
+        )
+
+        def lookup():
+            (
+                tbl.read_for_keys(keys)
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        _timed(times, "cdc_point_lookup_unclustered", lookup, best_of=2)
+        t0 = time.perf_counter()
+        cres = tbl.cluster()
+        extra["cluster_secs"] = round(time.perf_counter() - t0, 3)
+        extra["cluster_files"] = cres["files"]
+        _timed(times, "cdc_point_lookup_clustered", lookup, best_of=2)
+        extra["point_lookup_files_scanned"] = len(
+            tbl.read_for_keys(keys).inputFiles()
+        )
+        extra["point_lookup_speedup"] = round(
+            times["cdc_point_lookup_unclustered"]
+            / max(times["cdc_point_lookup_clustered"], 1e-9),
+            3,
+        )
+
     # 3c) stateful-variant assembly (applyInPandasWithState, T13) over the
     # ~1M-event feed — the state-store architecture measured next to the
     # pending-snapshot default (same feed as the update-epoch entries)

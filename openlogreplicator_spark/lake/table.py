@@ -596,15 +596,21 @@ class LakeTable:
             lineage_dirs.append(lrel)
 
         buckets = dict(self.manifest["buckets"])
+        file_stats = dict(self.manifest.get("file_stats", {}))
         for b, dirs in new_dirs.items():
             if dirs:
                 buckets[b] = dirs
             else:
                 buckets.pop(b, None)
+            # a rewrite (CoW / compaction) replaces the clustered base —
+            # its zone maps are stale; MoR delta appends keep them (the
+            # base files are untouched and deltas are never file-pruned)
+            file_stats.pop(b, None)
 
         m = dict(self.manifest)
         m["version"] = version
         m["buckets"] = buckets
+        m["file_stats"] = file_stats
         m["deltas"] = {b: ds for b, ds in deltas_map.items() if ds}
         m["pending_dirs"] = pending_dirs
         m["pending_closed"] = pending_closed
@@ -646,6 +652,136 @@ class LakeTable:
         return self.merge(changes, epoch_id="snapshot", job_id=job_id)
 
     # ---------------------------------------------------------- maintenance
+    def cluster(self, buckets: list[int] | None = None) -> dict:
+        """OPTIMIZE: rewrite bucket bases key-clustered and record per-file
+        key zone maps (min/max of the first key column, read driver-side
+        from the parquet footers) in the manifest.
+
+        The hot merge path deliberately salts rows within a bucket for
+        write parallelism, so base files span the whole key range and a
+        point lookup must scan every file of its bucket.  This maintenance
+        pass is the Iceberg ``OPTIMIZE`` / Delta ``ZORDER`` analog: a
+        range-partitioned rewrite gives files DISJOINT key ranges, and
+        ``read_for_keys`` then skips every file whose [min, max] cannot
+        contain a requested key — at 10^10 rows a bucket holds thousands
+        of files and a lookup touches O(keys) of them, not all.  MoR delta
+        chains of the clustered buckets are folded in (compaction).
+
+        Scale shape: one shuffle (repartitionByRange over (bucket, key) —
+        the range sampler splits hot buckets across many tasks, so
+        parallelism is NOT capped at the bucket count), footer stats are
+        O(files) tiny reads on the driver.  Runs as a background
+        maintenance commit, never on the epoch hot path.
+        """
+        m = self.manifest
+        live = {int(b) for b, ds in m["buckets"].items() if ds}
+        live |= {int(b) for b, ds in m.get("deltas", {}).items() if ds}
+        bs = sorted(live if buckets is None else live & {int(b) for b in buckets})
+        if not bs:
+            return {"clustered": [], "files": 0}
+        version = m["version"] + 1
+        key = self.key_names
+        folded = self.read(bs).withColumn("_bucket", self._bucket_expr())
+        par = self.spark.sparkContext.defaultParallelism
+        n_out = max(len(bs), par)
+        data_rel = f"data/v{version:06d}"
+        (
+            folded.repartitionByRange(n_out, "_bucket", *[F.col(k) for k in key])
+            .sortWithinPartitions("_bucket", *key)
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(self.path, data_rel))
+        )
+
+        new_buckets = dict(m["buckets"])
+        deltas_map = {k: list(v) for k, v in m.get("deltas", {}).items()}
+        file_stats = dict(m.get("file_stats", {}))
+        n_files = 0
+        for b in bs:
+            d = f"{data_rel}/_bucket={b}"
+            if os.path.isdir(os.path.join(self.path, d)):
+                new_buckets[str(b)] = [d]
+                stats = self._collect_file_stats(d)
+                if stats is not None:
+                    file_stats[str(b)] = {"dir": d, "files": stats}
+                    n_files += len(stats)
+                else:
+                    file_stats.pop(str(b), None)
+            else:
+                new_buckets.pop(str(b), None)  # bucket emptied by deletes
+                file_stats.pop(str(b), None)
+            deltas_map[str(b)] = []
+
+        m2 = dict(m)
+        m2["version"] = version
+        m2["buckets"] = new_buckets
+        m2["deltas"] = {b: ds for b, ds in deltas_map.items() if ds}
+        m2["file_stats"] = file_stats
+        self._write_manifest_static(self.path, m2)
+        self.manifest = m2
+        return {"clustered": bs, "files": n_files}
+
+    def _collect_file_stats(self, rel_dir: str) -> dict | None:
+        """Per-file [min, max] of the first key column from parquet
+        footers — a driver-side O(files) metadata scan, no Spark job.
+        Returns None when the key type has no orderable zone map."""
+        k0 = self.key_names[0]
+        ktype = next(c["type"] for c in self.manifest["key_cols"] if c["name"] == k0)
+        if ktype not in ("string", "int", "long"):
+            return None
+        import pyarrow.parquet as pq
+
+        full = os.path.join(self.path, rel_dir)
+        out: dict[str, list] = {}
+        for fname in sorted(os.listdir(full)):
+            if not fname.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(full, fname))
+            idx = pf.schema_arrow.get_field_index(k0)
+            mn = mx = None
+            ok = True
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False  # e.g. all-null group — keep the file always
+                    break
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                if isinstance(lo, str) and (len(lo) >= 1024 or len(hi) >= 1024):
+                    ok = False  # possible writer-side stats truncation —
+                    break       # a truncated max is not a valid upper bound
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            out[fname] = [mn, mx] if ok and mn is not None else None
+        return out
+
+    def _read_base_pruned(self, buckets: list[int], keys: list) -> DataFrame:
+        """Base read for a point lookup: buckets whose zone maps are
+        current are expanded to the FILES whose [min, max] may contain a
+        requested key; buckets without maps fall back to full-dir scans."""
+        m = self.manifest
+        schema = _schema_from_manifest(m["key_cols"] + m["value_cols"])
+        fs = m.get("file_stats", {})
+        vals = [k for k in keys if k is not None]
+        paths: list[str] = []
+        for b in buckets:
+            dirs = m["buckets"].get(str(b), [])
+            ent = fs.get(str(b))
+            if ent is not None and dirs == [ent["dir"]]:
+                for fname, mm in ent["files"].items():
+                    if mm is None or any(mm[0] <= k <= mm[1] for k in vals):
+                        paths.append(os.path.join(self.path, ent["dir"], fname))
+            else:
+                paths.extend(os.path.join(self.path, d) for d in dirs)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def buckets_for_keys(self, keys: list) -> list[int]:
         """Bucket ids for a list of first-key values — point-lookup pruning
         (Iceberg bucket-transform partition pruning analog).  One tiny local
@@ -658,10 +794,18 @@ class LakeTable:
         return sorted({r["b"] for r in df.select(self._bucket_expr().alias("b")).collect()})
 
     def read_for_keys(self, keys: list) -> DataFrame:
-        """Pruned point lookup: scans only the buckets the keys hash into,
-        then filters exactly (parquet row-group stats prune further)."""
+        """Pruned point lookup: scans only the buckets the keys hash into;
+        within a clustered bucket (see ``cluster``) only the FILES whose
+        zone map may contain a key; then filters exactly (parquet
+        row-group stats prune further).  Deltas of the selected buckets
+        are always read in full — they are the recent, small tail; the
+        zone maps cover the large clustered base."""
         k0 = self.key_names[0]
-        return self.read(self.buckets_for_keys(keys)).filter(F.col(k0).isin(keys))
+        bs = self.buckets_for_keys(keys)
+        base = self._read_base_pruned(bs, keys)
+        deltas = self._read_deltas(bs)
+        df = base if deltas is None else self._fold_deltas(base, deltas)
+        return df.filter(F.col(k0).isin(keys))
 
     def vacuum(self, retain_last: int = 1) -> dict:
         """Delete data/delta/pending/lineage directories not referenced by

@@ -1,0 +1,113 @@
+"""cluster() maintenance (Iceberg OPTIMIZE analog): key-clustered bucket
+rewrite + per-file zone maps in the manifest, and the file-skipping point
+lookup in read_for_keys."""
+
+import os
+from datetime import datetime, timezone
+
+from helpers import normalize_rows
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.streaming.apply import apply_epoch
+from openlogreplicator_spark.streaming.job import create_target
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _load(spark, path, n_convs=200, mode="cow", n_buckets=4):
+    table = create_target(spark, path, n_buckets=n_buckets, mode=mode)
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    for i in range(n_convs):
+        t.ins(f"conv-{i:05d}", 0, role="user", text=f"hello {i}", ts=TS)
+    fb.commit(t)
+    apply_epoch(table, fb.to_spark(spark), 0, job_id="j")
+    return table
+
+
+def _rows(df, cols):
+    return normalize_rows([r.asDict() for r in df.collect()], cols)
+
+
+def test_cluster_preserves_content_and_records_stats(spark, tmpdir_path):
+    table = _load(spark, os.path.join(tmpdir_path, "t"))
+    before = _rows(table.read(), table.value_names)
+    res = table.cluster()
+    assert res["clustered"] and res["files"] > 0
+    fs = table.manifest["file_stats"]
+    assert fs, "zone maps missing after cluster()"
+    # every live bucket has maps, and every map is a valid [min, max]
+    for b, dirs in table.manifest["buckets"].items():
+        assert fs[b]["dir"] == dirs[0]
+        for mm in fs[b]["files"].values():
+            assert mm is None or mm[0] <= mm[1]
+    assert _rows(table.read(), table.value_names) == before
+
+
+def test_read_for_keys_skips_files(spark, tmpdir_path):
+    """After cluster(), a point lookup's base scan reads a strict subset
+    of the bucket's files (the zone maps actually skip)."""
+    table = _load(spark, os.path.join(tmpdir_path, "t"), n_convs=400)
+    table.cluster()
+    total_files = sum(
+        len(e["files"]) for e in table.manifest["file_stats"].values()
+    )
+    assert total_files > 4, "fixture too small to demonstrate skipping"
+    key = "conv-00007"
+    df = table.read_for_keys([key])
+    got = [r["conv_id"] for r in df.collect()]
+    assert got == [key]
+    scanned = df.inputFiles()
+    assert 0 < len(scanned) < total_files, (
+        f"expected file-level skip: scanned {len(scanned)} of {total_files}"
+    )
+
+
+def test_merge_invalidates_stale_zone_maps(spark, tmpdir_path):
+    """A CoW rewrite replaces the clustered base — its zone maps must be
+    dropped, and lookups stay correct."""
+    table = _load(spark, os.path.join(tmpdir_path, "t"))
+    table.cluster()
+    assert table.manifest["file_stats"]
+    fb = FeedBuilder(start_scn=9000)
+    t = fb.begin()
+    t.upd("conv-00003", 0, text="edited")
+    fb.commit(t)
+    apply_epoch(table, fb.to_spark(spark), 1, job_id="j")
+    b = str(table.buckets_for_keys(["conv-00003"])[0])
+    assert b not in table.manifest["file_stats"]
+    rows = table.read_for_keys(["conv-00003"]).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "edited"
+
+
+def test_cluster_folds_mor_deltas_and_lookup_sees_delta_tail(spark, tmpdir_path):
+    """MoR: cluster() compacts delta chains in; a later delta append keeps
+    the base zone maps valid and read_for_keys folds the fresh delta."""
+    table = _load(spark, os.path.join(tmpdir_path, "t"), mode="mor")
+    fb = FeedBuilder(start_scn=5000)
+    t = fb.begin()
+    t.upd("conv-00010", 0, text="v2")
+    t.delete("conv-00011", 0)
+    fb.commit(t)
+    apply_epoch(table, fb.to_spark(spark), 1, job_id="j")
+    assert any(table.manifest["deltas"].values())
+    table.cluster()
+    assert not any(table.manifest.get("deltas", {}).values())
+    # post-cluster delta append: base maps survive, fold still applies
+    fb2 = FeedBuilder(start_scn=6000)
+    t2 = fb2.begin()
+    t2.upd("conv-00010", 0, text="v3")
+    fb2.commit(t2)
+    apply_epoch(table, fb2.to_spark(spark), 2, job_id="j")
+    b = str(table.buckets_for_keys(["conv-00010"])[0])
+    assert b in table.manifest["file_stats"]
+    rows = table.read_for_keys(["conv-00010", "conv-00011"]).collect()
+    assert {r["conv_id"]: r["text"] for r in rows} == {"conv-00010": "v3"}
+
+
+def test_cluster_then_vacuum_drops_old_base(spark, tmpdir_path):
+    table = _load(spark, os.path.join(tmpdir_path, "t"))
+    before = _rows(table.read(), table.value_names)
+    table.cluster()
+    removed = table.vacuum(retain_last=1)["removed"]
+    assert any(d.startswith("data/v000001") for d in removed)
+    assert _rows(table.read(), table.value_names) == before
