@@ -222,6 +222,67 @@ def q_d4_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(version=v0).select("conv_id", "turn_idx", "role", "text")
 
 
+def q_w6_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 + ingress — wire-format fidelity: the derived feed is applied
+    through the lake sink WITH the JSON mirror egress (write_json_mirror,
+    the WriterFile analog), the mirror is re-ingested by the inverse
+    parser (sources/json_feed.read_json_feed — engine chaining, the
+    reference's writer→reader network loop) and replayed into a SECOND
+    table, whose final state must equal the DuckDB replay oracle: the
+    JSON wire format is lossless for CDC state."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.sources.json_feed import read_json_feed
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    mirror = tempfile.mkdtemp(prefix="olr-mr-")
+    cols = dict(
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    t1 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-rt1-"), **cols)
+    apply_epoch(t1, feed, 0, job_id="rt", json_mirror_dir=mirror)
+    t2 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-rt2-"), **cols)
+    apply_epoch(t2, read_json_feed(spark, mirror), 0, job_id="rt2")
+    return t2.read().select("conv_id", "turn_idx", "role", "text")
+
+
+def q_w2_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/maintenance — clustered point lookup: the derived feed is
+    applied through the REAL lake sink, the table is OPTIMIZEd
+    (LakeTable.cluster: range-partitioned rewrite + per-file key zone
+    maps in the manifest — the Iceberg OPTIMIZE / data-skipping analog),
+    then ``read_for_keys`` serves every conv_id ending in '7' from the
+    file-pruned base.  Must equal the replay final state filtered to the
+    same keys — proving the skip logic never drops a matching file."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="olr-cl-")
+    table = LakeTable.create(
+        spark, path,
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    apply_epoch(table, feed, 0, job_id="cl")
+    table.cluster()
+    keys = [
+        r["conv_id"]
+        for r in feed.select("conv_id").distinct()
+        .filter(F.col("conv_id").like("%7")).collect()
+    ]
+    return table.read_for_keys(keys).select("conv_id", "turn_idx", "role", "text")
+
+
 def q_mt_multi_table_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table replication (reference: Schema::buildMaps,
     /root/reference/src/metadata/Schema.h:129-132; fixture
@@ -823,6 +884,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
+        "w2_clustered_lookup": q_w2_clustered_lookup,
+        "w6_roundtrip_state": q_w6_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1049,6 +1112,8 @@ WITH q0 AS (
 
     return {
         "s6_cdc_replay_final_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
+        "w2_clustered_lookup": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del' AND l.conv_id LIKE '%7'\n",
+        "w6_roundtrip_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "d4_time_travel_as_of": _ORACLE_DERIVED.replace("FROM events", "FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)") + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "mt_multi_table_state": _ORACLE_DERIVED_MT + """
 , st AS (

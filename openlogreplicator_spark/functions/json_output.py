@@ -50,6 +50,17 @@ def build_json_messages(
             F.lit(owner).alias("owner"), F.col("table_name").alias("table")
         ).alias("schema"),
         rid.alias("rid"),
+        # key columns + changed-column list make the message SELF-CONTAINED
+        # (the reference emits the key columns inside the row images —
+        # 3.output-format.adoc:69-173; the explicit `changed` list also
+        # disambiguates "set to NULL" from "unchanged", which the sparse
+        # null-means-unchanged after image alone cannot) — required for the
+        # ingress round trip (sources/json_feed.py)
+        F.struct(
+            F.col("conv_id").alias("conv_id"),
+            F.col("turn_idx").alias("turn_idx"),
+        ).alias("key"),
+        F.col("changed_cols").alias("changed"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),
     )

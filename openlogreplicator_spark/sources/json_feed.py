@@ -1,0 +1,222 @@
+"""JSON wire-format ingress — the inverse of the W6 builder.
+
+The reference's consumers read its JSON output stream and apply it to a
+downstream store; OpenLogReplicator itself can also be CHAINED (one
+instance's writer feeding another's reader over the network writer,
+src/writer/WriterStream.cpp + src/stream/).  This module closes the same
+loop Spark-side: `read_json_feed` parses a `write_json_mirror` output
+directory (or any stream of messages in that wire shape) back into
+CHANGE_EVENT_SCHEMA rows, so a second engine instance replays it into its
+own lake table and converges to the SAME state — proven by
+tests/test_json_ingress.py and the w6_roundtrip_state contract query.
+
+Reconstruction notes:
+
+* Messages carry COMMITTED ops only (the builder runs post-assembly), so
+  the synthesized feed groups payload rows by (xid, scn) and re-emits one
+  ``begin`` and one ``commit`` control row per transaction around the DML
+  rows — single-pass, one tiny aggregation over O(txns) rows.
+* Intra-transaction order is the message ``idx`` (= original seq_in_txn);
+  cross-transaction order is the commit scn — exactly the (commit_scn,
+  seq_in_txn) order key the collapse stage uses, so replay order is
+  byte-identical to the source engine's.
+* ``changed`` (emitted by our builder) distinguishes set-to-NULL from
+  unchanged.  Messages from OTHER producers that omit it fall back to the
+  standard sparse-image convention: non-null after keys = changed.
+* chkpt heartbeat messages (op "chkpt") are dropped.
+* Everything is JVM-side (`from_json` + column expressions); no Python in
+  the per-row path — the ingress scales like any parquet feed scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import IMAGE_TYPE
+
+# lsn = scn * 2^20 + slot keeps per-shard total order with room for the
+# T6-capped transaction sizes (slot 0 = begin, 1..n = DML, 2^20-1 = commit)
+_LSN_SHIFT = 1 << 20
+
+
+def mirror_message_schema(image_type: T.StructType | None = None) -> T.StructType:
+    image_type = image_type or IMAGE_TYPE
+    payload = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField(
+                "schema",
+                T.StructType(
+                    [
+                        T.StructField("owner", T.StringType()),
+                        T.StructField("table", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("rid", T.StringType()),
+            T.StructField(
+                "key",
+                T.StructType(
+                    [
+                        T.StructField("conv_id", T.StringType()),
+                        T.StructField("turn_idx", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField("changed", T.ArrayType(T.StringType())),
+            T.StructField("before", image_type),
+            T.StructField("after", image_type),
+            T.StructField("seq", T.LongType()),  # chkpt heartbeat field
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("scn", T.LongType()),
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("tm", T.LongType()),
+            T.StructField("xid", T.StringType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("payload", T.ArrayType(payload)),
+        ]
+    )
+
+
+def parse_json_messages(
+    lines: DataFrame,
+    image_type: T.StructType | None = None,
+    seq_col=None,
+) -> DataFrame:
+    """Message lines (column ``value``) → CHANGE_EVENT_SCHEMA rows.
+
+    ``seq_col``: optional Column giving the redo-sequence analog for each
+    line (e.g. the mirror epoch number parsed from the file path); defaults
+    to 0."""
+    image_type = image_type or IMAGE_TYPE
+    msg = F.from_json(F.col("value"), mirror_message_schema(image_type))
+    p = F.element_at(msg.getField("payload"), 1)
+    seq = (seq_col if seq_col is not None else F.lit(0)).cast("long")
+
+    # Oracle xids RECYCLE after commit (usn.slt slots are reused —
+    # Xid.h:31), so one replayed batch can hold several transaction
+    # INSTANCES of the same xid; the reference disambiguates by processing
+    # sequentially (a commit closes the slot).  The batch ingress gets the
+    # same identity by suffixing the commit scn — unique per instance,
+    # stable across replays.
+    xid = F.concat_ws("@", msg.getField("xid"), msg.getField("scn"))
+    d = lines.select(
+        msg.getField("scn").alias("_scn"),
+        msg.getField("idx").alias("_idx"),
+        msg.getField("tm").alias("_tm"),
+        xid.alias("xid"),
+        msg.getField("attributes").alias("attrs"),
+        seq.alias("seq"),
+        p.alias("_p"),
+    ).filter(F.col("_p").getField("op").isin("c", "u", "d"))
+
+    op = (
+        F.when(F.col("_p.op") == "c", "ins")
+        .when(F.col("_p.op") == "u", "upd")
+        .otherwise("del")
+    )
+    after = F.col("_p.after")
+    # producers without an explicit changed list: sparse-image convention
+    fallback_changed = F.array_compact(
+        F.array(
+            *[
+                F.when(after.getField(f.name).isNotNull(), F.lit(f.name))
+                for f in image_type.fields
+            ]
+        )
+    )
+    changed = F.coalesce(F.col("_p.changed"), fallback_changed)
+
+    dml = d.select(
+        (F.col("_scn") * _LSN_SHIFT + F.col("_idx")).alias("lsn"),
+        F.lit(0).alias("shard"),
+        F.col("seq"),
+        F.col("_scn").alias("scn"),
+        F.lit(None).cast("long").alias("commit_scn"),
+        F.col("xid"),
+        F.col("_idx").alias("seq_in_txn"),
+        op.alias("op"),
+        F.col("_p.schema.table").alias("table_name"),
+        F.col("_p.key.conv_id").alias("conv_id"),
+        F.col("_p.key.turn_idx").alias("turn_idx"),
+        F.col("_p.before").alias("before"),
+        after.alias("after"),
+        F.when(op.isin("ins", "upd"), changed).alias("changed_cols"),
+        F.lit(None).cast("int").alias("chunk_no"),
+        F.lit(None).cast("string").alias("chunk_text"),
+        F.lit(0).alias("schema_version"),
+        F.lit(None).cast("string").alias("ddl_stmt"),
+        F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
+        F.col("attrs"),
+    )
+
+    # one begin + one commit control row per (xid, scn) transaction
+    ctl = d.groupBy("xid", "_scn").agg(
+        F.min("_idx").alias("_lo"),
+        F.max("_idx").alias("_hi"),
+        F.max("_tm").alias("_tm"),
+        F.max("seq").alias("seq"),
+        F.first("attrs", ignorenulls=True).alias("attrs"),
+    )
+
+    def _ctl_row(kind: str):
+        slot = F.col("_lo") - 1 if kind == "begin" else F.lit(_LSN_SHIFT - 1)
+        return ctl.select(
+            (F.col("_scn") * _LSN_SHIFT + slot).alias("lsn"),
+            F.lit(0).alias("shard"),
+            F.col("seq"),
+            F.col("_scn").alias("scn"),
+            (F.col("_scn") if kind == "commit" else F.lit(None)).cast("long").alias("commit_scn"),
+            F.col("xid"),
+            (F.col("_lo") - 1 if kind == "begin" else F.col("_hi") + 1).alias("seq_in_txn"),
+            F.lit(kind).alias("op"),
+            F.lit(None).cast("string").alias("table_name"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast(image_type).alias("before"),
+            F.lit(None).cast(image_type).alias("after"),
+            F.lit(None).cast("array<string>").alias("changed_cols"),
+            F.lit(None).cast("int").alias("chunk_no"),
+            F.lit(None).cast("string").alias("chunk_text"),
+            F.lit(0).alias("schema_version"),
+            F.lit(None).cast("string").alias("ddl_stmt"),
+            F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
+            F.col("attrs"),
+        )
+
+    return dml.unionByName(_ctl_row("begin")).unionByName(_ctl_row("commit"))
+
+
+def read_json_feed(
+    spark: SparkSession, mirror_dir: str, image_type: T.StructType | None = None
+) -> DataFrame:
+    """Batch-read a write_json_mirror output tree back as a change-event
+    feed.  The mirror's epoch number becomes the redo ``seq`` (log-switch
+    analog), parsed from the file path — partition-style discovery, no
+    listing job beyond the text scan itself."""
+    epoch_dirs = sorted(
+        os.path.join(mirror_dir, e)
+        for e in os.listdir(mirror_dir)
+        if e.startswith("epoch=")
+    )
+    if not epoch_dirs:
+        from ..schema import CHANGE_EVENT_SCHEMA
+
+        return spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
+    # whole-dir read: the zz-chkpt.json heartbeats parse as op="chkpt"
+    # messages and are dropped by parse_json_messages' DML filter
+    lines = spark.read.text(epoch_dirs)
+    seq = F.regexp_extract(F.input_file_name(), r"epoch=(\d+)", 1).cast("long")
+    return parse_json_messages(
+        lines.select("value", seq.alias("_seq")),
+        image_type,
+        seq_col=F.col("_seq"),
+    )

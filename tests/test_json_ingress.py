@@ -1,0 +1,98 @@
+"""JSON wire-format ingress (sources/json_feed.py): a second engine
+instance re-ingests the first instance's write_json_mirror output and
+converges to the same lake state — the writer→reader chaining loop."""
+
+import os
+from datetime import datetime, timezone
+
+from helpers import normalize_rows
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.sources.json_feed import read_json_feed
+from openlogreplicator_spark.streaming.apply import apply_epoch
+from openlogreplicator_spark.streaming.job import create_target
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+TS2 = datetime(2024, 3, 1, 12, 0, 5, tzinfo=timezone.utc)
+
+
+def _rows(table):
+    return normalize_rows(
+        [r.asDict() for r in table.read().collect()], table.value_names
+    )
+
+
+def test_mirror_roundtrip_state_equality(spark, tmpdir_path):
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=4)
+    mirror = os.path.join(tmpdir_path, "mirror")
+
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()  # multi-op transaction
+    t.ins("c1", 0, role="user", text="hello", ts=TS)
+    t.ins("c1", 1, role="assistant", text="hi there", ts=TS)
+    fb.commit(t)
+    t = fb.begin()
+    t.ins("c2", 0, role="user", text="other", ts=TS2)
+    fb.commit(t)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j", json_mirror_dir=mirror)
+
+    fb2 = FeedBuilder(start_scn=5000)
+    t = fb2.begin(attrs={"username": "alice"})
+    t.upd("c1", 0, text=None)        # set-to-NULL — needs the changed list
+    t.upd("c1", 1, tool="calc")      # sparse update of a different column
+    t.delete("c2", 0)
+    fb2.commit(t)
+    apply_epoch(src, fb2.to_spark(spark), 1, job_id="j", json_mirror_dir=mirror)
+
+    # chain: re-ingest the mirror into a fresh engine instance
+    feed2 = read_json_feed(spark, mirror)
+    dst = create_target(spark, os.path.join(tmpdir_path, "dst"), n_buckets=8)
+    apply_epoch(dst, feed2, 0, job_id="chain")
+
+    assert _rows(dst) == _rows(src)
+    # the set-to-NULL survived the wire (after-image null + changed list)
+    row = {(r["conv_id"], r["turn_idx"]): r for r in dst.read().collect()}
+    assert row[("c1", 0)]["text"] is None
+    assert row[("c1", 0)]["role"] == "user"          # unchanged col kept
+    assert row[("c1", 1)]["tool"] == "calc"
+    assert row[("c1", 1)]["text"] == "hi there"
+    assert ("c2", 0) not in row
+
+
+def test_fuzz_mirror_roundtrip(spark, tmpdir_path):
+    """Random op soup (multi-op txns, partial rollbacks, chunked LOBs,
+    rollbacks, open txns) through replicate→mirror→re-ingest→replicate:
+    the chained instance converges to the source state."""
+    from test_fuzz_differential import _random_feed
+
+    for seed in (7, 104):
+        base = os.path.join(tmpdir_path, f"s{seed}")
+        src = create_target(spark, base + "/src", n_buckets=4)
+        mirror = base + "/mirror"
+        apply_epoch(src, _random_feed(seed).to_spark(spark), 0, job_id="j",
+                    json_mirror_dir=mirror)
+        dst = create_target(spark, base + "/dst", n_buckets=2)
+        apply_epoch(dst, read_json_feed(spark, mirror), 0, job_id="chain")
+        assert _rows(dst) == _rows(src), f"seed {seed} diverged"
+
+
+def test_ingress_drops_chkpt_and_orders_multi_epoch(spark, tmpdir_path):
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "mirror")
+    for e, text in enumerate(["v1", "v2", "v3"]):
+        fb = FeedBuilder(start_scn=1000 * (e + 1))
+        t = fb.begin()
+        (t.ins if e == 0 else t.upd)(
+            "c1", 0, **(dict(role="user", text=text, ts=TS) if e == 0 else dict(text=text))
+        )
+        fb.commit(t)
+        apply_epoch(src, fb.to_spark(spark), e, job_id="j", json_mirror_dir=mirror)
+
+    feed2 = read_json_feed(spark, mirror)
+    # chkpt heartbeats are wire messages but not change events
+    assert feed2.filter(~feed2.op.isin("begin", "commit", "ins", "upd", "del")).count() == 0
+    # mirror epoch number came through as the redo seq
+    assert feed2.select("seq").distinct().count() == 3
+    dst = create_target(spark, os.path.join(tmpdir_path, "dst"), n_buckets=2)
+    apply_epoch(dst, feed2, 0, job_id="chain")
+    rows = dst.read().collect()
+    assert len(rows) == 1 and rows[0]["text"] == "v3"
