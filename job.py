@@ -65,6 +65,9 @@ def main(argv=None):
             s.add_argument("--max-open-scn-lag", type=int, default=None)
             s.add_argument("--shard-watermark", action="store_true")
             s.add_argument("--expected-shards", type=int, nargs="*", default=None)
+            s.add_argument("--from-json-mirror", action="store_true",
+                           help="treat --feed as another instance's JSON "
+                                "mirror output and tail it (engine chaining)")
 
     sh = sub.add_parser("show")
     sh.add_argument("--table", required=True)
@@ -114,6 +117,23 @@ def main(argv=None):
         )
         print(f"replayed; table version {table.manifest['version']}, "
               f"rows={table.read().count()}")
+    elif args.cmd == "stream" and args.from_json_mirror:
+        from openlogreplicator_spark.streaming.job import run_chained_stream
+
+        out = run_chained_stream(
+            spark, args.feed, args.table, args.checkpoint,
+            job_id=args.job_id, tracked_pattern=args.tracked,
+            max_files_per_trigger=args.max_files_per_trigger,
+            n_buckets=args.buckets, create=not args.no_create, mode=args.mode,
+            processing_time=args.continuous,
+        )
+        if args.continuous is not None:
+            print(f"chained tail running (trigger every {args.continuous}); "
+                  "Ctrl-C to stop")
+            out.awaitTermination()
+        else:
+            print(f"mirror drained; table version {out.manifest['version']}, "
+                  f"rows={out.read().count()}")
     elif args.cmd == "stream":
         from openlogreplicator_spark.streaming.job import run_stream
 

@@ -195,6 +195,35 @@ def parse_json_messages(
     return dml.unionByName(_ctl_row("begin")).unionByName(_ctl_row("commit"))
 
 
+def read_json_lines_stream(
+    spark: SparkSession,
+    mirror_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of a GROWING mirror tree (live engine chaining: a
+    downstream instance follows an upstream instance's JSON egress).
+
+    Only the stateless part runs on the stream — a text scan with the
+    epoch seq attached from the file path.  The per-transaction control
+    row regroup in ``parse_json_messages`` is an aggregation, so the
+    consumer must call it INSIDE foreachBatch (batch-local agg), not on
+    the streaming frame (which would make it a stateful streaming agg) —
+    ``streaming.job.run_chained_stream`` wires this up.
+
+    Atomicity note: mirror messages carry only committed survivors (no
+    rollback marks, no open transactions), so a transaction whose
+    messages straddle two micro-batches applies in two epochs — the
+    intermediate state is non-atomic, but the final state converges
+    (same commit scn, last-writer-wins per column).  An availableNow
+    drain with no file cap processes each upstream epoch whole."""
+    r = spark.readStream
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = r.text(os.path.join(mirror_dir, "epoch=*"))
+    seq = F.regexp_extract(F.input_file_name(), r"epoch=(\d+)", 1).cast("long")
+    return lines.select("value", seq.alias("_seq"))
+
+
 def read_json_feed(
     spark: SparkSession, mirror_dir: str, image_type: T.StructType | None = None
 ) -> DataFrame:

@@ -127,6 +127,55 @@ def run_stream(
     return LakeTable(spark, table_path)
 
 
+def run_chained_stream(
+    spark: SparkSession,
+    mirror_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    job_id: str = "chain",
+    tracked_pattern: str = "^transcripts$",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    create: bool = True,
+    mode: str = "cow",
+    processing_time: str | None = None,
+):
+    """Chained-instance tail: consume ANOTHER engine instance's JSON
+    mirror as the change source (the reference's writer→reader chaining,
+    where one OpenLogReplicator's network writer feeds the next's
+    stream reader — src/writer/WriterStream.cpp + src/stream/).
+
+    The stream is a stateless text scan (sources/json_feed.
+    read_json_lines_stream); each micro-batch is parsed back into change
+    events — the control-row regroup is a batch-local aggregation inside
+    foreachBatch — and applied through the normal exactly-once epoch
+    path, so the downstream lake converges to the upstream state and a
+    killed tail resumes from its checkpoint like any feed stream."""
+    from pyspark.sql import functions as F
+
+    from ..sources.json_feed import parse_json_messages, read_json_lines_stream
+
+    if create and not os.path.exists(os.path.join(table_path, "VERSION")):
+        create_target(spark, table_path, n_buckets=n_buckets, mode=mode)
+
+    reader = read_json_lines_stream(spark, mirror_dir, max_files_per_trigger)
+
+    def fb(batch_df: DataFrame, epoch_id: int):
+        table = LakeTable(spark, table_path)
+        events = parse_json_messages(batch_df, seq_col=F.col("_seq"))
+        apply_epoch(table, events, epoch_id, job_id=job_id,
+                    tracked_pattern=tracked_pattern)
+
+    writer = reader.writeStream.foreachBatch(fb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return LakeTable(spark, table_path)
+
+
 def replay_batch_multi(
     spark: SparkSession,
     feed: DataFrame | str,

@@ -58,6 +58,46 @@ def test_mirror_roundtrip_state_equality(spark, tmpdir_path):
     assert ("c2", 0) not in row
 
 
+def test_chained_stream_tails_growing_mirror(spark, tmpdir_path):
+    """run_chained_stream: a downstream instance TAILS the upstream
+    mirror with Structured Streaming — drains the backlog, then resumes
+    from its checkpoint when the mirror grows (only new files read)."""
+    from openlogreplicator_spark.streaming.job import run_chained_stream
+
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "mirror")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v1", ts=TS)
+    fb.commit(t)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j", json_mirror_dir=mirror)
+
+    dst_path = os.path.join(tmpdir_path, "dst")
+    dst = run_chained_stream(spark, mirror, dst_path, ckpt, n_buckets=2)
+    assert _rows(dst) == _rows(src)
+    v_after_drain = dst.manifest["version"]
+
+    # upstream keeps going; the tail resumes from the SAME checkpoint
+    fb2 = FeedBuilder(start_scn=2000)
+    t = fb2.begin()
+    t.upd("c1", 0, text="v2")
+    t.ins("c2", 0, role="user", text="new", ts=TS2)
+    fb2.commit(t)
+    apply_epoch(src, fb2.to_spark(spark), 1, job_id="j", json_mirror_dir=mirror)
+
+    dst = run_chained_stream(spark, mirror, dst_path, ckpt, create=False, n_buckets=2)
+    assert _rows(dst) == _rows(src)
+    assert dst.manifest["version"] > v_after_drain
+    # a further resume with NOTHING new upstream is a no-op (checkpoint
+    # remembers the processed files — no re-drain, no version bump)
+    v_caught_up = dst.manifest["version"]
+    dst = run_chained_stream(spark, mirror, dst_path, ckpt, create=False, n_buckets=2)
+    assert dst.manifest["version"] == v_caught_up
+    assert _rows(dst) == _rows(src)
+
+
 def test_fuzz_mirror_roundtrip(spark, tmpdir_path):
     """Random op soup (multi-op txns, partial rollbacks, chunked LOBs,
     rollbacks, open txns) through replicate→mirror→re-ingest→replicate:
