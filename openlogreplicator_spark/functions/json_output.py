@@ -89,6 +89,7 @@ def write_json_mirror(
     db_name: str = "transcripts_feed",
     owner: str = "APP",
     n_files: int | None = None,
+    ddls: list[tuple] | None = None,
 ) -> None:
     """W2/W6 egress — the WriterFile analog
     (/root/reference/src/writer/WriterFile.cpp): the JSON message stream
@@ -111,6 +112,39 @@ def write_json_mirror(
 
     msgs = build_json_messages(committed_dml, db_name=db_name, owner=owner)
     spark = committed_dml.sparkSession
+    if ddls:
+        # committed DDL as its own wire message, interleaved at its commit
+        # scn (the reference emits the DDL statement text on the stream —
+        # Builder.cpp:1738-1830 DDL message types; without it a chained
+        # consumer cannot evolve its schema).  O(ddls) driver-side rows.
+        rows = [
+            (
+                int(scn),
+                int(idx),
+                json.dumps(
+                    {
+                        "scn": int(scn),
+                        "idx": int(idx),
+                        "tm": None,
+                        "xid": f"ddl@{int(scn)}",
+                        "db": db_name,
+                        "attributes": None,
+                        "payload": [
+                            {
+                                "op": "ddl",
+                                "schema": {"owner": owner, "table": None},
+                                "stmt": stmt,
+                            }
+                        ],
+                    },
+                    separators=(",", ":"),
+                ),
+            )
+            for scn, idx, stmt in ddls
+        ]
+        msgs = msgs.unionByName(
+            spark.createDataFrame(rows, "scn long, idx int, message string")
+        )
     n = n_files or spark.sparkContext.defaultParallelism
     epoch_dir = os.path.join(out_dir, f"epoch={int(epoch_id):06d}")
     (

@@ -690,6 +690,11 @@ class LakeTable:
             .sortWithinPartitions("_bucket", *key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
+            # bloom filter on the first key column: inside a surviving
+            # file, pushed-down key-equality predicates skip row groups
+            # the zone map alone cannot exclude (parquet-level, read by
+            # any engine — the third pruning tier after bucket and file)
+            .option(f"parquet.bloom.filter.enabled#{key[0]}", "true")
             .parquet(os.path.join(self.path, data_rel))
         )
 

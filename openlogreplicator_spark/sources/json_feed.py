@@ -70,6 +70,7 @@ def mirror_message_schema(image_type: T.StructType | None = None) -> T.StructTyp
             T.StructField("changed", T.ArrayType(T.StringType())),
             T.StructField("before", image_type),
             T.StructField("after", image_type),
+            T.StructField("stmt", T.StringType()),  # ddl message field
             T.StructField("seq", T.LongType()),  # chkpt heartbeat field
         ]
     )
@@ -116,12 +117,13 @@ def parse_json_messages(
         msg.getField("attributes").alias("attrs"),
         seq.alias("seq"),
         p.alias("_p"),
-    ).filter(F.col("_p").getField("op").isin("c", "u", "d"))
+    ).filter(F.col("_p").getField("op").isin("c", "u", "d", "ddl"))
 
     op = (
         F.when(F.col("_p.op") == "c", "ins")
         .when(F.col("_p.op") == "u", "upd")
-        .otherwise("del")
+        .when(F.col("_p.op") == "d", "del")
+        .otherwise(F.col("_p.op"))  # "ddl" passes through
     )
     after = F.col("_p.after")
     # producers without an explicit changed list: sparse-image convention
@@ -153,7 +155,7 @@ def parse_json_messages(
         F.lit(None).cast("int").alias("chunk_no"),
         F.lit(None).cast("string").alias("chunk_text"),
         F.lit(0).alias("schema_version"),
-        F.lit(None).cast("string").alias("ddl_stmt"),
+        F.when(op == "ddl", F.col("_p.stmt")).alias("ddl_stmt"),
         F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
         F.col("attrs"),
     )

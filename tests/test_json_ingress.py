@@ -58,6 +58,33 @@ def test_mirror_roundtrip_state_equality(spark, tmpdir_path):
     assert ("c2", 0) not in row
 
 
+def test_ddl_on_the_wire_roundtrip(spark, tmpdir_path):
+    """Committed DDL rides the mirror as its own message (the reference
+    emits DDL statements on the output stream), so a chained instance
+    evolves its schema and applies post-DDL column values."""
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "mirror")
+
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="a", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb.begin()
+    t.upd("c1", 0, meta="m1")
+    t.ins("c2", 0, role="user", text="b", ts=TS, meta="m2")
+    fb.commit(t)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j", json_mirror_dir=mirror)
+    assert "meta" in src.value_names
+
+    dst = create_target(spark, os.path.join(tmpdir_path, "dst"), n_buckets=4)
+    apply_epoch(dst, read_json_feed(spark, mirror), 0, job_id="chain")
+    assert "meta" in dst.value_names
+    assert _rows(dst) == _rows(src)
+    got = {(r["conv_id"], r["turn_idx"]): r["meta"] for r in dst.read().collect()}
+    assert got == {("c1", 0): "m1", ("c2", 0): "m2"}
+
+
 def test_chained_stream_tails_growing_mirror(spark, tmpdir_path):
     """run_chained_stream: a downstream instance TAILS the upstream
     mirror with Structured Streaming — drains the backlog, then resumes
