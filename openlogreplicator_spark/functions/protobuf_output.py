@@ -83,14 +83,19 @@ def field_string(field: int, s: str | None, keep_empty: bool = False) -> bytes:
 def encode_value(name: str, value) -> bytes:
     """Value message: oneof datum — ints via value_int(2), everything else
     stringified via value_string(5) (the feed's typed columns are
-    string/timestamp; the reference picks per Oracle column type)."""
+    string/timestamp; the reference picks per Oracle column type).
+
+    ``None`` emits the name with NO datum arm — an unset proto3 oneof is
+    the wire encoding of SQL NULL (distinguishable from value_string ""),
+    which the ingress (sources/protobuf_feed.py) relies on for
+    set-to-NULL updates."""
     body = field_string(1, name)
     if isinstance(value, bool):
         body += field_varint(2, int(value), keep_zero=True)
     elif isinstance(value, int):
         body += field_varint(2, value, keep_zero=True)
-    else:
-        body += field_string(5, "" if value is None else str(value), keep_empty=True)
+    elif value is not None:
+        body += field_string(5, str(value), keep_empty=True)
     return body
 
 
@@ -223,6 +228,8 @@ def build_protobuf_messages(
         "op",
         "table_name",
         rid.alias("rid"),
+        "conv_id",
+        "turn_idx",
         "before",
         "after",
         "changed_cols",
@@ -236,14 +243,27 @@ def build_protobuf_messages(
         for pdf in batches:
             msgs = []
             for r in pdf.itertuples(index=False):
+                # key columns ride the Value lists like any table column
+                # (the reference emits the full column set incl. keys with
+                # supplemental logging) — this is what makes the message
+                # self-contained for a chained consumer; rid stays a
+                # derived locator
+                key_cols = [
+                    ("conv_id", r.conv_id),
+                    ("turn_idx", None if r.turn_idx is None else int(r.turn_idx)),
+                ]
                 after_cols = None
-                if r.op in ("ins", "upd") and r.after is not None:
+                if r.op in ("ins", "upd"):
                     changed = [] if r.changed_cols is None else list(r.changed_cols)
-                    after_cols = [(c, r.after.get(c)) for c in changed]
+                    img = r.after or {}
+                    after_cols = key_cols + [(c, img.get(c)) for c in changed]
                 before_cols = None
-                if r.op in ("upd", "del") and r.before is not None:
-                    before_cols = [
-                        (k, v) for k, v in r.before.items() if v is not None
+                if r.op in ("upd", "del"):
+                    undo = r.before or {}
+                    before_cols = key_cols + [
+                        (k, v)
+                        for k, v in undo.items()
+                        if v is not None and k not in ("conv_id", "turn_idx")
                     ]
                 payload = encode_payload(
                     r.op, owner, r.table_name, r.rid, before_cols, after_cols,

@@ -137,6 +137,31 @@ def parse_json_messages(
     )
     changed = F.coalesce(F.col("_p.changed"), fallback_changed)
 
+    flat = d.select(
+        "_scn", "_idx", "_tm", "xid", "attrs", "seq",
+        op.alias("op"),
+        F.col("_p.schema.table").alias("table_name"),
+        F.col("_p.key.conv_id").alias("conv_id"),
+        F.col("_p.key.turn_idx").alias("turn_idx"),
+        F.col("_p.before").alias("before"),
+        after.alias("after"),
+        F.when(op.isin("ins", "upd"), changed).alias("changed_cols"),
+        F.when(op == "ddl", F.col("_p.stmt")).alias("ddl_stmt"),
+    )
+    return flat_to_events(flat, image_type)
+
+
+def flat_to_events(
+    flat: DataFrame, image_type: T.StructType | None = None
+) -> DataFrame:
+    """Flat committed-op rows — one per wire message, columns (_scn, _idx,
+    _tm, xid, attrs, seq, op, table_name, conv_id, turn_idx, before,
+    after, changed_cols, ddl_stmt) — to CHANGE_EVENT_SCHEMA rows with one
+    synthesized ``begin`` and ``commit`` control row per (xid, _scn)
+    transaction instance.  Shared tail of the JSON and protobuf
+    ingresses (sources/protobuf_feed.py)."""
+    image_type = image_type or IMAGE_TYPE
+    d = flat
     dml = d.select(
         (F.col("_scn") * _LSN_SHIFT + F.col("_idx")).alias("lsn"),
         F.lit(0).alias("shard"),
@@ -145,17 +170,17 @@ def parse_json_messages(
         F.lit(None).cast("long").alias("commit_scn"),
         F.col("xid"),
         F.col("_idx").alias("seq_in_txn"),
-        op.alias("op"),
-        F.col("_p.schema.table").alias("table_name"),
-        F.col("_p.key.conv_id").alias("conv_id"),
-        F.col("_p.key.turn_idx").alias("turn_idx"),
-        F.col("_p.before").alias("before"),
-        after.alias("after"),
-        F.when(op.isin("ins", "upd"), changed).alias("changed_cols"),
+        F.col("op"),
+        F.col("table_name"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("before"),
+        F.col("after"),
+        F.col("changed_cols"),
         F.lit(None).cast("int").alias("chunk_no"),
         F.lit(None).cast("string").alias("chunk_text"),
         F.lit(0).alias("schema_version"),
-        F.when(op == "ddl", F.col("_p.stmt")).alias("ddl_stmt"),
+        F.col("ddl_stmt"),
         F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
         F.col("attrs"),
     )

@@ -225,9 +225,8 @@ def test_wire_format_property_round_trip():
                 elif 5 in vd:
                     v = vd[5][0].decode()
                 else:
-                    v = ""
+                    v = None  # unset oneof = SQL NULL (distinct from "")
                 got.append((name, v))
-            want = [(n, ("" if v is None else v)) for n, v in src]
-            assert got == want
+            assert got == src
 
     check()
