@@ -296,6 +296,43 @@ def run_cdc_group() -> dict:
             n_st / times["cdc_stateful_assemble"], 1
         )
 
+    # 3d) wire chaining: JSON mirror egress write + full ingress parse
+    # (read_json_feed → events, noop sink) over the ~1M-event feed's
+    # committed DML — the chained-instance throughput numbers
+    if not skip_skew:
+        from pyspark.sql import functions as FF
+
+        from openlogreplicator_spark.functions.json_output import write_json_mirror
+        from openlogreplicator_spark.operators.assemble import (
+            assemble_transactions,
+            match_partial_rollbacks,
+        )
+        from openlogreplicator_spark.sources.json_feed import read_json_feed
+
+        wf = read_feed_batch(spark, feed_cache_dir(max(N_TXNS // 10, 1000), 0.0))
+        wdml = match_partial_rollbacks(
+            assemble_transactions(wf)["committed"]
+        ).filter(FF.col("op").isin("ins", "upd", "del"))
+        mdir = os.path.join(work, "wire_mirror")
+
+        def mirror_write():
+            write_json_mirror(wdml, mdir, 0)
+
+        _timed(times, "cdc_json_wire_write", mirror_write, best_of=2)
+
+        def wire_parse():
+            (
+                read_json_feed(spark, mdir)
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        _timed(times, "cdc_json_wire_parse", wire_parse, best_of=2)
+        n_wire = wdml.count()
+        extra["wire_events_per_sec_parse"] = round(
+            n_wire / times["cdc_json_wire_parse"], 1
+        )
+        extra["n_wire_messages"] = n_wire
+
     shutil.rmtree(work, ignore_errors=True)
     return {"queries": times, **extra}
 
