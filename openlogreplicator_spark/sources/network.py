@@ -53,13 +53,37 @@ def write_protobuf_mirror(
     committed_dml: DataFrame, out_dir: str, epoch_id: int | str,
     db_name: str = "transcripts_feed", owner: str = "APP",
     n_files: int | None = None,
+    ddls: list[tuple] | None = None,
 ) -> None:
     """Spool one epoch of encoded RedoResponse messages as (scn, idx,
     message) parquet in global (scn, idx) order — the binary twin of
     ``write_json_mirror`` (same rotation/idempotence contract: one dir per
-    epoch, overwritten whole on replay)."""
+    epoch, overwritten whole on replay).
+
+    ``ddls``: committed DDL as [(commit_scn, seq_in_txn, stmt)] —
+    encoded as op=ddl payloads (Payload.ddl field 6, Op enum 5) and
+    interleaved at their commit scn, so a chained protobuf consumer
+    evolves its schema like the JSON chain."""
+    from ..functions.protobuf_output import encode_payload, encode_redo_response
+
     msgs = build_protobuf_messages(committed_dml, db_name=db_name, owner=owner)
     spark = committed_dml.sparkSession
+    if ddls:
+        rows = [
+            (
+                int(scn),
+                int(idx),
+                encode_redo_response(
+                    int(scn), 0, f"ddl@{int(scn)}", db_name,
+                    [encode_payload("ddl", owner, None, None, None, None,
+                                    ddl=stmt)],
+                ),
+            )
+            for scn, idx, stmt in ddls
+        ]
+        msgs = msgs.unionByName(
+            spark.createDataFrame(rows, "scn long, idx int, message binary")
+        )
     n = n_files or spark.sparkContext.defaultParallelism
     (
         msgs.repartitionByRange(n, "scn", "idx")

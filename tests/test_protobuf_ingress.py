@@ -64,6 +64,42 @@ def test_protobuf_spool_roundtrip(spark, tmpdir_path):
     assert ("c2", 0) not in row                    # delete keyed via before
 
 
+def test_protobuf_ddl_on_the_wire(spark, tmpdir_path):
+    """Committed DDL encodes as an op=ddl RedoResponse (Payload.ddl,
+    Op enum 5) and the chained instance evolves its schema."""
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="a", ts=TS)
+    fb.commit(t)
+    fb.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb.begin()
+    t.upd("c1", 0, meta="m1")
+    fb.commit(t)
+
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j")
+
+    committed = match_partial_rollbacks(
+        assemble_transactions(fb.to_spark(spark))["committed"]
+    )
+    ddls = sorted(
+        (r["txn_commit_scn"], r["seq_in_txn"], r["ddl_stmt"])
+        for r in committed.filter(F.col("op") == "ddl")
+        .select("txn_commit_scn", "seq_in_txn", "ddl_stmt").collect()
+    )
+    spool = os.path.join(tmpdir_path, "spool")
+    write_protobuf_mirror(
+        committed.filter(F.col("op").isin("ins", "upd", "del")), spool, 0,
+        ddls=ddls,
+    )
+    dst = create_target(spark, os.path.join(tmpdir_path, "dst"), n_buckets=2)
+    apply_epoch(dst, read_protobuf_feed(spark, spool), 0, job_id="chain")
+    assert "meta" in dst.value_names
+    assert _rows(dst) == _rows(src)
+    rows = dst.read().collect()
+    assert rows[0]["meta"] == "m1"
+
+
 def test_protobuf_fuzz_roundtrip(spark, tmpdir_path):
     from test_fuzz_differential import _random_feed
 
