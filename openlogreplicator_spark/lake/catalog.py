@@ -294,6 +294,16 @@ class Catalog:
         LakeTable._write_manifest_static(self.path, m)
         self.manifest = m
 
+    def cluster(self, tables: list[str] | None = None) -> dict:
+        """Catalog-wide OPTIMIZE: run ``LakeTable.cluster`` (range-
+        clustered rewrite + per-file key zone maps) on every registered —
+        or the named — tables.  The maintenance sweep a scheduler would
+        run off the epoch path; per-table results keyed by name."""
+        names = self.table_names if tables is None else [
+            n for n in tables if n in self.table_names
+        ]
+        return {n: self.table(n).cluster() for n in names}
+
     def vacuum(self, retain_last: int = 1) -> dict:
         """Catalog-wide GC: vacuum every registered table (honoring the
         same time-travel retention window), then remove catalog-level

@@ -205,6 +205,52 @@ def replay_batch_multi(
     return catalog.refresh()
 
 
+def run_chained_stream_multi(
+    spark: SparkSession,
+    mirror_dir: str,
+    catalog_path: str,
+    checkpoint_dir: str,
+    tables: list[str] | None = None,
+    job_id: str = "chain",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    mode: str = "cow",
+    processing_time: str | None = None,
+    **apply_kwargs,
+):
+    """Multi-table chained tail: a downstream CATALOG follows an upstream
+    instance's JSON mirror.  Mirror messages carry the table name in the
+    payload schema and committed DDL (incl. CREATE/DROP TABLE) as op=ddl
+    messages, so the replica registry evolves with the upstream one; the
+    per-batch parse runs inside foreachBatch like the single-table chain
+    (run_chained_stream)."""
+    from pyspark.sql import functions as F
+
+    from ..lake.catalog import Catalog
+    from ..sources.json_feed import parse_json_messages, read_json_lines_stream
+    from .multi import apply_epoch_multi
+
+    catalog = Catalog.create(spark, catalog_path)
+    for name in tables or []:
+        catalog.create_table(name, n_buckets=n_buckets, mode=mode)
+
+    reader = read_json_lines_stream(spark, mirror_dir, max_files_per_trigger)
+
+    def fb(batch_df: DataFrame, epoch_id: int):
+        events = parse_json_messages(batch_df, seq_col=F.col("_seq"))
+        apply_epoch_multi(Catalog(spark, catalog_path), events, epoch_id,
+                          job_id=job_id, **apply_kwargs)
+
+    writer = reader.writeStream.foreachBatch(fb).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if processing_time is not None:
+        return writer.trigger(processingTime=processing_time).start()
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return Catalog(spark, catalog_path)
+
+
 def run_stream_multi(
     spark: SparkSession,
     feed_dir: str,

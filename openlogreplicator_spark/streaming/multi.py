@@ -388,7 +388,8 @@ def apply_epoch_multi(
         mirror_src = tracked_dml
         if schemaless:
             mirror_src = mirror_src.unionByName(untracked_dml)
-        write_json_mirror(mirror_src, json_mirror_dir, epoch_id)
+        write_json_mirror(mirror_src, json_mirror_dir, epoch_id,
+                          ddls=stats["ddls"])
 
     # ---- per-shard skip counts, driver-side from the stats job ----
     skip_by: dict = dict(stats["dropped_by_shard"])

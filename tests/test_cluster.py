@@ -104,6 +104,69 @@ def test_cluster_folds_mor_deltas_and_lookup_sees_delta_tail(spark, tmpdir_path)
     assert {r["conv_id"]: r["text"] for r in rows} == {"conv-00010": "v3"}
 
 
+def test_fuzz_cluster_between_epochs(spark, tmpdir_path):
+    """Random op soup applied epoch-by-epoch with cluster() OPTIMIZE runs
+    interleaved between epochs: the maintenance rewrite must never change
+    the observable state — final table equals the sequential oracle, and
+    zone-mapped point lookups agree with the full read (CoW and MoR)."""
+    from pyspark.sql import functions as F
+
+    from helpers import normalize_rows
+    from openlogreplicator_spark.oracle import replay
+    from test_fuzz_differential import _random_feed
+
+    for seed, mode in ((7, "cow"), (31, "mor")):
+        fb = _random_feed(seed)
+        expected = replay(fb.rows, tracked_tables={"transcripts"})
+        path = os.path.join(tmpdir_path, f"t_{seed}_{mode}")
+        table = create_target(spark, path, n_buckets=4, mode=mode)
+        feed = fb.to_spark(spark)
+        seqs = sorted(r["seq"] for r in feed.select("seq").distinct().collect())
+        for i, s in enumerate(seqs):
+            apply_epoch(table, feed.filter(F.col("seq") == s), i, job_id="j")
+            if i % 2 == 1:
+                table.cluster()
+        got = _rows(table.read(), table.value_names)
+        want = normalize_rows(expected.as_records(), expected.columns)
+        assert got == want, f"seed {seed} mode {mode} diverged from oracle"
+        keys = ["c1", "c3"]
+        lk = _rows(table.read_for_keys(keys), table.value_names)
+        full = _rows(
+            table.read().filter(F.col("conv_id").isin(keys)), table.value_names
+        )
+        assert lk == full, f"seed {seed} mode {mode}: pruned lookup diverged"
+
+
+def test_catalog_cluster_sweep(spark, tmpdir_path):
+    """Catalog.cluster() OPTIMIZEs every registered table; state and
+    pruned lookups are unchanged."""
+    from openlogreplicator_spark.feedgen import FeedBuilder as FB
+    from openlogreplicator_spark.streaming.job import replay_batch_multi
+
+    fb = FB(start_scn=1000)
+    t = fb.begin()
+    for i in range(40):
+        t.ins(f"conv-{i:03d}", 0, role="user", text=f"t{i}", ts=TS)
+        t.dml_other_table("summaries", f"conv-{i:03d}", 0, op="ins",
+                          role="sum", text=f"s{i}")
+    fb.commit(t)
+    cat = replay_batch_multi(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "cat"),
+        tables=["transcripts", "summaries"], n_buckets=4,
+    )
+    before = {n: _rows(cat.table(n).read(), cat.table(n).value_names)
+              for n in cat.table_names}
+    res = cat.cluster()
+    assert set(res) == {"transcripts", "summaries"}
+    assert all(r["files"] > 0 for r in res.values())
+    for n in cat.table_names:
+        tbl = cat.table(n)
+        assert tbl.manifest["file_stats"]
+        assert _rows(tbl.read(), tbl.value_names) == before[n]
+        rows = tbl.read_for_keys(["conv-007"]).collect()
+        assert [r["conv_id"] for r in rows] == ["conv-007"]
+
+
 def test_cluster_then_vacuum_drops_old_base(spark, tmpdir_path):
     table = _load(spark, os.path.join(tmpdir_path, "t"))
     before = _rows(table.read(), table.value_names)

@@ -125,6 +125,52 @@ def test_chained_stream_tails_growing_mirror(spark, tmpdir_path):
     assert _rows(dst) == _rows(src)
 
 
+def test_multi_table_chained_tail(spark, tmpdir_path):
+    """A downstream CATALOG tails the upstream catalog's mirror: table
+    routing rides the payload schema, and a mid-stream CREATE TABLE rides
+    the wire as DDL — the replica registry evolves and converges."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.job import run_chained_stream_multi
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    src = Catalog.create(spark, os.path.join(tmpdir_path, "src"))
+    for n in ("transcripts", "summaries"):
+        src.create_table(n, n_buckets=2)
+    mirror = os.path.join(tmpdir_path, "mirror")
+
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="a", ts=TS)
+    t.dml_other_table("summaries", "c2", 0, op="ins", role="s", text="b")
+    fb.commit(t)
+    fb.ddl_txn(
+        "CREATE TABLE audit (role string, text string, tool string, ts timestamp)",
+        ["role", "text", "tool", "ts"],
+    )
+    t = fb.begin()
+    t.dml_other_table("audit", "c3", 0, op="ins", role="a", text="c")
+    fb.commit(t)
+    apply_epoch_multi(src, fb.to_spark(spark), 0, json_mirror_dir=mirror)
+    assert "audit" in src.table_names
+
+    dst = run_chained_stream_multi(
+        spark, mirror, os.path.join(tmpdir_path, "dst"),
+        os.path.join(tmpdir_path, "ckpt"),
+        tables=["transcripts", "summaries"], n_buckets=4,
+    )
+    assert set(dst.table_names) == {"transcripts", "summaries", "audit"}
+    for n in dst.table_names:
+        a = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in src.table(n).read().collect()
+        )
+        b = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in dst.table(n).read().collect()
+        )
+        assert a == b and a, f"table {n} diverged: {a} vs {b}"
+
+
 def test_fuzz_mirror_roundtrip(spark, tmpdir_path):
     """Random op soup (multi-op txns, partial rollbacks, chunked LOBs,
     rollbacks, open txns) through replicate→mirror→re-ingest→replicate:
