@@ -334,6 +334,41 @@ class Catalog:
         removed["_catalog"] = sorted(cat_removed)
         return {"removed": removed}
 
+    def manifest_as_of(self, epoch: int, job_id: str = "default") -> dict:
+        """The greatest CATALOG snapshot untouched by any epoch > ``epoch``
+        for ``job_id`` — the registry (and shared state pointers) exactly as
+        they stood at that epoch's ``:done`` fence.  Ledgers only grow, so
+        the first hit walking down from the current version is the answer."""
+        import json
+
+        v = self.manifest["version"]
+        while v >= 0:
+            mpath = os.path.join(self.path, "manifest", f"v{v:06d}.json")
+            with open(mpath) as f:
+                m = json.load(f)
+            if LakeTable._ledger_max_epoch(m, job_id) <= epoch:
+                return m
+            v -= 1
+        raise ValueError(f"no catalog snapshot at or before epoch {epoch}")
+
+    def read_as_of(self, epoch: int, job_id: str = "default") -> dict:
+        """CONSISTENT cross-table time travel: {table name → DataFrame} of
+        every table REGISTERED as of epoch ``epoch``'s fence, each read at
+        its own ``version_as_of`` that epoch — the multi-table analog of
+        ``LakeTable.read(version=)`` (Iceberg VERSION AS OF; reference
+        checkpoint refScn chain, src/metadata/Metadata.cpp:586-613).  The
+        single epoch fence makes the set transactionally consistent: no
+        table shows a later epoch than any other.  Tables dropped AFTER
+        ``epoch`` still resolve (their directories are orphans until
+        vacuumed); data files vacuumed past the retention window raise on
+        read, same contract as the single-table path."""
+        m = self.manifest_as_of(epoch, job_id)
+        out = {}
+        for name, ent in m["tables"].items():
+            t = LakeTable(self.spark, os.path.join(self.path, ent["path"]))
+            out[name] = t.read(version=t.version_as_of(epoch, job_id))
+        return out
+
     def committed_epochs(self, job_id: str = "default") -> set[int]:
         out: set[int] = set()
         for k in self.manifest["ledger"].get(job_id, {}):

@@ -364,6 +364,33 @@ class LakeTable:
         with open(mpath) as f:
             return json.load(f)
 
+    @staticmethod
+    def _ledger_max_epoch(m: dict, job_id: str) -> int:
+        """Greatest epoch number appearing in this snapshot's ledger for
+        ``job_id`` (plain ``{e}``, ``{e}:{seg}``, ``{e}:done``,
+        ``{e}:ddl{i}`` marks all count; non-numeric marks are epoch-
+        agnostic and ignored); -1 when no epoch has touched it."""
+        mx = -1
+        for k in m.get("ledger", {}).get(job_id, {}):
+            head = str(k).split(":", 1)[0]
+            if head.isdigit():
+                mx = max(mx, int(head))
+        return mx
+
+    def version_as_of(self, epoch: int, job_id: str = "default") -> int:
+        """EPOCH-addressed time travel: the greatest snapshot version whose
+        ledger contains no mark from an epoch > ``epoch`` — i.e. the table
+        exactly as it stood after epoch ``epoch``'s fence (maintenance
+        rewrites that happened before the next epoch are included; they are
+        state-identical by contract).  Ledgers only grow, so the first hit
+        walking down from the current version is the answer."""
+        v = self.manifest["version"]
+        while v >= 0:
+            if self._ledger_max_epoch(self.manifest_at(v), job_id) <= epoch:
+                return v
+            v -= 1
+        raise ValueError(f"no snapshot at or before epoch {epoch}")
+
     # ---------------------------------------------------------------- merge
     def merge(
         self,

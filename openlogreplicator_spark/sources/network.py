@@ -249,6 +249,14 @@ class RedoStreamClient:
 
     def stream(self, start_scn: int):
         """Yield decoded RedoResponse field-maps until the live edge."""
+        for _scn, _idx, frame in self.stream_raw(start_scn):
+            yield decode_message(frame)
+
+    def stream_raw(self, start_scn: int):
+        """Yield ``(c_scn, c_idx, frame_bytes)`` payload frames until the
+        live edge — the raw tap ``replicate_from_stream`` re-parses with
+        the protobuf ingress.  The confirm coordinates are the
+        server-stamped fields 10/11 (last occurrence wins, proto3 rule)."""
         _send_frame(self.sock, encode_request(REQ_START, self.db_name, scn=start_scn))
         starting = decode_message(_recv_frame(self.sock))
         assert starting.get(1, [None])[0] == RESP_STARTING
@@ -259,7 +267,7 @@ class RedoStreamClient:
             msg = decode_message(frame)
             if msg.get(1, [None])[0] == RESP_REPLICATE and 9 not in msg:
                 return
-            yield msg
+            yield msg.get(10, [0])[-1], msg.get(11, [0])[-1], frame
 
     def confirm(self, c_scn: int):
         _send_frame(
@@ -268,3 +276,72 @@ class RedoStreamClient:
 
     def close(self):
         self.sock.close()
+
+
+def replicate_from_stream(
+    spark,
+    host: str,
+    port: int,
+    db_name: str,
+    table_path: str,
+    job_id: str = "netchain",
+    epoch_id: int = 0,
+    chunk_frames: int = 100_000,
+    image_type=None,
+    tracked_pattern: str = "^transcripts$",
+):
+    """W4 consumer side: drain a RedoStreamServer into a replica
+    LakeTable — the full client loop the reference documents for its
+    network writer (WriterStream.cpp confirm chain + StreamNetwork.cpp).
+
+    Contract: delivery is at-least-once from the last CONFIRMed scn; the
+    replica makes it exactly-once at the STATE level because the apply
+    path is LWW on (key, commit scn, lsn) — a re-delivered frame merges
+    to a no-op.  CONFIRM is sent only AFTER the chunk's merge committed
+    to the lake manifest, so a crash between apply and confirm merely
+    re-streams an already-absorbed tail on the next connect.
+
+    Scale shape: the socket is the serial part by design (the
+    reference's writer is one thread; the stream IS a total order).
+    Frames buffer on the driver in chunks of ``chunk_frames`` and each
+    chunk is applied as one distributed epoch (parse fans out via
+    mapInPandas, merge via the bucketed lake path); chunks only cut at
+    commit-scn boundaries so a transaction's ops never split across
+    epochs.  Returns {start_scn, frames, epochs}.
+    """
+    from pyspark.sql import functions as F
+
+    from ..lake.table import LakeTable
+    from ..sources.protobuf_feed import parse_protobuf_messages
+    from ..streaming.apply import apply_epoch
+
+    client = RedoStreamClient(host, port, db_name)
+    try:
+        start = client.info()
+        table = LakeTable(spark, table_path)
+        buf: list[tuple] = []
+        ep, applied = epoch_id, 0
+
+        def flush():
+            nonlocal buf, ep, applied
+            if not buf:
+                return
+            df = spark.createDataFrame(
+                buf, "scn long, idx int, message binary"
+            ).withColumn("seq", F.lit(ep).cast("long"))
+            events = parse_protobuf_messages(df, image_type)
+            apply_epoch(table.refresh(), events, ep, job_id=job_id,
+                        tracked_pattern=tracked_pattern)
+            client.confirm(max(s for s, _, _ in buf))
+            applied += len(buf)
+            buf, ep = [], ep + 1
+
+        for c_scn, c_idx, frame in client.stream_raw(start):
+            # cut only at a commit-scn boundary: txn groups stay whole
+            if len(buf) >= chunk_frames and buf[-1][0] != c_scn:
+                flush()
+            buf.append((int(c_scn), int(c_idx), frame))
+        flush()
+        return {"start_scn": start, "frames": applied, "epochs": ep - epoch_id}
+    finally:
+        client.close()

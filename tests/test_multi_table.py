@@ -575,3 +575,64 @@ def test_adaptive_auto_register_mode(spark, tmpdir_path):
         fb.to_spark(spark), 0, job_id="batch", auto_register=True,
     )
     assert out == {"applied": False, "reason": "epoch already committed"}
+
+
+def test_catalog_read_as_of(spark, tmpdir_path):
+    """Consistent cross-table time travel: read_as_of(E) returns every
+    table REGISTERED at epoch E's fence at its state as of E — a table
+    created in a later epoch is absent, one dropped later still resolves,
+    an untouched table keeps its older state, and a maintenance cluster()
+    between epochs does not perturb the epoch addressing."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    cat = Catalog.create(spark, os.path.join(tmpdir_path, "cat"))
+    cat.create_table("transcripts", n_buckets=2)
+    cat.create_table("summaries", n_buckets=2)
+
+    fb0 = FeedBuilder(start_scn=1000)
+    t = fb0.begin()
+    t.ins("c1", 0, role="u", text="e0", ts=TS)
+    t.dml_other_table("summaries", "c1", 0, op="ins", role="s", text="s0")
+    fb0.commit(t)
+    apply_epoch_multi(cat, fb0.to_spark(spark), 0)
+
+    fb1 = FeedBuilder(start_scn=2000)
+    fb1.ddl_txn(
+        "CREATE TABLE audit (role string, text string, tool string, ts timestamp)",
+        ["role", "text", "tool", "ts"],
+    )
+    t = fb1.begin()
+    t.upd("c1", 0, text="e1")
+    t.dml_other_table("audit", "a1", 0, op="ins", role="a", text="audit1")
+    fb1.commit(t)
+    apply_epoch_multi(cat.refresh(), fb1.to_spark(spark), 1)
+
+    cat.refresh().cluster()  # off-epoch maintenance must not shift epochs
+
+    fb2 = FeedBuilder(start_scn=3000)
+    fb2.ddl_txn("DROP TABLE audit", ["role", "text", "tool", "ts"])
+    t = fb2.begin()
+    t.upd("c1", 0, text="e2")
+    t.dml_other_table("summaries", "c1", 0, op="del")
+    fb2.commit(t)
+    apply_epoch_multi(cat.refresh(), fb2.to_spark(spark), 2)
+    cat.refresh()
+
+    as0 = cat.read_as_of(0)
+    assert set(as0) == {"transcripts", "summaries"}  # audit not yet created
+    assert [(r["conv_id"], r["text"]) for r in as0["transcripts"].collect()] == [
+        ("c1", "e0")
+    ]
+    assert [r["text"] for r in as0["summaries"].collect()] == ["s0"]
+
+    as1 = cat.read_as_of(1)
+    assert set(as1) == {"transcripts", "summaries", "audit"}
+    assert [r["text"] for r in as1["transcripts"].collect()] == ["e1"]
+    assert [r["text"] for r in as1["audit"].collect()] == ["audit1"]
+    assert [r["text"] for r in as1["summaries"].collect()] == ["s0"]
+
+    as2 = cat.read_as_of(2)
+    assert set(as2) == {"transcripts", "summaries"}  # audit dropped
+    assert [r["text"] for r in as2["transcripts"].collect()] == ["e2"]
+    assert as2["summaries"].count() == 0

@@ -184,6 +184,91 @@ def test_network_writer_confirm_restart(spark, tmpdir_path):
         server.stop()
 
 
+def test_network_chained_replica(spark, tmpdir_path):
+    """The complete W4 loop: server streams the spool over TCP, the
+    consumer (replicate_from_stream) parses frames back into change
+    events and merges them into a replica LakeTable, confirming after
+    each chunk's merge commits.  The replica must equal the direct
+    replay, re-delivery (confirm checkpoint wiped) must be a state
+    no-op, and a drained consumer must resume with zero frames."""
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+        write_protobuf_mirror,
+    )
+    from openlogreplicator_spark.streaming.job import (
+        read_final_state,
+        replay_batch,
+    )
+
+    fb = FeedBuilder()
+    for i in range(6):
+        t = fb.begin()
+        t.ins(f"c{i}", 0, role="user", text=f"v{i}", ts=TS)
+        fb.commit(t)
+    for i in range(0, 6, 2):  # later updates: LWW must hold across chunks
+        t = fb.begin()
+        t.upd(f"c{i}", 0, text=f"v{i}'")
+        fb.commit(t)
+    expected_tbl = replay_batch(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "direct")
+    )
+    expected = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in expected_tbl.read().collect()
+    )
+
+    spool = os.path.join(tmpdir_path, "spool")
+    dml = _committed_dml(spark, fb)
+    scns = sorted(r["txn_commit_scn"]
+                  for r in dml.select("txn_commit_scn").distinct().collect())
+    cut = scns[len(scns) // 2 - 1]
+    write_protobuf_mirror(dml.filter(F.col("txn_commit_scn") <= cut), spool, 0)
+    write_protobuf_mirror(dml.filter(F.col("txn_commit_scn") > cut), spool, 1)
+
+    from openlogreplicator_spark.streaming.job import create_target
+
+    replica_path = os.path.join(tmpdir_path, "replica")
+    create_target(spark, replica_path, n_buckets=2)
+    server = RedoStreamServer(spool, db_name="transcripts_feed")
+    host, port = server.start()
+    try:
+        res = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+            chunk_frames=3,
+        )
+        assert res["frames"] == 9 and res["epochs"] >= 2
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_final_state(spark, replica_path).collect()
+        )
+        assert got == expected
+        assert server.confirmed_scn() == max(scns)
+
+        # at-least-once redelivery: wipe the confirm checkpoint → the
+        # full stream re-delivers; LWW absorbs it to the same state
+        os.remove(os.path.join(spool, "confirmed.json"))
+        res2 = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+            job_id="netchain2", epoch_id=100, chunk_frames=3,
+        )
+        assert res2["frames"] == 9
+        got2 = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_final_state(spark, replica_path).collect()
+        )
+        assert got2 == expected
+
+        # drained consumer: resume streams nothing, applies nothing
+        res3 = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+            job_id="netchain3", epoch_id=200,
+        )
+        assert res3["frames"] == 0 and res3["start_scn"] == max(scns)
+    finally:
+        server.stop()
+
+
 def test_wire_format_property_round_trip():
     """Property: any (scn, tm, xid, db, attrs, values) survives
     encode→decode exactly (hypothesis fuzz over the pure-Python codec)."""
