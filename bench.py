@@ -333,6 +333,30 @@ def run_cdc_group() -> dict:
         )
         extra["n_wire_messages"] = n_wire
 
+        # protobuf twin: the reference docs call its protobuf output
+        # ~2.5x slower than JSON (3.output-format.adoc) — measure ours
+        from openlogreplicator_spark.sources.network import write_protobuf_mirror
+        from openlogreplicator_spark.sources.protobuf_feed import read_protobuf_feed
+
+        pdir = os.path.join(work, "wire_spool")
+
+        def pb_write():
+            write_protobuf_mirror(wdml, pdir, 0)
+
+        _timed(times, "cdc_protobuf_wire_write", pb_write, best_of=2)
+
+        def pb_parse():
+            (
+                read_protobuf_feed(spark, pdir)
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        _timed(times, "cdc_protobuf_wire_parse", pb_parse, best_of=2)
+        extra["pb_over_json_write"] = round(
+            times["cdc_protobuf_wire_write"]
+            / max(times["cdc_json_wire_write"], 1e-9), 3
+        )
+
     shutil.rmtree(work, ignore_errors=True)
     return {"queries": times, **extra}
 

@@ -10,8 +10,13 @@ Subcommands:
   gen-feed  — write a deterministic synthetic change feed
   replay    — bounded replay (ReplicatorBatch analog)
   stream    — tail the feed with Structured Streaming (availableNow by
-              default; --continuous keeps the query running)
+              default; --continuous keeps the query running); with
+              --from-mirror the feed is another instance's wire egress
+              (--wire-format json|protobuf), multi-table with --tables
   show      — print final table state / lineage
+  net-serve     — serve a protobuf spool over the WriterStream TCP protocol
+  net-replicate — consume a redo stream over TCP into a replica table
+  maintain      — off-epoch cluster() OPTIMIZE / retention vacuum
 
 In local mode the SparkSession is built here; under spark-submit an
 existing session/conf is respected (getOrCreate).
@@ -65,15 +70,67 @@ def main(argv=None):
             s.add_argument("--max-open-scn-lag", type=int, default=None)
             s.add_argument("--shard-watermark", action="store_true")
             s.add_argument("--expected-shards", type=int, nargs="*", default=None)
-            s.add_argument("--from-json-mirror", action="store_true",
-                           help="treat --feed as another instance's JSON "
-                                "mirror output and tail it (engine chaining)")
+            s.add_argument("--from-json-mirror", "--from-mirror",
+                           dest="from_json_mirror", action="store_true",
+                           help="treat --feed as another instance's wire "
+                                "egress (JSON mirror or protobuf spool, see "
+                                "--wire-format) and tail it (engine chaining)")
+            s.add_argument("--wire-format", choices=("json", "protobuf"),
+                           default="json",
+                           help="wire format of the tailed mirror/spool")
 
     sh = sub.add_parser("show")
     sh.add_argument("--table", required=True)
     sh.add_argument("--lineage", action="store_true")
 
+    ns = sub.add_parser("net-serve",
+                        help="serve a protobuf spool over the WriterStream "
+                             "TCP protocol (INFO/START/CONFIRM)")
+    ns.add_argument("--spool", required=True)
+    ns.add_argument("--db-name", default="transcripts_feed")
+    ns.add_argument("--host", default="127.0.0.1")
+    ns.add_argument("--port", type=int, default=7070)
+
+    nr = sub.add_parser("net-replicate",
+                        help="consume a redo stream over TCP into a replica "
+                             "lake table (confirm-after-merge)")
+    nr.add_argument("--host", default="127.0.0.1")
+    nr.add_argument("--port", type=int, required=True)
+    nr.add_argument("--db-name", default="transcripts_feed")
+    nr.add_argument("--table", required=True)
+    nr.add_argument("--buckets", type=int, default=64)
+    nr.add_argument("--no-create", action="store_true")
+    nr.add_argument("--job-id", default="netchain")
+    nr.add_argument("--epoch-base", type=int, default=0)
+    nr.add_argument("--chunk-frames", type=int, default=100_000)
+
+    mt = sub.add_parser("maintain",
+                        help="off-epoch maintenance: cluster() OPTIMIZE "
+                             "and/or retention vacuum")
+    mt.add_argument("--table", required=True,
+                    help="LakeTable path, or Catalog path with --catalog")
+    mt.add_argument("--catalog", action="store_true")
+    mt.add_argument("--cluster", action="store_true")
+    mt.add_argument("--vacuum", type=int, default=None, metavar="RETAIN_LAST")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "net-serve":
+        from openlogreplicator_spark.sources.network import RedoStreamServer
+
+        server = RedoStreamServer(args.spool, db_name=args.db_name,
+                                  host=args.host, port=args.port)
+        host, port = server.start()
+        print(f"redo stream serving {args.spool} on {host}:{port} "
+              f"(confirmed scn {server.confirmed_scn()}); Ctrl-C to stop")
+        try:
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.stop()
+        return
 
     if args.cmd == "gen-feed":
         from openlogreplicator_spark.feedgen import generate_scaled_feed
@@ -89,7 +146,32 @@ def main(argv=None):
 
     spark = get_or_create("openlogreplicator-spark-job")
 
-    if args.cmd == "replay" and args.tables:
+    if args.cmd == "net-replicate":
+        from openlogreplicator_spark.sources.network import replicate_from_stream
+        from openlogreplicator_spark.streaming.job import create_target
+
+        if not args.no_create:
+            create_target(spark, args.table, n_buckets=args.buckets)
+        res = replicate_from_stream(
+            spark, args.host, args.port, args.db_name, args.table,
+            job_id=args.job_id, epoch_id=args.epoch_base,
+            chunk_frames=args.chunk_frames,
+        )
+        print(f"net replica drained: {res}")
+    elif args.cmd == "maintain":
+        if args.catalog:
+            from openlogreplicator_spark.lake.catalog import Catalog
+
+            target = Catalog(spark, args.table)
+        else:
+            from openlogreplicator_spark.lake import LakeTable
+
+            target = LakeTable(spark, args.table)
+        if args.cluster:
+            print(f"cluster: {target.cluster()}")
+        if args.vacuum is not None:
+            print(f"vacuum: {target.vacuum(retain_last=args.vacuum)}")
+    elif args.cmd == "replay" and args.tables:
         from openlogreplicator_spark.streaming.job import replay_batch_multi
 
         cat = replay_batch_multi(
@@ -98,6 +180,22 @@ def main(argv=None):
         )
         for name in cat.table_names:
             print(f"{name}: rows={cat.table(name).read().count()}")
+    elif args.cmd == "stream" and args.tables and args.from_json_mirror:
+        from openlogreplicator_spark.streaming.job import run_chained_stream_multi
+
+        out = run_chained_stream_multi(
+            spark, args.feed, args.table, args.checkpoint, tables=args.tables,
+            job_id=args.job_id, n_buckets=args.buckets, mode=args.mode,
+            max_files_per_trigger=args.max_files_per_trigger,
+            processing_time=args.continuous, wire_format=args.wire_format,
+        )
+        if args.continuous is not None:
+            print(f"chained catalog tail running (trigger every "
+                  f"{args.continuous}); Ctrl-C to stop")
+            out.awaitTermination()
+        else:
+            for name in out.table_names:
+                print(f"{name}: rows={out.table(name).read().count()}")
     elif args.cmd == "stream" and args.tables:
         from openlogreplicator_spark.streaming.job import run_stream_multi
 
@@ -125,7 +223,7 @@ def main(argv=None):
             job_id=args.job_id, tracked_pattern=args.tracked,
             max_files_per_trigger=args.max_files_per_trigger,
             n_buckets=args.buckets, create=not args.no_create, mode=args.mode,
-            processing_time=args.continuous,
+            processing_time=args.continuous, wire_format=args.wire_format,
         )
         if args.continuous is not None:
             print(f"chained tail running (trigger every {args.continuous}); "

@@ -172,6 +172,26 @@ def parse_protobuf_messages(
     return flat_to_events(flat, image_type)
 
 
+def read_protobuf_spool_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of a GROWING protobuf spool tree — the binary twin
+    of ``json_feed.read_json_lines_stream`` (same contract: only the
+    stateless scan runs on the stream; the consumer parses inside
+    foreachBatch because the control-row regroup is an aggregation).
+    The epoch seq attaches from the file path."""
+    r = spark.readStream
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    msgs = r.schema("scn long, idx int, message binary").parquet(
+        os.path.join(spool_dir, "epoch=*")
+    )
+    seq = F.regexp_extract(F.input_file_name(), r"epoch=(\d+)", 1).cast("long")
+    return msgs.withColumn("seq", seq)
+
+
 def read_protobuf_feed(
     spark: SparkSession, spool_dir: str, image_type: T.StructType | None = None
 ) -> DataFrame:

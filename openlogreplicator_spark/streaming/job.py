@@ -139,30 +139,32 @@ def run_chained_stream(
     create: bool = True,
     mode: str = "cow",
     processing_time: str | None = None,
+    wire_format: str = "json",
 ):
     """Chained-instance tail: consume ANOTHER engine instance's JSON
-    mirror as the change source (the reference's writer→reader chaining,
+    mirror — or, with ``wire_format="protobuf"``, its binary RedoResponse
+    spool — as the change source (the reference's writer→reader chaining,
     where one OpenLogReplicator's network writer feeds the next's
     stream reader — src/writer/WriterStream.cpp + src/stream/).
 
-    The stream is a stateless text scan (sources/json_feed.
-    read_json_lines_stream); each micro-batch is parsed back into change
-    events — the control-row regroup is a batch-local aggregation inside
-    foreachBatch — and applied through the normal exactly-once epoch
-    path, so the downstream lake converges to the upstream state and a
-    killed tail resumes from its checkpoint like any feed stream."""
+    The stream is a stateless scan (sources/json_feed.
+    read_json_lines_stream / sources/protobuf_feed.
+    read_protobuf_spool_stream); each micro-batch is parsed back into
+    change events — the control-row regroup is a batch-local aggregation
+    inside foreachBatch — and applied through the normal exactly-once
+    epoch path, so the downstream lake converges to the upstream state
+    and a killed tail resumes from its checkpoint like any feed stream."""
     from pyspark.sql import functions as F
-
-    from ..sources.json_feed import parse_json_messages, read_json_lines_stream
 
     if create and not os.path.exists(os.path.join(table_path, "VERSION")):
         create_target(spark, table_path, n_buckets=n_buckets, mode=mode)
 
-    reader = read_json_lines_stream(spark, mirror_dir, max_files_per_trigger)
+    reader, parse = _wire_reader(spark, wire_format, mirror_dir,
+                                 max_files_per_trigger)
 
     def fb(batch_df: DataFrame, epoch_id: int):
         table = LakeTable(spark, table_path)
-        events = parse_json_messages(batch_df, seq_col=F.col("_seq"))
+        events = parse(batch_df)
         apply_epoch(table, events, epoch_id, job_id=job_id,
                     tracked_pattern=tracked_pattern)
 
@@ -174,6 +176,31 @@ def run_chained_stream(
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return LakeTable(spark, table_path)
+
+
+def _wire_reader(spark, wire_format: str, mirror_dir: str,
+                 max_files_per_trigger: int | None):
+    """(streaming reader, batch-local parse fn) for a chained tail over
+    either wire format."""
+    from pyspark.sql import functions as F
+
+    if wire_format == "json":
+        from ..sources.json_feed import (
+            parse_json_messages,
+            read_json_lines_stream,
+        )
+
+        reader = read_json_lines_stream(spark, mirror_dir, max_files_per_trigger)
+        return reader, lambda df: parse_json_messages(df, seq_col=F.col("_seq"))
+    if wire_format == "protobuf":
+        from ..sources.protobuf_feed import (
+            parse_protobuf_messages,
+            read_protobuf_spool_stream,
+        )
+
+        reader = read_protobuf_spool_stream(spark, mirror_dir, max_files_per_trigger)
+        return reader, parse_protobuf_messages
+    raise ValueError(f"unknown wire_format {wire_format!r}")
 
 
 def replay_batch_multi(
@@ -216,30 +243,29 @@ def run_chained_stream_multi(
     n_buckets: int = 16,
     mode: str = "cow",
     processing_time: str | None = None,
+    wire_format: str = "json",
     **apply_kwargs,
 ):
     """Multi-table chained tail: a downstream CATALOG follows an upstream
-    instance's JSON mirror.  Mirror messages carry the table name in the
-    payload schema and committed DDL (incl. CREATE/DROP TABLE) as op=ddl
+    instance's JSON mirror (or protobuf spool, ``wire_format=
+    "protobuf"``).  Mirror messages carry the table name in the payload
+    schema and committed DDL (incl. CREATE/DROP TABLE) as op=ddl
     messages, so the replica registry evolves with the upstream one; the
     per-batch parse runs inside foreachBatch like the single-table chain
     (run_chained_stream)."""
-    from pyspark.sql import functions as F
-
     from ..lake.catalog import Catalog
-    from ..sources.json_feed import parse_json_messages, read_json_lines_stream
     from .multi import apply_epoch_multi
 
     catalog = Catalog.create(spark, catalog_path)
     for name in tables or []:
         catalog.create_table(name, n_buckets=n_buckets, mode=mode)
 
-    reader = read_json_lines_stream(spark, mirror_dir, max_files_per_trigger)
+    reader, parse = _wire_reader(spark, wire_format, mirror_dir,
+                                 max_files_per_trigger)
 
     def fb(batch_df: DataFrame, epoch_id: int):
-        events = parse_json_messages(batch_df, seq_col=F.col("_seq"))
-        apply_epoch_multi(Catalog(spark, catalog_path), events, epoch_id,
-                          job_id=job_id, **apply_kwargs)
+        apply_epoch_multi(Catalog(spark, catalog_path), parse(batch_df),
+                          epoch_id, job_id=job_id, **apply_kwargs)
 
     writer = reader.writeStream.foreachBatch(fb).option(
         "checkpointLocation", checkpoint_dir

@@ -109,12 +109,13 @@ def test_pq_precomputed_scan_prunes_vector_column(spark, corpus_rows, books, tmp
     out = pq_topk(enc, queries, books, k=5, dim=DIM,
                   precomputed_code_col="pq_code")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [
-        ln for ln in plan.split("\n") if "ReadSchema" in ln and "pq_enc" in ln
-    ]
+    # identify the parquet scan by its ReadSchema (the Location string is
+    # truncated at spark.sql.maxMetadataStringLength, so matching the
+    # path is unstable); queries are a LocalTableScan with no ReadSchema
+    scan_lines = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
     assert scan_lines, plan
     for ln in scan_lines:
-        assert "embedding" not in ln, ln
+        assert "pq_code" in ln and "embedding" not in ln, ln
     # and the pruned path returns the same rows as inline encoding
     inline = {(r["q_id"], r["n_id"], r["adc_sim"])
               for r in pq_topk(df, queries, books, k=5, dim=DIM).collect()}

@@ -121,3 +121,60 @@ def test_protobuf_fuzz_roundtrip(spark, tmpdir_path):
         dst = create_target(spark, base + "/dst", n_buckets=2)
         apply_epoch(dst, read_protobuf_feed(spark, spool), 0, job_id="chain")
         assert _rows(dst) == _rows(src), f"seed {seed} diverged"
+
+
+def test_chained_stream_tails_growing_protobuf_spool(spark, tmpdir_path):
+    """run_chained_stream(wire_format="protobuf"): the downstream
+    instance TAILS the growing binary spool with Structured Streaming —
+    drains the backlog, resumes from its checkpoint when the spool
+    grows, and committed DDL on the wire evolves the replica schema."""
+    from openlogreplicator_spark.streaming.job import run_chained_stream
+
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    spool = os.path.join(tmpdir_path, "spool")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+    dst_path = os.path.join(tmpdir_path, "dst")
+
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v1", ts=TS)
+    fb.commit(t)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j")
+    write_protobuf_mirror(_committed_dml(spark, fb), spool, 0)
+
+    dst = run_chained_stream(spark, spool, dst_path, ckpt, n_buckets=2,
+                             wire_format="protobuf")
+    assert _rows(dst) == _rows(src)
+    v_after_drain = dst.manifest["version"]
+
+    # upstream keeps going: DDL + update ride the binary wire
+    fb2 = FeedBuilder(start_scn=2000)
+    fb2.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb2.begin()
+    t.upd("c1", 0, meta="m1")
+    t.ins("c2", 0, role="user", text="new", ts=TS)
+    fb2.commit(t)
+    apply_epoch(src, fb2.to_spark(spark), 1, job_id="j")
+    committed = match_partial_rollbacks(
+        assemble_transactions(fb2.to_spark(spark))["committed"]
+    )
+    ddls = sorted(
+        (r["txn_commit_scn"], r["seq_in_txn"], r["ddl_stmt"])
+        for r in committed.filter(F.col("op") == "ddl")
+        .select("txn_commit_scn", "seq_in_txn", "ddl_stmt").collect()
+    )
+    write_protobuf_mirror(
+        committed.filter(F.col("op").isin("ins", "upd", "del")), spool, 1,
+        ddls=ddls,
+    )
+
+    dst = run_chained_stream(spark, spool, dst_path, ckpt, create=False,
+                             n_buckets=2, wire_format="protobuf")
+    assert "meta" in dst.value_names
+    assert _rows(dst) == _rows(src)
+    assert dst.manifest["version"] > v_after_drain
+    # caught-up resume is a no-op (checkpoint remembers processed files)
+    v_caught_up = dst.manifest["version"]
+    dst = run_chained_stream(spark, spool, dst_path, ckpt, create=False,
+                             n_buckets=2, wire_format="protobuf")
+    assert dst.manifest["version"] == v_caught_up
