@@ -64,6 +64,9 @@ def main(argv=None):
             s.add_argument("--job-id", default="stream")
             s.add_argument("--json-mirror", default=None,
                            help="directory for the wire-format JSON egress")
+            s.add_argument("--protobuf-spool", default=None,
+                           help="directory for the binary RedoResponse "
+                                "spool egress (feeds net-serve)")
             s.add_argument("--schemaless", action="store_true",
                            help="emit untracked tables on the mirror")
             s.add_argument("--max-txn-ops", type=int, default=None)
@@ -240,7 +243,8 @@ def main(argv=None):
             job_id=args.job_id, tracked_pattern=args.tracked,
             max_files_per_trigger=args.max_files_per_trigger,
             n_buckets=args.buckets, create=not args.no_create, mode=args.mode,
-            json_mirror_dir=args.json_mirror, schemaless=args.schemaless,
+            json_mirror_dir=args.json_mirror,
+            protobuf_spool_dir=args.protobuf_spool, schemaless=args.schemaless,
             max_txn_ops=args.max_txn_ops, max_open_scn_lag=args.max_open_scn_lag,
             shard_watermark=args.shard_watermark,
             expected_shards=args.expected_shards,

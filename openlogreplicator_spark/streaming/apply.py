@@ -104,6 +104,7 @@ def apply_epoch(
     expected_shards: list[int] | None = None,
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
+    protobuf_spool_dir: str | None = None,
     schemaless: bool = False,
     dump_xids: list[str] | None = None,
     dump_dir: str | None = None,
@@ -303,16 +304,25 @@ def apply_epoch(
         tracked_dml = tracked.filter(F.col("op") != "chunk")
 
         untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
+        if json_mirror_dir is not None or protobuf_spool_dir is not None:
+            mirror_src = tracked_dml
+            if schemaless:
+                mirror_src = mirror_src.unionByName(untracked_dml)
         if json_mirror_dir is not None:
             # W6 wire-format egress: the committed op stream as JSON
             # messages (the reference's primary output), epoch-idempotent
             from ..functions.json_output import write_json_mirror
 
-            mirror_src = tracked_dml
-            if schemaless:
-                mirror_src = mirror_src.unionByName(untracked_dml)
             write_json_mirror(mirror_src, json_mirror_dir, epoch_id,
                               ddls=stats["ddls"])
+        if protobuf_spool_dir is not None:
+            # W7 binary egress twin: RedoResponse spool, same rotation /
+            # idempotence contract; feeds net-serve and the protobuf
+            # chained tail
+            from ..sources.network import write_protobuf_mirror
+
+            write_protobuf_mirror(mirror_src, protobuf_spool_dir, epoch_id,
+                                  ddls=stats["ddls"])
 
         # ---- per-shard skip counts, driver-side from the stats job ----
         skip_by = dict(stats["dropped_by_shard"])

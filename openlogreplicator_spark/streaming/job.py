@@ -83,6 +83,7 @@ def run_stream(
     expected_shards: list[int] | None = None,
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
+    protobuf_spool_dir: str | None = None,
     schemaless: bool = False,
     mode: str = "cow",
     processing_time: str | None = None,
@@ -112,7 +113,8 @@ def run_stream(
         apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
                     max_txn_ops=max_txn_ops, shard_watermark=shard_watermark,
                     expected_shards=expected_shards, max_open_scn_lag=max_open_scn_lag,
-                    json_mirror_dir=json_mirror_dir, schemaless=schemaless)
+                    json_mirror_dir=json_mirror_dir,
+                    protobuf_spool_dir=protobuf_spool_dir, schemaless=schemaless)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 

@@ -165,6 +165,7 @@ def apply_epoch_multi(
     expected_shards: list[int] | None = None,
     max_open_scn_lag: int | None = None,
     json_mirror_dir: str | None = None,
+    protobuf_spool_dir: str | None = None,
     schemaless: bool = False,
     default_table: str | None = None,
     auto_register: bool = False,
@@ -382,14 +383,20 @@ def apply_epoch_multi(
     tracked_dml = tracked.filter(F.col("op") != "chunk")
     untracked_dml = untracked.filter(F.col("op").isin("ins", "upd", "del"))
 
-    if json_mirror_dir is not None:
-        from ..functions.json_output import write_json_mirror
-
+    if json_mirror_dir is not None or protobuf_spool_dir is not None:
         mirror_src = tracked_dml
         if schemaless:
             mirror_src = mirror_src.unionByName(untracked_dml)
+    if json_mirror_dir is not None:
+        from ..functions.json_output import write_json_mirror
+
         write_json_mirror(mirror_src, json_mirror_dir, epoch_id,
                           ddls=stats["ddls"])
+    if protobuf_spool_dir is not None:
+        from ..sources.network import write_protobuf_mirror
+
+        write_protobuf_mirror(mirror_src, protobuf_spool_dir, epoch_id,
+                              ddls=stats["ddls"])
 
     # ---- per-shard skip counts, driver-side from the stats job ----
     skip_by: dict = dict(stats["dropped_by_shard"])

@@ -178,3 +178,54 @@ def test_chained_stream_tails_growing_protobuf_spool(spark, tmpdir_path):
     dst = run_chained_stream(spark, spool, dst_path, ckpt, create=False,
                              n_buckets=2, wire_format="protobuf")
     assert dst.manifest["version"] == v_caught_up
+
+
+def test_stream_spool_egress_feeds_tcp_replica(spark, tmpdir_path):
+    """The whole W4/W7 loop off the epoch path: run_stream(
+    protobuf_spool_dir=...) spools each epoch's committed ops (+DDL) as
+    RedoResponse frames; RedoStreamServer serves them over TCP and
+    replicate_from_stream merges them into a second lake that converges
+    — with the schema evolution riding the wire."""
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+    )
+    from openlogreplicator_spark.streaming.job import run_stream
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="v1", ts=TS)
+    fb.commit(t)
+    fb.new_seq()
+    fb.ddl_txn("ADD COLUMN meta string", ["role", "text", "tool", "ts", "meta"])
+    t = fb.begin()
+    t.upd("c1", 0, meta="m1")
+    t.ins("c2", 0, role="user", text="v2", ts=TS)
+    fb.commit(t)
+    fb.write_parquet(spark, feed_dir)
+
+    spool = os.path.join(tmpdir_path, "spool")
+    src = run_stream(
+        spark, feed_dir, os.path.join(tmpdir_path, "src"),
+        os.path.join(tmpdir_path, "ckpt"), n_buckets=2,
+        max_files_per_trigger=1, protobuf_spool_dir=spool,
+    )
+    assert len([d for d in os.listdir(spool) if d.startswith("epoch=")]) == 2
+
+    replica = os.path.join(tmpdir_path, "replica")
+    create_target(spark, replica, n_buckets=2)
+    server = RedoStreamServer(spool, db_name="transcripts_feed")
+    host, port = server.start()
+    try:
+        res = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica,
+        )
+        assert res["frames"] > 0
+    finally:
+        server.stop()
+    from openlogreplicator_spark.lake import LakeTable
+
+    dst = LakeTable(spark, replica)
+    assert "meta" in dst.value_names
+    assert _rows(dst) == _rows(src)
