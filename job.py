@@ -104,7 +104,6 @@ def main(argv=None):
     nr.add_argument("--buckets", type=int, default=64)
     nr.add_argument("--no-create", action="store_true")
     nr.add_argument("--job-id", default="netchain")
-    nr.add_argument("--epoch-base", type=int, default=0)
     nr.add_argument("--chunk-frames", type=int, default=100_000)
 
     mt = sub.add_parser("maintain",
@@ -157,7 +156,7 @@ def main(argv=None):
             create_target(spark, args.table, n_buckets=args.buckets)
         res = replicate_from_stream(
             spark, args.host, args.port, args.db_name, args.table,
-            job_id=args.job_id, epoch_id=args.epoch_base,
+            job_id=args.job_id,
             chunk_frames=args.chunk_frames,
         )
         print(f"net replica drained: {res}")

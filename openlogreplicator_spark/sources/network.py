@@ -285,7 +285,6 @@ def replicate_from_stream(
     db_name: str,
     table_path: str,
     job_id: str = "netchain",
-    epoch_id: int = 0,
     chunk_frames: int = 100_000,
     image_type=None,
     tracked_pattern: str = "^transcripts$",
@@ -294,12 +293,16 @@ def replicate_from_stream(
     LakeTable — the full client loop the reference documents for its
     network writer (WriterStream.cpp confirm chain + StreamNetwork.cpp).
 
-    Contract: delivery is at-least-once from the last CONFIRMed scn; the
-    replica makes it exactly-once at the STATE level because the apply
-    path is LWW on (key, commit scn, lsn) — a re-delivered frame merges
-    to a no-op.  CONFIRM is sent only AFTER the chunk's merge committed
-    to the lake manifest, so a crash between apply and confirm merely
-    re-streams an already-absorbed tail on the next connect.
+    Contract: delivery is at-least-once from the last CONFIRMed scn.
+    Each chunk's EPOCH ID IS its max commit scn: a re-delivered chunk
+    (crash between merge and confirm → resume re-streams from the older
+    confirm with identical scn-boundary cuts) carries the same id and
+    no-ops against the ledger, while genuinely new data always carries a
+    new id — exactly-once without any consumer-side checkpoint beyond
+    the server's confirm file.  (A drain-counter id would be WRONG here:
+    a second drain would reuse already-ledgered ids for different data
+    and the ledger would silently swallow it.)  CONFIRM is sent only
+    AFTER the chunk's merge committed to the lake manifest.
 
     Scale shape: the socket is the serial part by design (the
     reference's writer is one thread; the stream IS a total order).
@@ -320,21 +323,22 @@ def replicate_from_stream(
         start = client.info()
         table = LakeTable(spark, table_path)
         buf: list[tuple] = []
-        ep, applied = epoch_id, 0
+        applied, n_epochs = 0, 0
 
         def flush():
-            nonlocal buf, ep, applied
+            nonlocal buf, applied, n_epochs
             if not buf:
                 return
+            ep = max(s for s, _, _ in buf)  # chunk identity = max commit scn
             df = spark.createDataFrame(
                 buf, "scn long, idx int, message binary"
             ).withColumn("seq", F.lit(ep).cast("long"))
             events = parse_protobuf_messages(df, image_type)
             apply_epoch(table.refresh(), events, ep, job_id=job_id,
                         tracked_pattern=tracked_pattern)
-            client.confirm(max(s for s, _, _ in buf))
+            client.confirm(ep)
             applied += len(buf)
-            buf, ep = [], ep + 1
+            buf, n_epochs = [], n_epochs + 1
 
         for c_scn, c_idx, frame in client.stream_raw(start):
             # cut only at a commit-scn boundary: txn groups stay whole
@@ -342,6 +346,6 @@ def replicate_from_stream(
                 flush()
             buf.append((int(c_scn), int(c_idx), frame))
         flush()
-        return {"start_scn": start, "frames": applied, "epochs": ep - epoch_id}
+        return {"start_scn": start, "frames": applied, "epochs": n_epochs}
     finally:
         client.close()

@@ -243,14 +243,27 @@ def test_network_chained_replica(spark, tmpdir_path):
             for r in read_final_state(spark, replica_path).collect()
         )
         assert got == expected
-        assert server.confirmed_scn() == max(scns)
 
-        # at-least-once redelivery: wipe the confirm checkpoint → the
-        # full stream re-delivers; LWW absorbs it to the same state
+        import time
+
+        def wait_confirm(scn):
+            # CONFIRM is fire-and-forget; the handler records it async
+            for _ in range(100):
+                if server.confirmed_scn() == scn:
+                    return
+                time.sleep(0.05)
+            raise AssertionError(f"confirm {scn} never landed")
+
+        wait_confirm(max(scns))
+
+        # at-least-once redelivery under the SAME job_id: wipe the
+        # confirm checkpoint → the full stream re-delivers with the SAME
+        # scn-boundary chunk cuts → identical scn-derived epoch ids →
+        # the ledger no-ops every chunk; state unchanged
         os.remove(os.path.join(spool, "confirmed.json"))
         res2 = replicate_from_stream(
             spark, host, port, "transcripts_feed", replica_path,
-            job_id="netchain2", epoch_id=100, chunk_frames=3,
+            chunk_frames=3,
         )
         assert res2["frames"] == 9
         got2 = sorted(
@@ -258,13 +271,46 @@ def test_network_chained_replica(spark, tmpdir_path):
             for r in read_final_state(spark, replica_path).collect()
         )
         assert got2 == expected
+        wait_confirm(max(scns))
+
+        # crash-between-merge-and-confirm analog: rewind the confirm to a
+        # MID-stream scn → the re-delivered tail gets DIFFERENT chunk
+        # cuts (new scn-derived ids, so the ledger does not swallow it)
+        # and LWW absorbs the re-applied frames; state unchanged
+        server._record_confirm(cut)
+        res_rw = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+            chunk_frames=2,
+        )
+        assert res_rw["frames"] > 0
+        got_rw = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_final_state(spark, replica_path).collect()
+        )
+        assert got_rw == expected
+        wait_confirm(max(scns))
 
         # drained consumer: resume streams nothing, applies nothing
         res3 = replicate_from_stream(
             spark, host, port, "transcripts_feed", replica_path,
-            job_id="netchain3", epoch_id=200,
         )
         assert res3["frames"] == 0 and res3["start_scn"] == max(scns)
+
+        # the spool GROWS: new data under the same job_id must apply
+        # (the data-loss regression a drain-counter epoch id would hit:
+        # chunk ids restart, collide with ledgered marks, get skipped)
+        fb2 = FeedBuilder(start_scn=max(scns) + 100)
+        t = fb2.begin()
+        t.ins("c9", 0, role="user", text="late", ts=TS)
+        fb2.commit(t)
+        write_protobuf_mirror(_committed_dml(spark, fb2), spool, 2)
+        res4 = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+        )
+        assert res4["frames"] == 1
+        got4 = {r["conv_id"]: r["text"]
+                for r in read_final_state(spark, replica_path).collect()}
+        assert got4["c9"] == "late"
     finally:
         server.stop()
 
