@@ -251,6 +251,35 @@ def q_w6_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t2.read().select("conv_id", "turn_idx", "role", "text")
 
 
+def q_w7_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 + ingress — BINARY wire fidelity: same loop as
+    q_w6_roundtrip_state but over the protobuf RedoResponse spool
+    (apply_epoch(protobuf_spool_dir=...) egress → sources/protobuf_feed.
+    read_protobuf_feed inverse parse → second table).  The byte-level
+    proto3 wire format (functions/protobuf_output.py, field numbers from
+    the reference's proto/OraProtoBuf.proto) must be lossless for CDC
+    state — same DuckDB replay oracle as the JSON wire."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.sources.protobuf_feed import read_protobuf_feed
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    spool = tempfile.mkdtemp(prefix="olr-pb-")
+    cols = dict(
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    t1 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-pb1-"), **cols)
+    apply_epoch(t1, feed, 0, job_id="pbrt", protobuf_spool_dir=spool)
+    t2 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-pb2-"), **cols)
+    apply_epoch(t2, read_protobuf_feed(spark, spool), 0, job_id="pbrt2")
+    return t2.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_w2_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/maintenance — clustered point lookup: the derived feed is
     applied through the REAL lake sink, the table is OPTIMIZEd
@@ -886,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
         "w2_clustered_lookup": q_w2_clustered_lookup,
         "w6_roundtrip_state": q_w6_roundtrip_state,
+        "w7_roundtrip_state": q_w7_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1110,7 +1140,7 @@ WITH q0 AS (
     def _hits(lang: str) -> str:
         return f"len(list_filter({tok}, t -> list_contains({_sw(lang)}, t)))"
 
-    return {
+    sql = {
         "s6_cdc_replay_final_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "w2_clustered_lookup": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del' AND l.conv_id LIKE '%7'\n",
         "w6_roundtrip_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
@@ -1535,3 +1565,7 @@ FROM (
 ) WHERE rk <= 3
 """,
     }
+    # W7 twin: the binary wire must land the same final state as the
+    # JSON wire — identical replay oracle
+    sql["w7_roundtrip_state"] = sql["w6_roundtrip_state"]
+    return sql
