@@ -288,6 +288,8 @@ def replicate_from_stream(
     chunk_frames: int = 100_000,
     image_type=None,
     tracked_pattern: str = "^transcripts$",
+    multi: bool = False,
+    **apply_kwargs,
 ):
     """W4 consumer side: drain a RedoStreamServer into a replica
     LakeTable — the full client loop the reference documents for its
@@ -311,17 +313,28 @@ def replicate_from_stream(
     mapInPandas, merge via the bucketed lake path); chunks only cut at
     commit-scn boundaries so a transaction's ops never split across
     epochs.  Returns {start_scn, frames, epochs}.
+
+    ``multi=True``: ``table_path`` is a CATALOG path — frames route to
+    per-table LakeTables via the payload schema (apply_epoch_multi), DDL
+    frames (incl. CREATE/DROP TABLE) evolve the replica registry, and
+    ``apply_kwargs`` (e.g. auto_register=True) pass through.
     """
     from pyspark.sql import functions as F
 
-    from ..lake.table import LakeTable
     from ..sources.protobuf_feed import parse_protobuf_messages
-    from ..streaming.apply import apply_epoch
+
+    if multi:
+        from ..lake.catalog import Catalog
+        from ..streaming.multi import apply_epoch_multi
+    else:
+        from ..lake.table import LakeTable
+        from ..streaming.apply import apply_epoch
+
+        table = LakeTable(spark, table_path)
 
     client = RedoStreamClient(host, port, db_name)
     try:
         start = client.info()
-        table = LakeTable(spark, table_path)
         buf: list[tuple] = []
         applied, n_epochs = 0, 0
 
@@ -334,8 +347,12 @@ def replicate_from_stream(
                 buf, "scn long, idx int, message binary"
             ).withColumn("seq", F.lit(ep).cast("long"))
             events = parse_protobuf_messages(df, image_type)
-            apply_epoch(table.refresh(), events, ep, job_id=job_id,
-                        tracked_pattern=tracked_pattern)
+            if multi:
+                apply_epoch_multi(Catalog(spark, table_path), events, ep,
+                                  job_id=job_id, **apply_kwargs)
+            else:
+                apply_epoch(table.refresh(), events, ep, job_id=job_id,
+                            tracked_pattern=tracked_pattern, **apply_kwargs)
             client.confirm(ep)
             applied += len(buf)
             buf, n_epochs = [], n_epochs + 1

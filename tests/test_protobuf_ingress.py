@@ -229,3 +229,89 @@ def test_stream_spool_egress_feeds_tcp_replica(spark, tmpdir_path):
     dst = LakeTable(spark, replica)
     assert "meta" in dst.value_names
     assert _rows(dst) == _rows(src)
+
+
+def _multi_upstream(spark, tmpdir_path, spool):
+    """Upstream catalog: two pre-registered tables + a mid-stream CREATE
+    TABLE, epoch spooled as protobuf frames (protobuf_spool_dir egress)."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    src = Catalog.create(spark, os.path.join(tmpdir_path, "src"))
+    for n in ("transcripts", "summaries"):
+        src.create_table(n, n_buckets=2)
+    fb = FeedBuilder(start_scn=1000)
+    t = fb.begin()
+    t.ins("c1", 0, role="u", text="a", ts=TS)
+    t.dml_other_table("summaries", "c2", 0, op="ins", role="s", text="b")
+    fb.commit(t)
+    fb.ddl_txn(
+        "CREATE TABLE audit (role string, text string, tool string, ts timestamp)",
+        ["role", "text", "tool", "ts"],
+    )
+    t = fb.begin()
+    t.dml_other_table("audit", "c3", 0, op="ins", role="a", text="c")
+    fb.commit(t)
+    apply_epoch_multi(src, fb.to_spark(spark), 0, protobuf_spool_dir=spool)
+    assert "audit" in src.table_names
+    return src
+
+
+def _catalog_states(cat):
+    return {
+        n: sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in cat.table(n).read().collect()
+        )
+        for n in cat.table_names
+    }
+
+
+def test_multi_table_tcp_replica(spark, tmpdir_path):
+    """Multi-table replication over the reference's own TCP wire:
+    replicate_from_stream(multi=True) routes frames to per-table
+    LakeTables via the payload schema and CREATE TABLE DDL frames evolve
+    the replica registry."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+    )
+
+    spool = os.path.join(tmpdir_path, "spool")
+    src = _multi_upstream(spark, tmpdir_path, spool)
+
+    dst = Catalog.create(spark, os.path.join(tmpdir_path, "dst"))
+    for n in ("transcripts", "summaries"):
+        dst.create_table(n, n_buckets=2)
+    server = RedoStreamServer(spool, db_name="transcripts_feed")
+    host, port = server.start()
+    try:
+        res = replicate_from_stream(
+            spark, host, port, "transcripts_feed",
+            os.path.join(tmpdir_path, "dst"), multi=True,
+        )
+        assert res["frames"] > 0
+    finally:
+        server.stop()
+    dst.refresh()
+    assert set(dst.table_names) == {"transcripts", "summaries", "audit"}
+    assert _catalog_states(dst) == _catalog_states(src)
+
+
+def test_multi_table_chained_protobuf_tail(spark, tmpdir_path):
+    """run_chained_stream_multi(wire_format='protobuf'): a downstream
+    CATALOG tails the binary spool; table routing + CREATE TABLE DDL
+    ride the RedoResponse frames."""
+    from openlogreplicator_spark.streaming.job import run_chained_stream_multi
+
+    spool = os.path.join(tmpdir_path, "spool")
+    src = _multi_upstream(spark, tmpdir_path, spool)
+    dst = run_chained_stream_multi(
+        spark, spool, os.path.join(tmpdir_path, "dst"),
+        os.path.join(tmpdir_path, "ckpt"),
+        tables=["transcripts", "summaries"], n_buckets=2,
+        wire_format="protobuf",
+    )
+    assert set(dst.table_names) == {"transcripts", "summaries", "audit"}
+    assert _catalog_states(dst) == _catalog_states(src)
