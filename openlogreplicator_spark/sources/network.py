@@ -295,16 +295,25 @@ def replicate_from_stream(
     LakeTable — the full client loop the reference documents for its
     network writer (WriterStream.cpp confirm chain + StreamNetwork.cpp).
 
-    Contract: delivery is at-least-once from the last CONFIRMed scn.
-    Each chunk's EPOCH ID IS its max commit scn: a re-delivered chunk
-    (crash between merge and confirm → resume re-streams from the older
-    confirm with identical scn-boundary cuts) carries the same id and
-    no-ops against the ledger, while genuinely new data always carries a
-    new id — exactly-once without any consumer-side checkpoint beyond
-    the server's confirm file.  (A drain-counter id would be WRONG here:
-    a second drain would reuse already-ledgered ids for different data
-    and the ledger would silently swallow it.)  CONFIRM is sent only
-    AFTER the chunk's merge committed to the lake manifest.
+    Contract: delivery is at-least-once from the last CONFIRMed scn; the
+    consumer owns exactly-once, as the reference requires of its stream
+    clients (WriterStream confirm chain).  Two replica-side mechanisms,
+    both anchored in the lake manifest (durable, atomic with the data):
+
+    * each chunk's EPOCH ID IS its max commit scn (a drain-counter id
+      would be WRONG: a second drain would reuse already-ledgered ids
+      for different data and the ledger would silently swallow it);
+    * the APPLIED FRONTIER = max ledgered chunk id: chunks apply in scn
+      order and the mark commits atomically with the merge, so every
+      frame at or below the frontier is already in the table —
+      re-delivered frames ≤ frontier are dropped BEFORE applying.
+      Without this filter a confirm-file rewind/wipe re-delivers old
+      frames under NEW chunk cuts (new ids, ledger blind) and stale ops
+      would overwrite newer table state.
+
+    CONFIRM is sent only AFTER the chunk's merge committed; a drain that
+    finds the server's confirm behind the replica frontier (rewound or
+    wiped checkpoint) re-CONFIRMs the frontier to heal it.
 
     Scale shape: the socket is the serial part by design (the
     reference's writer is one thread; the stream IS a total order).
@@ -335,6 +344,10 @@ def replicate_from_stream(
     client = RedoStreamClient(host, port, db_name)
     try:
         start = client.info()
+        done = (Catalog(spark, table_path) if multi else table).committed_epochs(
+            job_id
+        )
+        frontier = max(done, default=0)  # replica-side applied watermark
         buf: list[tuple] = []
         applied, n_epochs = 0, 0
 
@@ -358,11 +371,15 @@ def replicate_from_stream(
             buf, n_epochs = [], n_epochs + 1
 
         for c_scn, c_idx, frame in client.stream_raw(start):
+            if c_scn <= frontier:
+                continue  # re-delivered frame, already merged (see above)
             # cut only at a commit-scn boundary: txn groups stay whole
             if len(buf) >= chunk_frames and buf[-1][0] != c_scn:
                 flush()
             buf.append((int(c_scn), int(c_idx), frame))
         flush()
+        if applied == 0 and frontier > start:
+            client.confirm(frontier)  # heal a rewound/wiped server confirm
         return {"start_scn": start, "frames": applied, "epochs": n_epochs}
     finally:
         client.close()

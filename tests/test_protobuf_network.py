@@ -257,15 +257,16 @@ def test_network_chained_replica(spark, tmpdir_path):
         wait_confirm(max(scns))
 
         # at-least-once redelivery under the SAME job_id: wipe the
-        # confirm checkpoint → the full stream re-delivers with the SAME
-        # scn-boundary chunk cuts → identical scn-derived epoch ids →
-        # the ledger no-ops every chunk; state unchanged
+        # confirm checkpoint → the full stream re-delivers, but every
+        # frame is at or below the replica's applied frontier (max
+        # ledgered chunk scn) → dropped before applying, and the drain
+        # re-CONFIRMs the frontier to heal the server checkpoint
         os.remove(os.path.join(spool, "confirmed.json"))
         res2 = replicate_from_stream(
             spark, host, port, "transcripts_feed", replica_path,
             chunk_frames=3,
         )
-        assert res2["frames"] == 9
+        assert res2["frames"] == 0 and res2["start_scn"] == 0
         got2 = sorted(
             (r["conv_id"], r["turn_idx"], r["text"])
             for r in read_final_state(spark, replica_path).collect()
@@ -274,15 +275,15 @@ def test_network_chained_replica(spark, tmpdir_path):
         wait_confirm(max(scns))
 
         # crash-between-merge-and-confirm analog: rewind the confirm to a
-        # MID-stream scn → the re-delivered tail gets DIFFERENT chunk
-        # cuts (new scn-derived ids, so the ledger does not swallow it)
-        # and LWW absorbs the re-applied frames; state unchanged
+        # MID-stream scn → the re-delivered tail would get DIFFERENT
+        # chunk cuts (new scn-derived ids, ledger blind) — the frontier
+        # filter is what keeps stale ops from overwriting newer state
         server._record_confirm(cut)
         res_rw = replicate_from_stream(
             spark, host, port, "transcripts_feed", replica_path,
             chunk_frames=2,
         )
-        assert res_rw["frames"] > 0
+        assert res_rw["frames"] == 0
         got_rw = sorted(
             (r["conv_id"], r["turn_idx"], r["text"])
             for r in read_final_state(spark, replica_path).collect()
@@ -361,3 +362,100 @@ def test_wire_format_property_round_trip():
             assert got == src
 
     check()
+
+
+def test_fuzz_network_replica_exactly_once(spark, tmpdir_path):
+    """Exactly-once under adversarial confirm-state perturbation: random
+    op soup (multi-op txns, partial rollbacks, chunked LOBs, rollbacks)
+    over the TCP wire in three spool epochs; between drains the confirm
+    checkpoint is randomly wiped (full redelivery) or rewound to an
+    arbitrary scn (partial redelivery with different chunk cuts).  The
+    scn-keyed ledger + LWW merge must land the replica on the direct
+    replay state regardless of the delivery history."""
+    import random
+    import time
+
+    from test_fuzz_differential import _random_feed
+
+    from openlogreplicator_spark.operators.assemble import (
+        match_partial_rollbacks,
+        reassemble_chunks,
+    )
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+        write_protobuf_mirror,
+    )
+    from openlogreplicator_spark.streaming.job import (
+        create_target,
+        read_final_state,
+        replay_batch,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], r["text"]) for r in df.collect()
+        )
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        base = os.path.join(tmpdir_path, f"s{seed}")
+        fb = _random_feed(seed)
+        direct = replay_batch(spark, fb.to_spark(spark), base + "/direct")
+        expected = rows(direct.read())
+
+        committed = match_partial_rollbacks(
+            assemble_transactions(fb.to_spark(spark))["committed"]
+        )
+        dml = reassemble_chunks(
+            committed.filter(F.col("op").isin("ins", "upd", "del", "chunk"))
+        ).filter(F.col("op") != "chunk")
+        scns = sorted(
+            r["txn_commit_scn"]
+            for r in dml.select("txn_commit_scn").distinct().collect()
+        )
+        assert scns, f"seed {seed}: degenerate feed"
+        thirds = [scns[: len(scns) // 3], scns[len(scns) // 3: 2 * len(scns) // 3],
+                  scns[2 * len(scns) // 3:]]
+        spool = base + "/spool"
+        lo = 0
+        for i, part in enumerate(thirds):
+            hi = part[-1] if part else lo
+            write_protobuf_mirror(
+                dml.filter(
+                    (F.col("txn_commit_scn") > lo)
+                    & (F.col("txn_commit_scn") <= hi)
+                ),
+                spool, i,
+            )
+            lo = hi
+
+        replica = base + "/rep"
+        create_target(spark, replica, n_buckets=2)
+        server = RedoStreamServer(spool, db_name="transcripts_feed")
+        host, port = server.start()
+        try:
+            def drain():
+                replicate_from_stream(
+                    spark, host, port, "transcripts_feed", replica,
+                    chunk_frames=rng.choice([3, 7, 50]),
+                )
+                for _ in range(100):
+                    if server.confirmed_scn() == max(scns):
+                        return
+                    time.sleep(0.05)
+                raise AssertionError("final confirm never landed")
+
+            drain()
+            for _ in range(3):
+                p = rng.random()
+                if p < 0.4:
+                    os.remove(os.path.join(spool, "confirmed.json"))
+                else:
+                    server._record_confirm(rng.choice(scns))
+                drain()
+            assert rows(read_final_state(spark, replica)) == expected, (
+                f"seed {seed}: replica diverged from direct replay"
+            )
+        finally:
+            server.stop()
