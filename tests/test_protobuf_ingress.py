@@ -315,3 +315,98 @@ def test_multi_table_chained_protobuf_tail(spark, tmpdir_path):
     )
     assert set(dst.table_names) == {"transcripts", "summaries", "audit"}
     assert _catalog_states(dst) == _catalog_states(src)
+
+
+def test_fuzz_multi_table_network_replica(spark, tmpdir_path):
+    """Multi-table exactly-once over the TCP wire under confirm-state
+    perturbation: random two-table op soup (incl. TRUNCATE DDL riding
+    the wire), spooled in two epochs, drained into a Catalog replica
+    with random chunk sizes; the confirm checkpoint is wiped or rewound
+    between drains.  The applied frontier (catalog ledger) must keep the
+    replica equal to the direct multi-table replay."""
+    import random
+    import time
+
+    from test_fuzz_differential import _random_multi_feed
+
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+        write_protobuf_mirror,
+    )
+    from openlogreplicator_spark.streaming.job import replay_batch_multi
+
+    def states(cat):
+        return {
+            n: sorted(
+                (r["conv_id"], r["turn_idx"], r["text"])
+                for r in cat.table(n).read().collect()
+            )
+            for n in cat.table_names
+        }
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        base = os.path.join(tmpdir_path, f"s{seed}")
+        fb = _random_multi_feed(seed)
+        src = replay_batch_multi(
+            spark, fb.to_spark(spark), base + "/src",
+            tables=["transcripts", "summaries"], n_buckets=4,
+        )
+        expected = states(src)
+
+        committed = match_partial_rollbacks(
+            assemble_transactions(fb.to_spark(spark))["committed"]
+        )
+        dml = committed.filter(F.col("op").isin("ins", "upd", "del"))
+        ddls = sorted(
+            (r["txn_commit_scn"], r["seq_in_txn"], r["ddl_stmt"])
+            for r in committed.filter(F.col("op") == "ddl")
+            .select("txn_commit_scn", "seq_in_txn", "ddl_stmt").collect()
+        )
+        scns = sorted(
+            r["txn_commit_scn"]
+            for r in committed.select("txn_commit_scn").distinct().collect()
+        )
+        cut = scns[len(scns) // 2 - 1]
+        spool = base + "/spool"
+        write_protobuf_mirror(
+            dml.filter(F.col("txn_commit_scn") <= cut), spool, 0,
+            ddls=[d for d in ddls if d[0] <= cut],
+        )
+        write_protobuf_mirror(
+            dml.filter(F.col("txn_commit_scn") > cut), spool, 1,
+            ddls=[d for d in ddls if d[0] > cut],
+        )
+
+        dst_path = base + "/dst"
+        dst = Catalog.create(spark, dst_path)
+        for n in ("transcripts", "summaries"):
+            dst.create_table(n, n_buckets=2)
+        server = RedoStreamServer(spool, db_name="transcripts_feed")
+        host, port = server.start()
+        try:
+            def drain():
+                replicate_from_stream(
+                    spark, host, port, "transcripts_feed", dst_path,
+                    multi=True, chunk_frames=rng.choice([3, 9, 50]),
+                )
+                for _ in range(100):
+                    if server.confirmed_scn() == max(scns):
+                        return
+                    time.sleep(0.05)
+                raise AssertionError("final confirm never landed")
+
+            drain()
+            for _ in range(2):
+                if rng.random() < 0.5:
+                    os.remove(os.path.join(spool, "confirmed.json"))
+                else:
+                    server._record_confirm(rng.choice(scns))
+                drain()
+            assert states(dst.refresh()) == expected, (
+                f"seed {seed}: multi replica diverged"
+            )
+        finally:
+            server.stop()
