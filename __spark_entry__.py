@@ -222,6 +222,32 @@ def q_d4_time_travel_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(version=v0).select("conv_id", "turn_idx", "role", "text")
 
 
+def q_d4_catalog_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 lifted to the CATALOG: the derived feed applies in two epochs
+    through the multi-table path; ``Catalog.read_as_of(0)`` must return
+    the transcripts table exactly as epoch 0's fence left it — the
+    transactionally consistent cross-table snapshot (every table pinned
+    to its own version_as_of under the one epoch fence).  Same oracle as
+    the table-level time travel: DuckDB replays events with
+    event_id <= max//2."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    feed = _derived_feed(spark, sf_dir)
+    max_id = _load(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    cut = int(max_id) // 2
+    eid = F.substring(F.col("xid"), 2, 100).cast("long")  # xid = 'x' || event_id
+
+    catalog = Catalog.create(spark, tempfile.mkdtemp(prefix="olr-cat-"))
+    catalog.create_table("transcripts", n_buckets=8)
+    apply_epoch_multi(catalog, feed.filter(eid <= cut), 0, job_id="cat")
+    apply_epoch_multi(catalog.refresh(), feed.filter(eid > cut), 1, job_id="cat")
+    snap = catalog.refresh().read_as_of(0, job_id="cat")
+    return snap["transcripts"].select("conv_id", "turn_idx", "role", "text")
+
+
 def q_w6_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 + ingress — wire-format fidelity: the derived feed is applied
     through the lake sink WITH the JSON mirror egress (write_json_mirror,
@@ -918,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_roundtrip_state": q_w7_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
+        "d4_catalog_as_of": q_d4_catalog_as_of,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "t11_lww_dedup": q_t11_lww_dedup,
@@ -1568,4 +1595,7 @@ FROM (
     # W7 twin: the binary wire must land the same final state as the
     # JSON wire — identical replay oracle
     sql["w7_roundtrip_state"] = sql["w6_roundtrip_state"]
+    # Catalog-level as-of twin: the cross-table snapshot at epoch 0 must
+    # equal the single-table version-0 read — identical cutoff-replay oracle
+    sql["d4_catalog_as_of"] = sql["d4_time_travel_as_of"]
     return sql
