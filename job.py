@@ -17,6 +17,8 @@ Subcommands:
   net-serve     — serve a protobuf spool over the WriterStream TCP protocol
   net-replicate — consume a redo stream over TCP into a replica table
   maintain      — off-epoch cluster() OPTIMIZE / retention vacuum
+  config        — run a job from a reference-format OpenLogReplicator.json
+                  (openlogreplicator_spark/config.py maps the schema)
 
 In local mode the SparkSession is built here; under spark-submit an
 existing session/conf is respected (getOrCreate).
@@ -106,6 +108,20 @@ def main(argv=None):
     nr.add_argument("--job-id", default="netchain")
     nr.add_argument("--chunk-frames", type=int, default=100_000)
 
+    cf = sub.add_parser("config",
+                        help="run from a reference-format "
+                             "OpenLogReplicator.json config file")
+    cf.add_argument("--file", required=True)
+    cf.add_argument("--table", default=None,
+                    help="lake destination (default <state.path>/lake)")
+    cf.add_argument("--checkpoint", default=None)
+    cf.add_argument("--buckets", type=int, default=16)
+    cf.add_argument("--continuous", default=None, metavar="INTERVAL")
+    cf.add_argument("--plan", action="store_true",
+                    help="print the translated JobPlan and exit (no Spark)")
+    cf.add_argument("--lenient", action="store_true",
+                    help="tolerate unknown config fields")
+
     mt = sub.add_parser("maintain",
                         help="off-epoch maintenance: cluster() OPTIMIZE "
                              "and/or retention vacuum")
@@ -116,6 +132,17 @@ def main(argv=None):
     mt.add_argument("--vacuum", type=int, default=None, metavar="RETAIN_LAST")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "config" and args.plan:
+        from dataclasses import asdict
+
+        from openlogreplicator_spark.config import plan_from_config
+
+        plan = plan_from_config(args.file, strict=not args.lenient)
+        import json as _json
+
+        print(_json.dumps(asdict(plan), indent=2, default=str))
+        return
 
     if args.cmd == "net-serve":
         from openlogreplicator_spark.sources.network import RedoStreamServer
@@ -147,6 +174,25 @@ def main(argv=None):
     from openlogreplicator_spark.session import get_or_create
 
     spark = get_or_create("openlogreplicator-spark-job")
+
+    if args.cmd == "config":
+        from openlogreplicator_spark.config import run_from_config
+
+        out = run_from_config(
+            spark, args.file, table_path=args.table,
+            checkpoint_dir=args.checkpoint, n_buckets=args.buckets,
+            continuous=args.continuous, strict=not args.lenient,
+        )
+        if args.continuous is not None:
+            print("configured tail running; Ctrl-C to stop")
+            out.awaitTermination()
+        elif hasattr(out, "table_names"):
+            for name in out.table_names:
+                print(f"{name}: rows={out.table(name).read().count()}")
+        else:
+            print(f"config job drained; table version "
+                  f"{out.manifest['version']}, rows={out.read().count()}")
+        return
 
     if args.cmd == "net-replicate":
         from openlogreplicator_spark.sources.network import replicate_from_stream

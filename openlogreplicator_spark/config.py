@@ -1,0 +1,682 @@
+"""Reference-config compatibility layer — OpenLogReplicator.json → this engine.
+
+The reference is configured entirely through one JSON file
+(``scripts/OpenLogReplicator-example*.json``; parsed and strictly validated
+in /root/reference/src/OpenLogReplicator.cpp:180-1230).  This module parses
+the SAME schema — same section names, same allowed-field lists, same
+reader/writer/format type vocabulary, same row-condition mini-language —
+and maps it onto this engine's job parameters, so an existing config file
+runs here with ``job.py config --file OpenLogReplicator.json``:
+
+    source[].reader.type  batch            -> replay_batch (bounded epoch)
+                          offline          -> run_stream (availableNow drain,
+                                              or continuous with --continuous)
+                          online           -> same, when redo-log paths are
+                                              given; a ``server`` connection
+                                              needs a live Oracle -> error
+    source[].reader.redo-log               -> feed path(s)
+    source[].reader.start-scn / start-seq  -> pushed-down scan gate
+    source[].format.type  json | protobuf  -> wire egress format (W6 / W7)
+    source[].filter.table[]                -> tracked pattern or Catalog
+                                              tables; per-entry ``key`` ->
+                                              lake key columns, ``condition``
+                                              -> translated row predicate
+    source[].filter.skip-xid / dump-xid    -> skip_xid_filter / dump trace
+    source[].transaction-max-mb            -> max_txn_ops cap (see below)
+    state.path                             -> checkpoint + default lake root
+    state.keep-checkpoints                 -> vacuum(retain_last=N)
+    metrics.type prometheus                -> MetricsRecorder (metrics table)
+    target[].writer.type  file             -> JSON mirror egress (W6)
+                          network          -> protobuf spool + net-serve bind
+                          kafka            -> Kafka sink rows (W3 format
+                                              layer; transport needs the jar)
+                          discard          -> no egress (W5)
+                          zeromq           -> unsupported here (no libzmq)
+
+Fields that configure the reference's manual memory management (``memory``,
+buffer sizes, sleeps, ``flags``) have no analog — Spark manages memory and
+scheduling — and are accepted but recorded in ``JobPlan.ignored`` instead
+of silently dropped.  Unknown fields are an error, exactly like the
+reference's ``Ctx::checkJsonFields`` (unless ``strict=False``).
+
+The row-condition mini-language (``!([op] == 'd' && [login username] ==
+'USER1')``; tokenizer in /root/reference/src/common/expression/
+Expression.cpp:27-143, evaluation in BoolValue.cpp / StringValue.cpp) is
+translated to a Spark SQL boolean expression: ``[op]`` is the one-char
+operation code ('i'/'u'/'d' — Builder.cpp calls matchesCondition with the
+op char), ``[name]`` is a session-attribute lookup that yields '' when the
+attribute is absent, string compares throughout.  The translated predicate
+is a Catalyst-pushable filter — no interpreter in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+__all__ = [
+    "ConfigError",
+    "JobPlan",
+    "TableRule",
+    "load_config",
+    "plan_from_config",
+    "run_from_config",
+    "translate_condition",
+]
+
+
+class ConfigError(ValueError):
+    """Invalid or unsupported OpenLogReplicator.json content (the analog of
+    the reference's ConfigurationException error 30001)."""
+
+
+# ---------------------------------------------------------------------------
+# Allowed-field lists — copied VOCABULARY (not code) from the strict schema
+# check in /root/reference/src/OpenLogReplicator.cpp (checkJsonFields call
+# sites at lines 196, 263, 373, 431, 486, 514, 694, 1130).
+# ---------------------------------------------------------------------------
+
+_TOP_FIELDS = {"dump-path", "dump-raw-data", "dump-redo-log", "log-level",
+               "memory", "metrics", "source", "state", "target", "trace",
+               "version"}
+_MEMORY_FIELDS = {"max-mb", "min-mb", "read-buffer-max-mb",
+                  "read-buffer-min-mb", "swap-mb", "swap-path",
+                  "unswap-buffer-min-mb", "write-buffer-max-mb",
+                  "write-buffer-min-mb"}
+_METRICS_FIELDS = {"bind", "tag-names", "type"}
+_STATE_FIELDS = {"interval-mb", "interval-s", "keep-checkpoints", "path",
+                 "schema-force-interval", "type"}
+_SOURCE_FIELDS = {"alias", "arch", "arch-read-sleep-us", "arch-read-tries",
+                  "debug", "filter", "flags", "format", "memory", "name",
+                  "reader", "redo-read-sleep-us", "redo-verify-delay-us",
+                  "refresh-interval-us", "state", "transaction-max-mb"}
+_READER_FIELDS = {"db-timezone", "disable-checks", "host-timezone",
+                  "log-archive-format", "log-timezone", "password",
+                  "path-mapping", "redo-copy-path", "redo-log", "server",
+                  "start-scn", "start-seq", "start-time", "start-time-rel",
+                  "type", "user"}
+_FORMAT_FIELDS = {"attributes", "char", "char-set", "column", "db",
+                  "flush-buffer", "interval-dts", "interval-ytm", "message",
+                  "rid", "redo-thread", "schema", "scn", "scn-type",
+                  "timestamp", "timestamp-metadata", "timestamp-type",
+                  "timestamp-tz", "type", "unknown", "unknown-type",
+                  "user-type", "xid"}
+_FILTER_FIELDS = {"dump-xid", "separator", "skip-xid", "table"}
+_TABLE_FIELDS = {"condition", "key", "owner", "table", "tag"}
+_DEBUG_FIELDS = {"owner", "stop-checkpoints", "stop-log-switches",
+                 "stop-transactions", "table"}
+_TARGET_FIELDS = {"alias", "source", "writer"}
+_WRITER_FIELDS = {"append", "max-file-size", "max-message-mb", "new-line",
+                  "output", "poll-interval-us", "properties", "queue-size",
+                  "timestamp-format", "topic", "type", "uri",
+                  "write-buffer-flush-size", "brokers"}
+
+# Reference knobs with no Spark analog: accepted, reported, not applied.
+_IGNORED_SOURCE = {"arch-read-sleep-us", "arch-read-tries", "flags",
+                   "memory", "redo-read-sleep-us", "redo-verify-delay-us",
+                   "refresh-interval-us"}
+_IGNORED_READER = {"db-timezone", "disable-checks", "host-timezone",
+                   "log-archive-format", "log-timezone", "password",
+                   "path-mapping", "redo-copy-path", "user",
+                   "start-time", "start-time-rel"}
+
+# transaction-max-mb -> max_txn_ops: the reference caps by buffered BYTES;
+# this engine caps by op COUNT (T6).  One redo op here is a small struct +
+# text payload — 256 B/op (4096 ops/MB) is the documented conversion; the
+# point is a same-order-of-magnitude guard, not byte parity.
+OPS_PER_MB = 4096
+
+
+def _check_fields(section: str, obj: dict, allowed: set, strict: bool):
+    if not strict:
+        return
+    unknown = set(obj) - allowed
+    if unknown:
+        raise ConfigError(
+            f'bad JSON, unknown field(s) in "{section}": '
+            + ", ".join(sorted(unknown)))
+
+
+# ---------------------------------------------------------------------------
+# Row-condition mini-language -> Spark SQL (also valid ANSI / DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_TOK_RE = re.compile(
+    r"""\s*(?:
+        (?P<lbr>\[(?P<ident>[^\]]*)\])     |
+        (?P<str>'(?P<sval>[^']*)')         |
+        (?P<num>[0-9][0-9.eE]*|\.[0-9][0-9.eE]*) |
+        (?P<op>==|!=|&&|\|\||!)            |
+        (?P<lp>\()                         |
+        (?P<rp>\))
+    )""",
+    re.VERBOSE,
+)
+
+
+def _cond_tokens(cond: str) -> list[tuple[str, str]]:
+    """Tokenize per the reference grammar (Expression.cpp:27-143):
+    ``[identifier]`` (attribute name, or the special ``op``), single-quoted
+    strings, numbers, ``== != && || !``, parentheses."""
+    out, pos = [], 0
+    while pos < len(cond):
+        m = _TOK_RE.match(cond, pos)
+        if m is None:
+            if cond[pos:].strip() == "":
+                break
+            raise ConfigError(
+                f"bad condition, unparsable at offset {pos}: {cond[pos:]!r}")
+        pos = m.end()
+        if m.group("lbr"):
+            out.append(("ident", m.group("ident")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("sval")))
+        elif m.group("num"):
+            out.append(("num", m.group("num")))
+        elif m.group("op"):
+            out.append(("op", m.group("op")))
+        elif m.group("lp"):
+            out.append(("lp", "("))
+        else:
+            out.append(("rp", ")"))
+    return out
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def translate_condition(cond: str, op_col: str = "op",
+                        attrs_col: str = "attrs") -> str:
+    """Translate a reference row condition to a SQL boolean expression.
+
+    Semantics matched to BoolValue.cpp / StringValue.cpp evaluation:
+    ``[op]`` -> the one-char op code (this engine's ops are 'ins'/'upd'/
+    'del', so ``substr(op, 1, 1)`` IS the reference's 'i'/'u'/'d');
+    ``[name]`` -> ``coalesce(attrs['name'], '')`` (absent attribute
+    compares as empty string); numbers compare as their string form
+    (Token::evaluateToString returns the literal text).
+    """
+    toks = _cond_tokens(cond)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(kind=None, val=None):
+        nonlocal pos
+        k, v = peek()
+        if k is None or (kind and k != kind) or (val and v != val):
+            raise ConfigError(
+                f"bad condition {cond!r}: expected {val or kind}, got {v!r}")
+        pos += 1
+        return v
+
+    def operand() -> str:
+        k, v = peek()
+        if k == "ident":
+            take()
+            if v == "op":
+                return f"substr({op_col}, 1, 1)"
+            return f"coalesce({attrs_col}[{_sq(v)}], '')"
+        if k == "str":
+            take()
+            return _sq(v)
+        if k == "num":
+            take()
+            return _sq(v)  # string-compare semantics
+        raise ConfigError(f"bad condition {cond!r}: expected operand, got {v!r}")
+
+    def primary() -> str:
+        k, v = peek()
+        if k == "op" and v == "!":
+            take()
+            return f"(NOT {primary()})"
+        if k == "lp":
+            take()
+            e = or_expr()
+            take("rp")
+            return f"({e})"
+        left = operand()
+        k, v = peek()
+        if k == "op" and v in ("==", "!="):
+            take()
+            right = operand()
+            return f"({left} {'=' if v == '==' else '<>'} {right})"
+        raise ConfigError(
+            f"bad condition {cond!r}: operand {left} needs == or != comparison")
+
+    def and_expr() -> str:
+        e = primary()
+        while peek() == ("op", "&&"):
+            take()
+            e = f"({e} AND {primary()})"
+        return e
+
+    def or_expr() -> str:
+        e = and_expr()
+        while peek() == ("op", "||"):
+            take()
+            e = f"({e} OR {and_expr()})"
+        return e
+
+    if not toks:
+        return "true"
+    result = or_expr()
+    if pos != len(toks):
+        raise ConfigError(f"bad condition {cond!r}: trailing tokens")
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Plan
+# ---------------------------------------------------------------------------
+
+_REGEX_CHARS = re.compile(r"[.*+?^$|()\[\]{}\\]")
+
+# Key-column types when a filter entry names its own ``key`` columns: the
+# reference learns types from the database dictionary; this engine's feed
+# is typed, so only the known feed columns have non-string types.
+_KEY_TYPES = {"conv_id": "string", "turn_idx": "int"}
+
+
+@dataclass
+class TableRule:
+    """One ``filter.table[]`` entry, translated."""
+    owner: str
+    table: str                       # regex, as in the reference
+    key_cols: list[tuple[str, str]] | None = None
+    condition_sql: str | None = None
+    tag: str | None = None
+    is_literal: bool = False         # no regex metacharacters in ``table``
+
+
+@dataclass
+class JobPlan:
+    """Everything run_from_config needs, extracted from one config file."""
+    mode: str                        # "batch" | "stream"
+    feed_paths: list[str]
+    source_name: str = ""
+    wire_format: str = "json"        # format.type
+    rules: list[TableRule] = field(default_factory=list)
+    tracked_pattern: str = "^transcripts$"
+    multi_tables: list[str] | None = None   # literal table set -> Catalog
+    condition_sql: str | None = None        # combined per-table predicate
+    skip_xids: list[str] = field(default_factory=list)
+    dump_xids: list[str] = field(default_factory=list)
+    start_scn: int | None = None
+    start_seq: int | None = None
+    max_txn_ops: int | None = None
+    state_path: str | None = None
+    keep_checkpoints: int | None = None
+    metrics: bool = False
+    writer_type: str = "discard"
+    writer_output: str | None = None        # file: output path
+    writer_uri: str | None = None           # network: bind host:port
+    kafka_topic: str | None = None
+    kafka_brokers: str | None = None
+    ignored: list[str] = field(default_factory=list)
+
+    def pre_filter(self):
+        """The config-driven predicate as one pushed-down DataFrame filter
+        (skip-xid + start-scn/seq gate + per-table row conditions); None
+        when the config carries none of them."""
+        from pyspark.sql import functions as F
+
+        parts = []
+        if self.skip_xids:
+            parts.append(~F.col("xid").isin(self.skip_xids))
+        if self.start_scn is not None:
+            parts.append(F.col("scn") >= self.start_scn)
+        if self.start_seq is not None:
+            parts.append(F.col("seq") >= self.start_seq)
+        if self.condition_sql:
+            # Conditions only guard DML rows; control ops always pass
+            # (the reference evaluates matchesCondition per i/u/d emit).
+            parts.append(F.expr(
+                f"op NOT IN ('ins', 'upd', 'del') OR ({self.condition_sql})"))
+        if not parts:
+            return None
+        pred = parts[0]
+        for p in parts[1:]:
+            pred = pred & p
+
+        def _filter(df):
+            return df.filter(pred)
+
+        return _filter
+
+
+def load_config(source: str | dict, strict: bool = True) -> dict:
+    """Parse + validate an OpenLogReplicator.json document (path, JSON
+    string, or already-parsed dict).  Validation mirrors the reference's
+    checkJsonFields: unknown fields raise, known-but-inapplicable fields
+    pass through (plan_from_config reports them as ignored)."""
+    if isinstance(source, dict):
+        cfg = source
+    elif os.path.exists(source):
+        with open(source) as f:
+            cfg = json.load(f)
+    else:
+        cfg = json.loads(source)
+    if not isinstance(cfg, dict):
+        raise ConfigError("bad JSON: top level must be an object")
+
+    _check_fields("(top level)", cfg, _TOP_FIELDS, strict)
+    if "version" not in cfg:
+        raise ConfigError('bad JSON, missing "version"')
+    for sec, fields_ in (("memory", _MEMORY_FIELDS), ("metrics", _METRICS_FIELDS),
+                         ("state", _STATE_FIELDS)):
+        if sec in cfg:
+            _check_fields(sec, cfg[sec], fields_, strict)
+
+    sources = cfg.get("source", [])
+    if len(sources) != 1:
+        raise ConfigError(
+            f'bad JSON, invalid "source" value: {len(sources)} elements, '
+            "expected: 1 element")
+    src = sources[0]
+    _check_fields("source", src, _SOURCE_FIELDS, strict)
+    for key in ("alias", "name", "reader", "format"):
+        if key not in src:
+            raise ConfigError(f'bad JSON, missing "{key}" in source')
+    _check_fields("reader", src["reader"], _READER_FIELDS, strict)
+    _check_fields("format", src["format"], _FORMAT_FIELDS, strict)
+    if "filter" in src:
+        _check_fields("filter", src["filter"], _FILTER_FIELDS, strict)
+        for t in src["filter"].get("table", []):
+            _check_fields("filter.table", t, _TABLE_FIELDS, strict)
+    if "debug" in src:
+        _check_fields("debug", src["debug"], _DEBUG_FIELDS, strict)
+
+    targets = cfg.get("target", [])
+    if len(targets) != 1:
+        raise ConfigError(
+            f'bad JSON, invalid "target" value: {len(targets)} elements, '
+            "expected: 1 element")
+    tgt = targets[0]
+    _check_fields("target", tgt, _TARGET_FIELDS, strict)
+    if "writer" not in tgt:
+        raise ConfigError('bad JSON, missing "writer" in target')
+    _check_fields("writer", tgt["writer"], _WRITER_FIELDS, strict)
+    if tgt.get("source", src["alias"]) != src["alias"]:
+        raise ConfigError(
+            f'bad JSON, target source "{tgt.get("source")}" does not match '
+            f'source alias "{src["alias"]}"')
+    return cfg
+
+
+def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
+    """Translate a validated config into a JobPlan."""
+    cfg = load_config(cfg, strict=strict)
+    src = cfg["source"][0]
+    reader = src["reader"]
+    fmt = src["format"]
+    writer = cfg["target"][0]["writer"]
+    ignored: list[str] = []
+
+    # ---- reader ----------------------------------------------------------
+    rtype = reader.get("type")
+    if rtype not in ("online", "offline", "batch"):
+        raise ConfigError(
+            f'bad JSON, invalid "type" value: {rtype}, expected: one of '
+            '{"online", "offline", "batch"}')
+    feed_paths = list(reader.get("redo-log", []))
+    if not feed_paths:
+        if rtype == "online" and "server" in reader:
+            raise ConfigError(
+                'reader type "online" with a database "server" connection '
+                "needs a live Oracle instance, which this engine does not "
+                'have; point "redo-log" at the change-feed directory instead '
+                '(reader type "offline"/"batch" semantics)')
+        raise ConfigError('bad JSON, missing "redo-log" paths in reader')
+    mode = "batch" if rtype == "batch" else "stream"
+    for k in sorted(set(reader) & _IGNORED_READER):
+        ignored.append(f"reader.{k}")
+    for k in sorted(set(src) & _IGNORED_SOURCE):
+        ignored.append(f"source.{k}")
+    for k in ("memory", "dump-path", "dump-raw-data", "dump-redo-log",
+              "log-level", "trace"):
+        if k in cfg:
+            ignored.append(k)
+    if "debug" in src:
+        ignored.append("source.debug")
+
+    # ---- format ----------------------------------------------------------
+    ftype = fmt.get("type", "json")
+    if ftype not in ("json", "protobuf"):
+        raise ConfigError(
+            f'bad JSON, invalid format "type" value: {ftype}, expected: one '
+            'of {"json", "protobuf"}')
+    for k in sorted(set(fmt) - {"type"}):
+        # message-shape dials (scn/xid/timestamp field encodings...) — this
+        # engine's builders emit the full self-contained message form
+        ignored.append(f"format.{k}")
+
+    # ---- filter ----------------------------------------------------------
+    flt = src.get("filter", {})
+    rules: list[TableRule] = []
+    for t in flt.get("table", []):
+        if "table" not in t:
+            raise ConfigError('bad JSON, missing "table" in filter.table entry')
+        pat = t["table"]
+        key_cols = None
+        if "key" in t and t["key"]:
+            key_cols = [
+                (c.strip().lower(),
+                 _KEY_TYPES.get(c.strip().lower(), "string"))
+                for c in t["key"].split(",")
+            ]
+        cond = translate_condition(t["condition"]) if t.get("condition") else None
+        rules.append(TableRule(
+            owner=t.get("owner", ""), table=pat, key_cols=key_cols,
+            condition_sql=cond, tag=t.get("tag"),
+            is_literal=not _REGEX_CHARS.search(pat),
+        ))
+    if not rules:
+        rules = [TableRule(owner="", table="transcripts", is_literal=True)]
+
+    # lowercase literal names — this engine's table_name domain is lowercase
+    tracked_pattern = "^(" + "|".join(
+        (r.table.lower() if r.is_literal else r.table) for r in rules) + ")$"
+    multi_tables = ([r.table.lower() for r in rules]
+                    if len(rules) > 1 and all(r.is_literal for r in rules)
+                    else None)
+
+    conds = [
+        f"(table_name NOT RLIKE {_sq('^(' + r.table.lower() + ')$') if r.is_literal else _sq('^(' + r.table + ')$')}"
+        f" OR ({r.condition_sql}))"
+        for r in rules if r.condition_sql
+    ]
+    condition_sql = " AND ".join(conds) if conds else None
+
+    # ---- state / metrics -------------------------------------------------
+    state = cfg.get("state", {})
+    for k in ("interval-mb", "interval-s", "schema-force-interval", "type"):
+        if k in state:
+            ignored.append(f"state.{k}")
+    metrics_cfg = cfg.get("metrics", {})
+    if metrics_cfg and metrics_cfg.get("type") not in (None, "prometheus"):
+        raise ConfigError(
+            f'bad JSON, invalid metrics "type" value: {metrics_cfg.get("type")}'
+            ', expected: one of {"prometheus"}')
+
+    # ---- writer ----------------------------------------------------------
+    wtype = writer.get("type")
+    if wtype not in ("file", "discard", "kafka", "network", "zeromq"):
+        raise ConfigError(
+            f'bad JSON, invalid writer "type" value: {wtype}, expected: one '
+            'of {"file", "discard", "kafka", "zeromq", "network"}')
+    if wtype == "zeromq":
+        raise ConfigError(
+            'writer type "zeromq" needs libzmq, which this image does not '
+            'ship; use "network" (the same redo-stream protocol over plain '
+            "TCP) or \"file\"")
+    for k in sorted(set(writer) - {"type", "output", "uri", "topic",
+                                   "properties", "brokers"}):
+        ignored.append(f"writer.{k}")
+
+    max_txn_mb = src.get("transaction-max-mb")
+    plan = JobPlan(
+        mode=mode,
+        feed_paths=feed_paths,
+        source_name=src.get("name", ""),
+        wire_format=ftype,
+        rules=rules,
+        tracked_pattern=tracked_pattern,
+        multi_tables=multi_tables,
+        condition_sql=condition_sql,
+        skip_xids=list(flt.get("skip-xid", [])),
+        dump_xids=list(flt.get("dump-xid", [])),
+        start_scn=reader.get("start-scn"),
+        start_seq=reader.get("start-seq"),
+        max_txn_ops=(int(max_txn_mb) * OPS_PER_MB) if max_txn_mb else None,
+        state_path=state.get("path"),
+        keep_checkpoints=state.get("keep-checkpoints"),
+        metrics=bool(metrics_cfg),
+        writer_type=wtype,
+        writer_output=writer.get("output"),
+        writer_uri=writer.get("uri"),
+        kafka_topic=writer.get("topic"),
+        kafka_brokers=(writer.get("brokers")
+                       or writer.get("properties", {}).get("bootstrap.servers")),
+        ignored=ignored,
+    )
+    return plan
+
+
+def _writer_dirs(plan: JobPlan, lake_root: str) -> tuple[str | None, str | None]:
+    """(json_mirror_dir, protobuf_spool_dir) for the planned egress."""
+    if plan.writer_type == "file":
+        out = plan.writer_output or "output.json"
+        # "output-%t.json"-style patterns name files inside the mirror dir
+        d = os.path.dirname(out) if ("%" in os.path.basename(out)
+                                     or out.endswith(".json")) else out
+        d = d or os.path.join(lake_root, "mirror")
+        if plan.wire_format == "protobuf":
+            return None, d
+        return d, None
+    if plan.writer_type == "network":
+        return None, os.path.join(lake_root, "spool")
+    return None, None
+
+
+def run_from_config(
+    spark,
+    cfg: str | dict,
+    *,
+    table_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 16,
+    continuous: str | None = None,
+    strict: bool = True,
+):
+    """Execute the configured replication job.
+
+    ``table_path`` (the lake destination — a concept the reference's config
+    does not carry, its sinks are message streams) defaults to
+    ``<state.path>/lake``; ``checkpoint_dir`` to ``<state.path>/checkpoint``.
+    Returns the LakeTable (single-table) or Catalog (multi-table) after an
+    availableNow drain; with ``continuous`` (e.g. ``"5 seconds"``) returns
+    the StreamingQuery handle like run_stream.
+    """
+    plan = plan_from_config(cfg, strict=strict)
+
+    root = plan.state_path or table_path
+    if root is None:
+        raise ConfigError(
+            'no destination: give the config a state.path or pass table_path=')
+    lake_root = table_path or os.path.join(plan.state_path, "lake")
+    ckpt = checkpoint_dir or os.path.join(
+        plan.state_path or os.path.dirname(lake_root) or ".", "checkpoint")
+
+    if plan.writer_type == "kafka" and not _kafka_jar_present(spark):
+        raise ConfigError(
+            'writer type "kafka" needs the spark-sql-kafka package on the '
+            "cluster (not in this image); the format layer is "
+            "sources/kafka.py and activates with the jar")
+
+    json_mirror_dir, protobuf_spool_dir = _writer_dirs(plan, lake_root)
+    pre = plan.pre_filter()
+
+    recorder = None
+    if plan.metrics:
+        from .streaming.metrics import attach_metrics
+
+        recorder = attach_metrics(spark, os.path.join(lake_root, "_metrics"))
+
+    from .streaming.job import (
+        replay_batch,
+        replay_batch_multi,
+        run_stream,
+        run_stream_multi,
+    )
+
+    try:
+        if plan.multi_tables:
+            if plan.mode == "batch":
+                feed = _read_paths(spark, plan.feed_paths)
+                return replay_batch_multi(
+                    spark, feed, lake_root, tables=plan.multi_tables,
+                    n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
+                    pre_filter=pre)
+            return run_stream_multi(
+                spark, _single_dir(plan), lake_root, ckpt,
+                tables=plan.multi_tables, n_buckets=n_buckets,
+                max_txn_ops=plan.max_txn_ops, pre_filter=pre,
+                processing_time=continuous,
+                json_mirror_dir=json_mirror_dir,
+                protobuf_spool_dir=protobuf_spool_dir)
+        if plan.mode == "batch":
+            feed = _read_paths(spark, plan.feed_paths)
+            return replay_batch(
+                spark, feed, lake_root, tracked_pattern=plan.tracked_pattern,
+                n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
+                pre_filter=pre, dump_xids=plan.dump_xids or None,
+                dump_dir=(os.path.join(lake_root, "_dump")
+                          if plan.dump_xids else None))
+        return run_stream(
+            spark, _single_dir(plan), lake_root, ckpt,
+            tracked_pattern=plan.tracked_pattern, n_buckets=n_buckets,
+            max_txn_ops=plan.max_txn_ops, pre_filter=pre,
+            json_mirror_dir=json_mirror_dir,
+            protobuf_spool_dir=protobuf_spool_dir,
+            processing_time=continuous,
+            dump_xids=plan.dump_xids or None,
+            dump_dir=(os.path.join(lake_root, "_dump")
+                      if plan.dump_xids else None))
+    finally:
+        if recorder is not None and continuous is None:
+            from .streaming.metrics import detach_metrics
+
+            detach_metrics(spark, recorder)
+
+
+def _single_dir(plan: JobPlan) -> str:
+    if len(plan.feed_paths) != 1:
+        raise ConfigError(
+            "streaming readers tail ONE feed directory; got "
+            f"{len(plan.feed_paths)} redo-log paths (use reader type "
+            '"batch" for a fixed file list)')
+    return plan.feed_paths[0]
+
+
+def _read_paths(spark, paths: list[str]):
+    from .sources.feed import read_feed_batch
+
+    dfs = [read_feed_batch(spark, p) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _kafka_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False

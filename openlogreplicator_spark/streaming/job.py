@@ -53,16 +53,26 @@ def replay_batch(
     create: bool = True,
     max_txn_ops: int | None = None,
     mode: str = "cow",
+    pre_filter=None,
+    dump_xids: list[str] | None = None,
+    dump_dir: str | None = None,
 ) -> LakeTable:
-    """Bounded replay: whole feed as one epoch (ReplicatorBatch analog)."""
+    """Bounded replay: whole feed as one epoch (ReplicatorBatch analog).
+
+    ``pre_filter``: optional ``DataFrame -> DataFrame`` applied to the feed
+    before the epoch — the config-driven predicate slot (skip-xid, row
+    conditions, start-scn gate; see ``openlogreplicator_spark.config``).
+    """
     if isinstance(feed, str):
         feed = read_feed_batch(spark, feed)
+    if pre_filter is not None:
+        feed = pre_filter(feed)
     if create:
         table = create_target(spark, table_path, n_buckets=n_buckets, mode=mode)
     else:
         table = LakeTable(spark, table_path)
     apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
-                max_txn_ops=max_txn_ops)
+                max_txn_ops=max_txn_ops, dump_xids=dump_xids, dump_dir=dump_dir)
     return table.refresh()
 
 
@@ -87,6 +97,9 @@ def run_stream(
     schemaless: bool = False,
     mode: str = "cow",
     processing_time: str | None = None,
+    pre_filter=None,
+    dump_xids: list[str] | None = None,
+    dump_dir: str | None = None,
 ):
     """Streaming replay.  Default trigger is availableNow (drains the
     backlog then stops — the reference's archived-log catch-up,
@@ -110,11 +123,14 @@ def run_stream(
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and not fail_after_apply:
             raise RuntimeError(f"injected crash before apply of epoch {epoch_id}")
         table = LakeTable(spark, table_path)
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
         apply_epoch(table, batch_df, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
                     max_txn_ops=max_txn_ops, shard_watermark=shard_watermark,
                     expected_shards=expected_shards, max_open_scn_lag=max_open_scn_lag,
                     json_mirror_dir=json_mirror_dir,
-                    protobuf_spool_dir=protobuf_spool_dir, schemaless=schemaless)
+                    protobuf_spool_dir=protobuf_spool_dir, schemaless=schemaless,
+                    dump_xids=dump_xids, dump_dir=dump_dir)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 
@@ -216,6 +232,7 @@ def replay_batch_multi(
     mode: str = "cow",
     max_txn_ops: int | None = None,
     auto_register: bool = False,
+    pre_filter=None,
 ):
     """Bounded multi-table replay: whole feed as one epoch into a Catalog
     (the reference's multi-table batch mode, fixtures multi-table.sql).
@@ -226,6 +243,8 @@ def replay_batch_multi(
 
     if isinstance(feed, str):
         feed = read_feed_batch(spark, feed)
+    if pre_filter is not None:
+        feed = pre_filter(feed)
     catalog = Catalog.create(spark, catalog_path)
     for name in tables or []:
         catalog.create_table(name, n_buckets=n_buckets, mode=mode)
@@ -291,6 +310,7 @@ def run_stream_multi(
     mode: str = "cow",
     fail_at_epoch: int | None = None,
     processing_time: str | None = None,
+    pre_filter=None,
     **apply_kwargs,
 ):
     """Streaming multi-table replay into a Catalog.  availableNow drain by
@@ -308,6 +328,8 @@ def run_stream_multi(
     def fb(batch_df: DataFrame, epoch_id: int):
         if fail_at_epoch is not None and epoch_id == fail_at_epoch:
             raise RuntimeError(f"injected crash before apply of epoch {epoch_id}")
+        if pre_filter is not None:
+            batch_df = pre_filter(batch_df)
         apply_epoch_multi(Catalog(spark, catalog_path), batch_df, epoch_id,
                           job_id=job_id, **apply_kwargs)
 

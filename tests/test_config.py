@@ -1,0 +1,255 @@
+"""Reference-config compatibility: OpenLogReplicator.json → engine job.
+
+The reference is driven by one JSON config (scripts/OpenLogReplicator-
+example*.json, parsed in src/OpenLogReplicator.cpp:180-1230).  These tests
+prove a user can point that same file at this engine: schema validation
+matches the reference's strict field checking, the row-condition
+mini-language translates to the same accept/reject decisions, and
+run_from_config lands the same final state as the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from openlogreplicator_spark.config import (
+    ConfigError,
+    load_config,
+    plan_from_config,
+    run_from_config,
+    translate_condition,
+)
+from openlogreplicator_spark.feedgen import FeedBuilder
+from openlogreplicator_spark.oracle import replay
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SCRIPTS = "/root/reference/scripts"
+
+
+def _base_cfg(feed_dir, state_dir, reader_type="batch", writer=None,
+              tables=None, **src_extra):
+    src = {
+        "alias": "S1",
+        "name": "TESTDB",
+        "reader": {"type": reader_type, "redo-log": [feed_dir]},
+        "format": {"type": "json"},
+        **src_extra,
+    }
+    if tables is not None:
+        src["filter"] = {"table": tables, **src.get("filter", {})}
+    return {
+        "version": "1.9.0",
+        "state": {"path": state_dir},
+        "source": [src],
+        "target": [{"alias": "T1", "source": "S1",
+                    "writer": writer or {"type": "discard"}}],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Condition mini-language
+# ---------------------------------------------------------------------------
+
+def test_condition_full_example_translates():
+    # the exact condition from OpenLogReplicator-example-full.json
+    sql = translate_condition("!([op] == 'd' && [login username] == 'USER1')")
+    assert sql == ("(NOT (((substr(op, 1, 1) = 'd') AND "
+                   "(coalesce(attrs['login username'], '') = 'USER1'))))")
+
+
+def test_condition_or_number_and_parens():
+    sql = translate_condition("([a] == 5 || [b] != 'x')")
+    assert sql == ("(((coalesce(attrs['a'], '') = '5') OR "
+                   "(coalesce(attrs['b'], '') <> 'x')))")
+
+
+def test_condition_errors():
+    with pytest.raises(ConfigError):
+        translate_condition("[op] ==")          # dangling comparison
+    with pytest.raises(ConfigError):
+        translate_condition("[op] 'd'")         # missing operator
+    with pytest.raises(ConfigError):
+        translate_condition("([op] == 'd'")     # unbalanced paren
+
+
+def test_condition_evaluates_on_rows(spark):
+    """The translated predicate reproduces the reference's evaluation:
+    string compare, absent attribute == '', op char from the op column."""
+    df = spark.createDataFrame(
+        [("ins", {"login username": "USER1"}),
+         ("del", {"login username": "USER1"}),
+         ("del", {"login username": "USER2"}),
+         ("del", None)],
+        "op string, attrs map<string,string>",
+    )
+    sql = translate_condition("!([op] == 'd' && [login username] == 'USER1')")
+    kept = [r.op + "/" + str((r.attrs or {}).get("login username"))
+            for r in df.filter(sql).collect()]
+    # only the USER1 delete is rejected; absent attrs -> '' != 'USER1'
+    assert sorted(kept) == ["del/None", "del/USER2", "ins/USER1"]
+
+
+# ---------------------------------------------------------------------------
+# Schema validation
+# ---------------------------------------------------------------------------
+
+def test_unknown_field_rejected_strict_accepted_lenient(tmpdir_path):
+    cfg = _base_cfg("/tmp/feed", tmpdir_path)
+    cfg["source"][0]["reader"]["no-such-knob"] = 1
+    with pytest.raises(ConfigError, match="no-such-knob"):
+        load_config(cfg)
+    assert load_config(cfg, strict=False)  # reference: DISABLE_CHECKS analog
+
+
+def test_reference_example_configs_parse():
+    """The shipped example configs parse under the same field vocabulary.
+    Oracle-online examples plan only after redo-log paths exist, exactly
+    like the reference needs a live database — the error must say so."""
+    examples = sorted(glob.glob(os.path.join(REF_SCRIPTS, "*.json")))
+    if not examples:
+        pytest.skip("reference scripts not present")
+    for path in examples:
+        name = os.path.basename(path)
+        if "debezium" in name:
+            continue  # debezium config is a Kafka-Connect doc, not this schema
+        cfg = load_config(path)  # strict field check passes
+        reader = cfg["source"][0]["reader"]
+        writer = cfg["target"][0]["writer"]
+        if not reader.get("redo-log"):
+            with pytest.raises(ConfigError, match="live Oracle|redo-log"):
+                plan_from_config(path)
+        elif writer.get("type") == "zeromq":
+            with pytest.raises(ConfigError, match="zeromq"):
+                plan_from_config(path)
+        else:
+            plan = plan_from_config(path)
+            assert plan.feed_paths
+
+
+def test_plan_mapping_fields(tmpdir_path):
+    cfg = _base_cfg(
+        "/tmp/feed", tmpdir_path, reader_type="offline",
+        tables=[{"owner": "O1", "table": "transcripts",
+                 "key": "conv_id,turn_idx",
+                 "condition": "!([op] == 'd')"},
+                {"owner": "O1", "table": "TAB.*"}],
+        **{"transaction-max-mb": 2},
+    )
+    cfg["source"][0]["filter"]["skip-xid"] = ["x1", "x2"]
+    cfg["source"][0]["filter"]["dump-xid"] = ["x3"]
+    cfg["source"][0]["reader"]["start-scn"] = 1000
+    cfg["metrics"] = {"type": "prometheus", "bind": "127.0.0.1:8080"}
+    plan = plan_from_config(cfg)
+    assert plan.mode == "stream"
+    assert plan.tracked_pattern == "^(transcripts|TAB.*)$"
+    assert plan.multi_tables is None  # regex entry -> single-pattern mode
+    assert plan.skip_xids == ["x1", "x2"] and plan.dump_xids == ["x3"]
+    assert plan.start_scn == 1000
+    assert plan.max_txn_ops == 2 * 4096
+    assert plan.metrics
+    assert plan.rules[0].key_cols == [("conv_id", "string"), ("turn_idx", "int")]
+    # per-table condition guards only its table
+    assert "table_name NOT RLIKE" in plan.condition_sql
+
+
+def test_multi_table_literals_make_catalog_plan(tmpdir_path):
+    cfg = _base_cfg("/tmp/feed", tmpdir_path,
+                    tables=[{"table": "orders"}, {"table": "customers"}])
+    plan = plan_from_config(cfg)
+    assert plan.multi_tables == ["orders", "customers"]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: run_from_config lands the oracle's final state
+# ---------------------------------------------------------------------------
+
+def _feed(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin(attrs={"login username": "USER1"})
+    t.ins("c1", 0, role="user", text="keep-me")
+    fb.commit(t)
+    t = fb.begin(attrs={"login username": "USER2"})
+    t.ins("c2", 0, role="user", text="victim")
+    fb.commit(t)
+    fb.new_seq()
+    t = fb.begin(attrs={"login username": "USER1"})
+    t.delete("c1", 0)   # rejected by the condition: USER1 deletes filtered
+    fb.commit(t)
+    t = fb.begin(attrs={"login username": "USER2"})
+    t.delete("c2", 0)   # passes: USER2 delete applies
+    fb.commit(t)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    return fb, feed_dir
+
+
+def test_run_from_config_batch_with_condition(spark, tmpdir_path):
+    fb, feed_dir = _feed(spark, tmpdir_path)
+    cfg = _base_cfg(
+        feed_dir, os.path.join(tmpdir_path, "state"),
+        tables=[{"owner": "O1", "table": "transcripts",
+                 "condition": "!([op] == 'd' && [login username] == 'USER1')"}],
+    )
+    table = run_from_config(spark, cfg)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    # c1 survives (its delete was condition-rejected), c2 is gone
+    assert rows == {("c1", 0): "keep-me"}
+
+
+def test_run_from_config_stream_file_writer(spark, tmpdir_path):
+    """offline reader + file writer: streams the feed and mirrors the
+    committed ops as JSON wire messages, like the reference's file sink."""
+    fb, feed_dir = _feed(spark, tmpdir_path)
+    state = os.path.join(tmpdir_path, "state")
+    mirror = os.path.join(tmpdir_path, "mirror", "out-%t.json")
+    cfg = _base_cfg(feed_dir, state, reader_type="offline",
+                    writer={"type": "file", "output": mirror, "new-line": 1})
+    table = run_from_config(spark, cfg)
+    expected = replay(fb.rows, tracked_tables={"transcripts"})
+    got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    want = {(k[0], k[1]): v["text"] for k, v in expected.rows.items()}
+    assert got == want
+    files = glob.glob(os.path.join(tmpdir_path, "mirror", "**", "*"),
+                      recursive=True)
+    assert any(os.path.isfile(f) for f in files), "JSON mirror egress missing"
+
+
+def test_run_from_config_skip_xid(spark, tmpdir_path):
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="a")
+    fb.commit(t)
+    skip = fb.begin()
+    skip.ins("c9", 0, role="user", text="skipped")
+    fb.commit(skip)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, "state"))
+    cfg["source"][0]["filter"] = {"skip-xid": [skip.xid]}
+    table = run_from_config(spark, cfg)
+    keys = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+    assert keys == {("c1", 0)}
+
+
+def test_config_plan_cli():
+    cfg = _base_cfg("/tmp/feed", "/tmp/state",
+                    tables=[{"table": "transcripts"}])
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(cfg, f)
+        path = f.name
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "job.py"), "config",
+         "--file", path, "--plan"],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    plan = json.loads(out.stdout)
+    assert plan["tracked_pattern"] == "^(transcripts)$"
+    os.unlink(path)
