@@ -300,6 +300,7 @@ class JobPlan:
     feed_paths: list[str]
     source_name: str = ""
     wire_format: str = "json"        # format.type
+    wire: object | None = None       # WireFormat dials (format.message/scn/...)
     rules: list[TableRule] = field(default_factory=list)
     tracked_pattern: str = "^transcripts$"
     multi_tables: list[str] | None = None   # literal table set -> Catalog
@@ -308,6 +309,8 @@ class JobPlan:
     dump_xids: list[str] = field(default_factory=list)
     start_scn: int | None = None
     start_seq: int | None = None
+    stop_transactions: int | None = None   # debug.stop-transactions
+    stop_log_switches: int | None = None   # debug.stop-log-switches
     max_txn_ops: int | None = None
     state_path: str | None = None
     keep_checkpoints: int | None = None
@@ -441,8 +444,15 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
               "log-level", "trace"):
         if k in cfg:
             ignored.append(k)
-    if "debug" in src:
-        ignored.append("source.debug")
+    # debug stop bounds (Ctx.h:229-231; decremented per txn / log switch in
+    # Parser.cpp:852,1583): honored as bounded-drain gates; the remaining
+    # debug knobs (owner/table stop-object, stop-checkpoints — our
+    # checkpoints are epochs, bounded drains already stop) are reported.
+    dbg = src.get("debug", {})
+    stop_txns = dbg.get("stop-transactions")
+    stop_seqs = dbg.get("stop-log-switches")
+    for k in sorted(set(dbg) - {"stop-transactions", "stop-log-switches"}):
+        ignored.append(f"debug.{k}")
 
     # ---- format ----------------------------------------------------------
     ftype = fmt.get("type", "json")
@@ -450,9 +460,25 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         raise ConfigError(
             f'bad JSON, invalid format "type" value: {ftype}, expected: one '
             'of {"json", "protobuf"}')
-    for k in sorted(set(fmt) - {"type"}):
-        # message-shape dials (scn/xid/timestamp field encodings...) — this
-        # engine's builders emit the full self-contained message form
+    _HONORED_FMT = {"message", "scn", "rid", "timestamp", "attributes",
+                    "column", "schema"}
+    for name, hi in (("message", 31), ("scn", 1), ("rid", 1),
+                     ("timestamp", 15), ("attributes", 7), ("column", 2),
+                     ("schema", 7)):
+        if name in fmt and not (isinstance(fmt[name], int)
+                                and 0 <= fmt[name] <= hi):
+            raise ConfigError(
+                f'bad JSON, invalid "{name}" value: {fmt[name]}, expected: '
+                f"one of {{0 .. {hi}}}")
+    from .functions.json_output import WireFormat
+
+    try:
+        wire = WireFormat.from_config(fmt)
+    except ValueError as e:  # FULL + SKIP_BEGIN/COMMIT, as in the reference
+        raise ConfigError(str(e)) from e
+    for k in sorted(set(fmt) - {"type"} - _HONORED_FMT):
+        # remaining dials (xid renderings, charset, interval/unknown types)
+        # are vacuous on the typed feed — WireFormat docstring explains each
         ignored.append(f"format.{k}")
 
     # ---- filter ----------------------------------------------------------
@@ -524,6 +550,7 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         feed_paths=feed_paths,
         source_name=src.get("name", ""),
         wire_format=ftype,
+        wire=wire,
         rules=rules,
         tracked_pattern=tracked_pattern,
         multi_tables=multi_tables,
@@ -532,6 +559,8 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         dump_xids=list(flt.get("dump-xid", [])),
         start_scn=reader.get("start-scn"),
         start_seq=reader.get("start-seq"),
+        stop_transactions=stop_txns,
+        stop_log_switches=stop_seqs,
         max_txn_ops=(int(max_txn_mb) * OPS_PER_MB) if max_txn_mb else None,
         state_path=state.get("path"),
         keep_checkpoints=state.get("keep-checkpoints"),
@@ -599,7 +628,7 @@ def run_from_config(
             "sources/kafka.py and activates with the jar")
 
     json_mirror_dir, protobuf_spool_dir = _writer_dirs(plan, lake_root)
-    pre = plan.pre_filter()
+    pre = _with_debug_bounds(spark, plan, plan.pre_filter())
 
     recorder = None
     if plan.metrics:
@@ -614,30 +643,44 @@ def run_from_config(
         run_stream_multi,
     )
 
+    def _retention(target):
+        # state.keep-checkpoints -> snapshot retention (the reference GCs
+        # checkpoint files beyond keep-checkpoints, Checkpoint.cpp; here
+        # the manifest snapshots ARE the checkpoints — vacuum keeps the
+        # same-depth time-travel window).  Bounded drains only: a
+        # continuous tail must not race its own maintenance.
+        if plan.keep_checkpoints and continuous is None:
+            target.vacuum(retain_last=int(plan.keep_checkpoints))
+        return target
+
     try:
         if plan.multi_tables:
             if plan.mode == "batch":
                 feed = _read_paths(spark, plan.feed_paths)
-                return replay_batch_multi(
+                return _retention(replay_batch_multi(
                     spark, feed, lake_root, tables=plan.multi_tables,
                     n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
-                    pre_filter=pre)
-            return run_stream_multi(
+                    pre_filter=pre))
+            return _retention(run_stream_multi(
                 spark, _single_dir(plan), lake_root, ckpt,
                 tables=plan.multi_tables, n_buckets=n_buckets,
                 max_txn_ops=plan.max_txn_ops, pre_filter=pre,
                 processing_time=continuous,
                 json_mirror_dir=json_mirror_dir,
-                protobuf_spool_dir=protobuf_spool_dir)
+                protobuf_spool_dir=protobuf_spool_dir,
+                json_format=plan.wire))
         if plan.mode == "batch":
             feed = _read_paths(spark, plan.feed_paths)
-            return replay_batch(
+            return _retention(replay_batch(
                 spark, feed, lake_root, tracked_pattern=plan.tracked_pattern,
                 n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
                 pre_filter=pre, dump_xids=plan.dump_xids or None,
                 dump_dir=(os.path.join(lake_root, "_dump")
-                          if plan.dump_xids else None))
-        return run_stream(
+                          if plan.dump_xids else None),
+                json_mirror_dir=json_mirror_dir,
+                protobuf_spool_dir=protobuf_spool_dir,
+                json_format=plan.wire))
+        return _retention(run_stream(
             spark, _single_dir(plan), lake_root, ckpt,
             tracked_pattern=plan.tracked_pattern, n_buckets=n_buckets,
             max_txn_ops=plan.max_txn_ops, pre_filter=pre,
@@ -646,12 +689,51 @@ def run_from_config(
             processing_time=continuous,
             dump_xids=plan.dump_xids or None,
             dump_dir=(os.path.join(lake_root, "_dump")
-                      if plan.dump_xids else None))
+                      if plan.dump_xids else None),
+            json_format=plan.wire))
     finally:
         if recorder is not None and continuous is None:
             from .streaming.metrics import detach_metrics
 
             detach_metrics(spark, recorder)
+
+
+def _with_debug_bounds(spark, plan: JobPlan, base_pre):
+    """debug.stop-transactions / stop-log-switches → bounded-drain gates.
+
+    The reference decrements a counter per committed transaction / log
+    switch and soft-shuts-down at zero (Parser.cpp:852-870, Ctx.h:229-231);
+    the declarative equivalent is a pushed-down bound computed ONCE from a
+    tiny batch scan of the feed's control rows (O(N)-row collects, debug
+    facility only — never on the hot path): the first N redo sequences,
+    and the xid set of the first N commits in scn order.  Later events —
+    including their begin/commit markers and any later DDL — are excluded,
+    exactly what a reference shutdown at that point leaves unprocessed.
+    """
+    if plan.stop_transactions is None and plan.stop_log_switches is None:
+        return base_pre
+    from pyspark.sql import functions as F
+
+    feed = _read_paths(spark, plan.feed_paths)
+    parts = []
+    if plan.stop_log_switches is not None:
+        seqs = [r[0] for r in feed.select("seq").distinct()
+                .orderBy("seq").limit(int(plan.stop_log_switches)).collect()]
+        parts.append(F.col("seq") <= (max(seqs) if seqs else -1))
+    if plan.stop_transactions is not None:
+        xids = [r[0] for r in feed.filter(F.col("op") == "commit")
+                .orderBy("scn").limit(int(plan.stop_transactions))
+                .select("xid").collect()]
+        parts.append(F.col("xid").isin(xids) | F.col("xid").isNull())
+    pred = parts[0]
+    for p in parts[1:]:
+        pred = pred & p
+
+    def _filter(df):
+        out = df.filter(pred)
+        return base_pre(out) if base_pre is not None else out
+
+    return _filter
 
 
 def _single_dir(plan: JobPlan) -> str:

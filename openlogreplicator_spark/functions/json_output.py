@@ -17,12 +17,110 @@ for consumers that want the reference's wire format (e.g. Kafka egress).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .decode import encode_rowid
 
 _OP_CODE = {"ins": "c", "upd": "u", "del": "d"}  # reference op letters
+
+# MESSAGE_FORMAT bits (/root/reference/src/common/Format.h:76-84)
+MSG_FULL = 1
+MSG_ADD_SEQUENCES = 2
+MSG_SKIP_BEGIN = 4
+MSG_SKIP_COMMIT = 8
+MSG_ADD_OFFSET = 16
+# ATTRIBUTES_FORMAT bits (Format.h:28-33)
+ATTR_BEGIN = 1
+ATTR_DML = 2
+ATTR_COMMIT = 4
+# SCHEMA_FORMAT bits (Format.h:110-116)
+SCHEMA_FULL = 1
+
+
+@dataclass(frozen=True)
+class WireFormat:
+    """The reference's ``format`` config-section dials, as builder options
+    (enums in /root/reference/src/common/Format.h; applied per-message in
+    BuilderJson.cpp processBeginMessage/processCommit/processInsert...).
+    Every dial is a plan-time choice compiled into the ``to_json`` column
+    expression — no per-row interpretation.
+
+    Defaults preserve this engine's historical wire shape (DML-only
+    stream, attributes on DML, full null images, numeric scn, unix-seconds
+    tm, rid present).  ``from_config`` applies the REFERENCE defaults
+    instead (begin/commit messages on, no attributes, compact images, no
+    rid, unix-nano tm) so a reference config reproduces reference-shaped
+    output.
+
+    Not mapped (documented vacuities): ``xid`` renderings — the feed xid
+    is an opaque string, not a packed usn.slt.sqn; ``char``/``char-set``
+    — ingress-side (functions/charset.py); ``interval-*``/``unknown*`` —
+    no such column types in the typed feed; ADD_OFFSET — no redo-file
+    byte offsets exist here (the (scn, idx) identity replaces them).
+    """
+
+    message: int = MSG_SKIP_BEGIN | MSG_SKIP_COMMIT
+    scn: int = 0          # SCN_FORMAT: 0 numeric, 1 text-hex
+    rid: int = 1          # RID_FORMAT: 0 skip, 1 text
+    timestamp: int = 3    # TIMESTAMP_FORMAT: 3 = unix seconds
+    attributes: int = ATTR_DML
+    column: int = 1       # COLUMN_FORMAT: 0 changed-only, >=1 full nulls
+    schema: int = 0       # SCHEMA_FORMAT: bit 1 = embed column name/types
+
+    def __post_init__(self):
+        if self.message & MSG_FULL and self.message & (MSG_SKIP_BEGIN | MSG_SKIP_COMMIT):
+            # same rejection as the reference config parser
+            # (OpenLogReplicator.cpp:744-752)
+            raise ValueError(
+                'bad "message" value: BEGIN/COMMIT skip flags cannot be '
+                "combined with FULL mode")
+
+    @classmethod
+    def from_config(cls, fmt: dict) -> "WireFormat":
+        """Reference defaults for absent fields (Format.h enum zeros;
+        timestamp default UNIX_NANO)."""
+        return cls(
+            message=int(fmt.get("message", 0)),
+            scn=int(fmt.get("scn", 0)),
+            rid=int(fmt.get("rid", 0)),
+            timestamp=int(fmt.get("timestamp", 0)),
+            attributes=int(fmt.get("attributes", 0)),
+            column=int(fmt.get("column", 0)),
+            schema=int(fmt.get("schema", 0)),
+        )
+
+
+#: the engine's historical default wire shape
+DEFAULT_WIRE = WireFormat()
+
+
+def _scn_expr(scn: Column, fmt: WireFormat) -> Column:
+    if fmt.scn == 1:  # SCN_FORMAT::TEXT_HEX — BuilderJson appendHex path
+        return F.format_string("0x%016x", scn)
+    return scn
+
+
+_TS_ISO = {
+    8: "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'", 9: "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    10: "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'", 11: "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    12: "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS", 13: "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    14: "yyyy-MM-dd'T'HH:mm:ss.SSS", 15: "yyyy-MM-dd'T'HH:mm:ss",
+}
+
+
+def _tm_expr(ts: Column, fmt: WireFormat) -> Column:
+    """TIMESTAMP_FORMAT (Format.h:136-153): 0-3 unix epoch at nano/micro/
+    milli/second scale, 4-7 same as strings, 8-15 ISO-8601 (session TZ is
+    pinned UTC, so the TZ variants carry 'Z')."""
+    t = fmt.timestamp
+    if t <= 7:
+        scale = (1_000_000_000, 1_000_000, 1_000, 1)[t % 4]
+        num = (F.unix_timestamp(ts).cast("long") * scale)
+        return num.cast("string") if t >= 4 else num
+    return F.date_format(ts, _TS_ISO[t])
 
 
 def op_letter(op: Column) -> Column:
@@ -35,21 +133,48 @@ def build_json_messages(
     committed_dml: DataFrame,
     db_name: str = "transcripts_feed",
     owner: str = "APP",
+    fmt: WireFormat | None = None,
 ) -> DataFrame:
-    """committed DML events (with txn_commit_scn) → one JSON message per op,
-    ordered identity (scn, idx) like BuilderMsg (Builder.h:72-105)."""
+    """committed DML events (with txn_commit_scn) → JSON wire messages,
+    ordered identity (scn, idx) like BuilderMsg (Builder.h:72-105).
+
+    ``fmt`` applies the reference's format dials (see :class:`WireFormat`):
+    default mode emits one message per op (+ begin/commit markers unless
+    skipped); FULL mode groups each transaction's ops into one message
+    (BuilderJson.cpp:452-545).  All dials compile into the column
+    expressions — the builder stays one JVM-side ``to_json`` projection
+    (plus one groupBy in FULL mode).
+    """
+    fmt = fmt or DEFAULT_WIRE
     d = committed_dml
     rid = encode_rowid(
         F.crc32(F.col("table_name")).bitwiseAND(F.lit(0x3FFFF)),
         F.crc32(F.col("conv_id")).bitwiseAND(F.lit(0xFFFFFF)),
         (F.coalesce(F.col("turn_idx"), F.lit(0)) % 4096).cast("long"),
     )
-    payload = F.struct(
+    schema_fields = [F.lit(owner).alias("owner"), F.col("table_name").alias("table")]
+    if fmt.schema & SCHEMA_FULL:
+        # SCHEMA_FORMAT::FULL — embed the column dictionary (name + type)
+        # in each message (BuilderJson.h appendSchema full branch); the
+        # frame's after-struct IS the live table schema, so the list is a
+        # plan-time literal.
+        after_type = d.schema["after"].dataType
+        schema_fields.append(
+            F.array(*[
+                F.struct(F.lit(f.name).alias("name"),
+                         F.lit(f.dataType.simpleString()).alias("type"))
+                for f in after_type.fields
+            ]).alias("columns"))
+    payload_fields = [
         op_letter(F.col("op")).alias("op"),
-        F.struct(
-            F.lit(owner).alias("owner"), F.col("table_name").alias("table")
-        ).alias("schema"),
-        rid.alias("rid"),
+        F.struct(*schema_fields).alias("schema"),
+    ]
+    if fmt.message & MSG_ADD_SEQUENCES:
+        # "num": message sequence within the transaction (BuilderJson ++num)
+        payload_fields.append(F.col("seq_in_txn").alias("num"))
+    if fmt.rid == 1:  # RID_FORMAT::TEXT
+        payload_fields.append(rid.alias("rid"))
+    payload_fields += [
         # key columns + changed-column list make the message SELF-CONTAINED
         # (the reference emits the key columns inside the row images —
         # 3.output-format.adoc:69-173; the explicit `changed` list also
@@ -63,23 +188,95 @@ def build_json_messages(
         F.col("changed_cols").alias("changed"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),
-    )
-    msg = F.struct(
-        F.col("txn_commit_scn").alias("scn"),
-        F.col("seq_in_txn").alias("idx"),
-        F.unix_timestamp(F.col("ts")).alias("tm"),
-        F.col("xid").alias("xid"),
-        F.lit(db_name).alias("db"),
+    ]
+    payload = F.struct(*payload_fields)
+
+    def header_fields(idx_expr):
+        out = [
+            _scn_expr(F.col("txn_commit_scn"), fmt).alias("scn"),
+            idx_expr.alias("idx"),
+            _tm_expr(F.col("ts"), fmt).alias("tm"),
+            F.col("xid").alias("xid"),
+            F.lit(db_name).alias("db"),
+        ]
         # session attributes (reference: "attributes" message field fed by
-        # opcodes 5.19/5.20 session info, src/parser/OpCode0513.h)
-        F.col("attrs").alias("attributes"),
-        F.array(payload).alias("payload"),
-    )
-    return d.select(
+        # opcodes 5.19/5.20 session info, src/parser/OpCode0513.h);
+        # ATTRIBUTES_FORMAT bit gates which message kinds carry them
+        if fmt.attributes & ATTR_DML:
+            out.append(F.col("attrs").alias("attributes"))
+        return out
+
+    # COLUMN_FORMAT::CHANGED drops null struct fields from the wire (the
+    # compact row images; the changed list keeps set-to-NULL recoverable —
+    # ingress takes after[col] for cols IN changed, absent = NULL);
+    # FULL_INS_DEC/FULL_UPD emit explicit nulls for the whole row image.
+    json_opts = {"ignoreNullFields": "true" if fmt.column == 0 else "false"}
+
+    if fmt.message & MSG_FULL:
+        # one message per transaction, payload = ops in intra-txn order
+        grouped = (
+            d.select(F.col("xid"), F.col("txn_commit_scn"), F.col("ts"),
+                     F.col("attrs"), F.col("seq_in_txn"), payload.alias("_p"))
+            .groupBy("xid", "txn_commit_scn")
+            .agg(F.min("ts").alias("ts"),
+                 F.first("attrs", ignorenulls=True).alias("attrs"),
+                 F.min("seq_in_txn").alias("_idx"),
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("seq_in_txn").alias("s"),
+                              F.col("_p").alias("p")))).alias("_ops"))
+        )
+        msg = F.struct(*header_fields(F.col("_idx")),
+                       F.col("_ops").getField("p").alias("payload"))
+        return grouped.select(
+            F.col("txn_commit_scn").alias("scn"),
+            F.col("_idx").alias("idx"),
+            F.to_json(msg, json_opts).alias("message"),
+        )
+
+    msg = F.struct(*header_fields(F.col("seq_in_txn")),
+                   F.array(payload).alias("payload"))
+    out = d.select(
         F.col("txn_commit_scn").alias("scn"),
         F.col("seq_in_txn").alias("idx"),
-        F.to_json(msg, {"ignoreNullFields": "false"}).alias("message"),
+        F.to_json(msg, json_opts).alias("message"),
     )
+
+    marker_kinds = []
+    if not fmt.message & MSG_SKIP_BEGIN:
+        marker_kinds.append(("begin", ATTR_BEGIN, F.lit(-1)))
+    if not fmt.message & MSG_SKIP_COMMIT:
+        marker_kinds.append(("commit", ATTR_COMMIT,
+                             F.col("_max_seq") + F.lit(1)))
+    if marker_kinds:
+        # begin/commit marker messages per transaction (processBeginMessage
+        # / processCommit): payload [{"op":"begin"|"commit"}]; idx slots
+        # them before/after the txn's ops in the (scn, idx) stream order
+        txns = (
+            d.groupBy("xid", "txn_commit_scn")
+            .agg(F.min("ts").alias("ts"),
+                 F.first("attrs", ignorenulls=True).alias("attrs"),
+                 F.max("seq_in_txn").alias("_max_seq"))
+        )
+        for kind, attr_bit, idx_expr in marker_kinds:
+            fields = [
+                _scn_expr(F.col("txn_commit_scn"), fmt).alias("scn"),
+                idx_expr.alias("idx"),
+                _tm_expr(F.col("ts"), fmt).alias("tm"),
+                F.col("xid").alias("xid"),
+                F.lit(db_name).alias("db"),
+            ]
+            if fmt.attributes & attr_bit:
+                fields.append(F.col("attrs").alias("attributes"))
+            mmsg = F.struct(
+                *fields,
+                F.array(F.struct(F.lit(kind).alias("op"))).alias("payload"))
+            out = out.unionByName(
+                txns.select(
+                    F.col("txn_commit_scn").alias("scn"),
+                    idx_expr.cast("int").alias("idx"),
+                    F.to_json(mmsg, json_opts).alias("message"),
+                ))
+    return out
 
 
 def write_json_mirror(
@@ -90,6 +287,7 @@ def write_json_mirror(
     owner: str = "APP",
     n_files: int | None = None,
     ddls: list[tuple] | None = None,
+    fmt: WireFormat | None = None,
 ) -> None:
     """W2/W6 egress — the WriterFile analog
     (/root/reference/src/writer/WriterFile.cpp): the JSON message stream
@@ -110,7 +308,8 @@ def write_json_mirror(
     import json
     import os
 
-    msgs = build_json_messages(committed_dml, db_name=db_name, owner=owner)
+    msgs = build_json_messages(committed_dml, db_name=db_name, owner=owner,
+                               fmt=fmt)
     spark = committed_dml.sparkSession
     if ddls:
         # committed DDL as its own wire message, interleaved at its commit
@@ -173,8 +372,11 @@ def write_json_mirror(
                         last = line
             if last is not None:
                 max_scn = json.loads(last)["scn"]
+                if isinstance(max_scn, str):  # SCN_FORMAT::TEXT_HEX dial
+                    max_scn = int(max_scn, 16)
                 break
-    except (UnicodeDecodeError, json.JSONDecodeError, KeyError, OSError):
+    except (UnicodeDecodeError, json.JSONDecodeError, KeyError, OSError,
+            ValueError, TypeError):
         max_scn = None
     if max_scn is None:
         # unreadable part files OR none matched the naming assumption OR a

@@ -99,7 +99,6 @@ def parse_json_messages(
     to 0."""
     image_type = image_type or IMAGE_TYPE
     msg = F.from_json(F.col("value"), mirror_message_schema(image_type))
-    p = F.element_at(msg.getField("payload"), 1)
     seq = (seq_col if seq_col is not None else F.lit(0)).cast("long")
 
     # Oracle xids RECYCLE after commit (usn.slt slots are reused —
@@ -109,15 +108,23 @@ def parse_json_messages(
     # same identity by suffixing the commit scn — unique per instance,
     # stable across replays.
     xid = F.concat_ws("@", msg.getField("xid"), msg.getField("scn"))
-    d = lines.select(
-        msg.getField("scn").alias("_scn"),
-        msg.getField("idx").alias("_idx"),
-        msg.getField("tm").alias("_tm"),
-        xid.alias("xid"),
-        msg.getField("attributes").alias("attrs"),
-        seq.alias("seq"),
-        p.alias("_p"),
-    ).filter(F.col("_p").getField("op").isin("c", "u", "d", "ddl"))
+    # posexplode, not element_at(1): MESSAGE_FORMAT::FULL groups a whole
+    # transaction's ops into ONE payload array — intra-message position
+    # offsets the idx so intra-txn order survives the round trip; for
+    # one-op-per-message streams pos is 0 and idx is untouched.
+    d = (
+        lines.select(
+            msg.getField("scn").alias("_scn"),
+            msg.getField("idx").alias("_midx"),
+            msg.getField("tm").alias("_tm"),
+            xid.alias("xid"),
+            msg.getField("attributes").alias("attrs"),
+            seq.alias("seq"),
+            F.posexplode_outer(msg.getField("payload")).alias("_pos", "_p"),
+        )
+        .withColumn("_idx", F.col("_midx") + F.col("_pos"))
+        .filter(F.col("_p").getField("op").isin("c", "u", "d", "ddl"))
+    )
 
     op = (
         F.when(F.col("_p.op") == "c", "ins")

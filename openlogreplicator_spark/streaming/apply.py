@@ -108,6 +108,7 @@ def apply_epoch(
     schemaless: bool = False,
     dump_xids: list[str] | None = None,
     dump_dir: str | None = None,
+    json_format=None,
 ) -> dict:
     """Apply one epoch of change events; returns apply stats.
 
@@ -314,7 +315,7 @@ def apply_epoch(
             from ..functions.json_output import write_json_mirror
 
             write_json_mirror(mirror_src, json_mirror_dir, epoch_id,
-                              ddls=stats["ddls"])
+                              ddls=stats["ddls"], fmt=json_format)
         if protobuf_spool_dir is not None:
             # W7 binary egress twin: RedoResponse spool, same rotation /
             # idempotence contract; feeds net-serve and the protobuf

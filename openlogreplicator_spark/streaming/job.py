@@ -56,6 +56,9 @@ def replay_batch(
     pre_filter=None,
     dump_xids: list[str] | None = None,
     dump_dir: str | None = None,
+    json_mirror_dir: str | None = None,
+    protobuf_spool_dir: str | None = None,
+    json_format=None,
 ) -> LakeTable:
     """Bounded replay: whole feed as one epoch (ReplicatorBatch analog).
 
@@ -72,7 +75,9 @@ def replay_batch(
     else:
         table = LakeTable(spark, table_path)
     apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
-                max_txn_ops=max_txn_ops, dump_xids=dump_xids, dump_dir=dump_dir)
+                max_txn_ops=max_txn_ops, dump_xids=dump_xids, dump_dir=dump_dir,
+                json_mirror_dir=json_mirror_dir,
+                protobuf_spool_dir=protobuf_spool_dir, json_format=json_format)
     return table.refresh()
 
 
@@ -100,6 +105,7 @@ def run_stream(
     pre_filter=None,
     dump_xids: list[str] | None = None,
     dump_dir: str | None = None,
+    json_format=None,
 ):
     """Streaming replay.  Default trigger is availableNow (drains the
     backlog then stops — the reference's archived-log catch-up,
@@ -130,7 +136,8 @@ def run_stream(
                     expected_shards=expected_shards, max_open_scn_lag=max_open_scn_lag,
                     json_mirror_dir=json_mirror_dir,
                     protobuf_spool_dir=protobuf_spool_dir, schemaless=schemaless,
-                    dump_xids=dump_xids, dump_dir=dump_dir)
+                    dump_xids=dump_xids, dump_dir=dump_dir,
+                    json_format=json_format)
         if fail_at_epoch is not None and epoch_id == fail_at_epoch and fail_after_apply:
             raise RuntimeError(f"injected crash after apply of epoch {epoch_id}")
 

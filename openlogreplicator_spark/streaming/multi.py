@@ -169,6 +169,7 @@ def apply_epoch_multi(
     schemaless: bool = False,
     default_table: str | None = None,
     auto_register: bool = False,
+    json_format=None,
 ) -> dict:
     """Apply one epoch of change events across every registered table.
 
@@ -391,7 +392,7 @@ def apply_epoch_multi(
         from ..functions.json_output import write_json_mirror
 
         write_json_mirror(mirror_src, json_mirror_dir, epoch_id,
-                          ddls=stats["ddls"])
+                          ddls=stats["ddls"], fmt=json_format)
     if protobuf_spool_dir is not None:
         from ..sources.network import write_protobuf_mirror
 

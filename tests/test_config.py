@@ -237,6 +237,61 @@ def test_run_from_config_skip_xid(spark, tmpdir_path):
     assert keys == {("c1", 0)}
 
 
+def test_debug_stop_bounds(spark, tmpdir_path):
+    """debug.stop-transactions / stop-log-switches bound the drain the way
+    the reference's countdown shutdown does (Parser.cpp:852): only the
+    first N commits / first N redo sequences apply."""
+    fb = FeedBuilder()
+    for i in range(4):               # 4 txns, txn i inserts ("c{i}", 0)
+        t = fb.begin()
+        t.ins(f"c{i}", 0, role="user", text=f"v{i}")
+        fb.commit(t)
+        if i == 1:
+            fb.new_seq()             # seq 0 holds txns 0-1, seq 1 holds 2-3
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+
+    cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, "s1"))
+    cfg["source"][0]["debug"] = {"stop-transactions": 3}
+    got = {r.conv_id for r in run_from_config(spark, cfg).read().collect()}
+    assert got == {"c0", "c1", "c2"}
+
+    cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, "s2"))
+    cfg["source"][0]["debug"] = {"stop-log-switches": 1}
+    got = {r.conv_id for r in run_from_config(spark, cfg).read().collect()}
+    assert got == {"c0", "c1"}
+
+    plan = plan_from_config(cfg)
+    assert plan.stop_log_switches == 1 and "source.debug" not in plan.ignored
+
+
+def test_keep_checkpoints_applies_retention(spark, tmpdir_path, monkeypatch):
+    """state.keep-checkpoints -> vacuum(retain_last=N) after a bounded
+    drain (vacuum semantics themselves are covered in
+    test_merge_on_read.test_time_travel_and_retention)."""
+    from openlogreplicator_spark.lake.table import LakeTable
+
+    calls = {}
+    orig = LakeTable.vacuum
+
+    def spy(self, retain_last=1):
+        calls["retain"] = retain_last
+        return orig(self, retain_last=retain_last)
+
+    monkeypatch.setattr(LakeTable, "vacuum", spy)
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="a")
+    fb.commit(t)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, "state"))
+    cfg["state"]["keep-checkpoints"] = 3
+    table = run_from_config(spark, cfg)
+    assert calls["retain"] == 3
+    assert table.read().count() == 1
+
+
 def test_config_plan_cli():
     cfg = _base_cfg("/tmp/feed", "/tmp/state",
                     tables=[{"table": "transcripts"}])
