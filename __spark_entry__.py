@@ -277,6 +277,40 @@ def q_w6_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t2.read().select("conv_id", "turn_idx", "role", "text")
 
 
+def q_w6_full_wire_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 format dials — the REFERENCE-shaped wire (MESSAGE_FORMAT::FULL
+    txn-grouped payload arrays, COLUMN_FORMAT::CHANGED compact images,
+    RID_FORMAT::SKIP; Format.h dials applied by
+    functions/json_output.WireFormat) must be as lossless as the default
+    shape: mirror written with the dials, re-ingested (payload arrays
+    posexploded by sources/json_feed), replayed into a second table —
+    same DuckDB replay oracle as w6_roundtrip_state."""
+    import tempfile
+
+    from openlogreplicator_spark.functions.json_output import (
+        MSG_FULL,
+        WireFormat,
+    )
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.sources.json_feed import read_json_feed
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    mirror = tempfile.mkdtemp(prefix="olr-mrf-")
+    cols = dict(
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    t1 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-rf1-"), **cols)
+    apply_epoch(t1, feed, 0, job_id="rf", json_mirror_dir=mirror,
+                json_format=WireFormat(message=MSG_FULL, column=0, rid=0))
+    t2 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-rf2-"), **cols)
+    apply_epoch(t2, read_json_feed(spark, mirror), 0, job_id="rf2")
+    return t2.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_w7_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 + ingress — BINARY wire fidelity: same loop as
     q_w6_roundtrip_state but over the protobuf RedoResponse spool
@@ -941,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
         "w2_clustered_lookup": q_w2_clustered_lookup,
         "w6_roundtrip_state": q_w6_roundtrip_state,
+        "w6_full_wire_state": q_w6_full_wire_state,
         "w7_roundtrip_state": q_w7_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
@@ -1595,6 +1630,8 @@ FROM (
     # W7 twin: the binary wire must land the same final state as the
     # JSON wire — identical replay oracle
     sql["w7_roundtrip_state"] = sql["w6_roundtrip_state"]
+    # dialed wire (FULL/compact/no-rid) must converge to the same state
+    sql["w6_full_wire_state"] = sql["w6_roundtrip_state"]
     # Catalog-level as-of twin: the cross-table snapshot at epoch 0 must
     # equal the single-table version-0 read — identical cutoff-replay oracle
     sql["d4_catalog_as_of"] = sql["d4_time_travel_as_of"]

@@ -112,56 +112,62 @@ def parse_protobuf_messages(
             rows = []
             for r in pdf.itertuples(index=False):
                 d = decode_message(bytes(r.message))
-                pay = decode_message(d[9][0])
-                op = op_rev.get(pay[1][0] if 1 in pay else 0)
-                if op not in ("ins", "upd", "del", "ddl"):
-                    continue  # chkpt / control frames are not change events
-                schema = decode_message(pay[2][0]) if 2 in pay else {}
-                table = schema.get(2, [None])[0]
-                before = _decode_values(pay.get(4, []), decode_message)
-                after = _decode_values(pay.get(5, []), decode_message)
-                kv = dict(after or before)
-                img_b = {n: conv(n, v) for n, v in before if n not in _KEYS} or None
-                img_a = (
-                    {n: conv(n, v) for n, v in after if n not in _KEYS}
-                    if op in ("ins", "upd")
-                    else None
-                )
-                attrs = {
-                    decode_message(e).get(1, [b""])[0].decode("utf-8"):
-                    decode_message(e).get(2, [b""])[0].decode("utf-8")
-                    for e in d.get(12, [])
-                } or None
-                rows.append(
-                    {
-                        "_scn": int(d[2][0]),
-                        "_idx": int(r.idx),
-                        "_tm": int(d[4][0]) if 4 in d else None,
-                        # recycled-xid instances disambiguated by commit
-                        # scn, same rule as the JSON ingress
-                        "xid": f"{d[6][0].decode('utf-8')}@{int(d[2][0])}"
-                        if 6 in d
-                        else f"@{int(d[2][0])}",
-                        "attrs": attrs,
-                        "seq": int(r.seq),
-                        "op": op,
-                        "table_name": table.decode("utf-8")
-                        if isinstance(table, bytes)
-                        else table,
-                        "conv_id": kv.get("conv_id"),
-                        "turn_idx": None
-                        if kv.get("turn_idx") is None
-                        else int(kv["turn_idx"]),
-                        "before": img_b,
-                        "after": img_a,
-                        "changed_cols": [n for n, _ in after if n not in _KEYS]
+                # RedoResponse.payload is REPEATED (field 9,
+                # OraProtoBuf.proto): a MESSAGE_FORMAT::FULL producer packs
+                # a whole transaction's ops into one response — iterate all
+                # of them, offsetting idx by position (one-op responses:
+                # pos 0, idx untouched)
+                for pos, pay_bytes in enumerate(d.get(9, [])):
+                    pay = decode_message(pay_bytes)
+                    op = op_rev.get(pay[1][0] if 1 in pay else 0)
+                    if op not in ("ins", "upd", "del", "ddl"):
+                        continue  # chkpt / control frames are not change events
+                    schema = decode_message(pay[2][0]) if 2 in pay else {}
+                    table = schema.get(2, [None])[0]
+                    before = _decode_values(pay.get(4, []), decode_message)
+                    after = _decode_values(pay.get(5, []), decode_message)
+                    kv = dict(after or before)
+                    img_b = {n: conv(n, v) for n, v in before if n not in _KEYS} or None
+                    img_a = (
+                        {n: conv(n, v) for n, v in after if n not in _KEYS}
                         if op in ("ins", "upd")
-                        else None,
-                        "ddl_stmt": (pay.get(6, [None])[0] or b"").decode("utf-8")
-                        if op == "ddl" and 6 in pay
-                        else None,
-                    }
-                )
+                        else None
+                    )
+                    attrs = {
+                        decode_message(e).get(1, [b""])[0].decode("utf-8"):
+                        decode_message(e).get(2, [b""])[0].decode("utf-8")
+                        for e in d.get(12, [])
+                    } or None
+                    rows.append(
+                        {
+                            "_scn": int(d[2][0]),
+                            "_idx": int(r.idx) + pos,
+                            "_tm": int(d[4][0]) if 4 in d else None,
+                            # recycled-xid instances disambiguated by commit
+                            # scn, same rule as the JSON ingress
+                            "xid": f"{d[6][0].decode('utf-8')}@{int(d[2][0])}"
+                            if 6 in d
+                            else f"@{int(d[2][0])}",
+                            "attrs": attrs,
+                            "seq": int(r.seq),
+                            "op": op,
+                            "table_name": table.decode("utf-8")
+                            if isinstance(table, bytes)
+                            else table,
+                            "conv_id": kv.get("conv_id"),
+                            "turn_idx": None
+                            if kv.get("turn_idx") is None
+                            else int(kv["turn_idx"]),
+                            "before": img_b,
+                            "after": img_a,
+                            "changed_cols": [n for n, _ in after if n not in _KEYS]
+                            if op in ("ins", "upd")
+                            else None,
+                            "ddl_stmt": (pay.get(6, [None])[0] or b"").decode("utf-8")
+                            if op == "ddl" and 6 in pay
+                            else None,
+                        }
+                    )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema.fields]
             )

@@ -410,3 +410,45 @@ def test_fuzz_multi_table_network_replica(spark, tmpdir_path):
             )
         finally:
             server.stop()
+
+
+def test_multi_payload_response_full_mode(spark, tmpdir_path):
+    """RedoResponse.payload is REPEATED (OraProtoBuf.proto field 9): a
+    MESSAGE_FORMAT::FULL producer packs a whole transaction into one
+    response.  The ingress must iterate every payload (offsetting idx by
+    position for intra-txn order), not just the first."""
+    import pandas as pd
+
+    from openlogreplicator_spark.functions.protobuf_output import (
+        encode_payload,
+        encode_redo_response,
+    )
+    from openlogreplicator_spark.streaming.job import replay_batch
+
+    key = [("conv_id", "c1"), ("turn_idx", 1)]
+    full_txn = encode_redo_response(
+        2000, 0, "xA", "db", [
+            encode_payload("ins", "APP", "transcripts", None, None,
+                           key + [("role", "user"), ("text", "v1")]),
+            encode_payload("upd", "APP", "transcripts", None, None,
+                           key + [("text", "v2")]),
+        ])
+    single = encode_redo_response(
+        2001, 0, "xB", "db", [
+            encode_payload("ins", "APP", "transcripts", None, None,
+                           [("conv_id", "c2"), ("turn_idx", 0),
+                            ("role", "asst"), ("text", "solo")]),
+        ])
+    spool = os.path.join(tmpdir_path, "spool", "epoch=000000")
+    os.makedirs(spool)
+    pd.DataFrame(
+        {"scn": [2000, 2001], "idx": [0, 0],
+         "message": [full_txn, single]}
+    ).to_parquet(os.path.join(spool, "part-0.parquet"))
+
+    events = read_protobuf_feed(spark, os.path.join(tmpdir_path, "spool"))
+    tbl = replay_batch(spark, events, os.path.join(tmpdir_path, "tbl"))
+    got = {(r.conv_id, r.turn_idx): (r.text, r.role)
+           for r in tbl.read().collect()}
+    # the upd (payload #2) applied ON TOP of the ins (payload #1)
+    assert got == {("c1", 1): ("v2", "user"), ("c2", 0): ("solo", "asst")}
