@@ -277,6 +277,42 @@ def q_w6_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t2.read().select("conv_id", "turn_idx", "role", "text")
 
 
+_CONFIG_COND = "!([op] == 'd' && [username] == 'user7') && [region] != ''"
+
+
+def q_f2_config_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 through the CONFIG LANGUAGE — the reference's row-condition
+    mini-language (OpenLogReplicator.json filter.table[].condition;
+    tokenizer src/common/expression/Expression.cpp:27-143, evaluation
+    BoolValue.cpp/StringValue.cpp) translated by
+    openlogreplicator_spark.config.translate_condition and evaluated over
+    derived rows with an attrs MAP (engine shape).  The oracle evaluates
+    the SAME translator's output in column style, so the translation
+    semantics themselves — op-char compare, absent attribute = '',
+    string equality, ! && || precedence — are what the hash contracts."""
+    from openlogreplicator_spark.config import translate_condition
+
+    ev = _load(spark, sf_dir, "events")
+    username = F.concat(F.lit("user"), (F.col("user_id") % 100).cast("string"))
+    region = F.concat(F.lit("r"), (F.col("user_id") % 5).cast("string"))
+    d = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", "del").otherwise("ins").alias("op"),
+        # region attribute ABSENT for every third user — exercises the
+        # absent-attribute-compares-as-'' rule
+        F.when(F.col("user_id") % 3 == 0,
+               F.create_map(F.lit("username"), username))
+        .otherwise(F.create_map(F.lit("username"), username,
+                                F.lit("region"), region)).alias("attrs"),
+    )
+    kept = d.filter(F.expr(translate_condition(_CONFIG_COND)))
+    return kept.select(
+        "event_id", "op",
+        F.col("attrs")["username"].alias("username"),
+        F.col("attrs")["region"].alias("region"),
+    )
+
+
 def q_w6_full_wire_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 format dials — the REFERENCE-shaped wire (MESSAGE_FORMAT::FULL
     txn-grouped payload arrays, COLUMN_FORMAT::CHANGED compact images,
@@ -976,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_clustered_lookup": q_w2_clustered_lookup,
         "w6_roundtrip_state": q_w6_roundtrip_state,
         "w6_full_wire_state": q_w6_full_wire_state,
+        "f2_config_condition": q_f2_config_condition,
         "w7_roundtrip_state": q_w7_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
@@ -1632,6 +1669,24 @@ FROM (
     sql["w7_roundtrip_state"] = sql["w6_roundtrip_state"]
     # dialed wire (FULL/compact/no-rid) must converge to the same state
     sql["w6_full_wire_state"] = sql["w6_roundtrip_state"]
+    # config condition language: the SAME translate_condition output in
+    # column style over equivalently-derived columns (region NULL where
+    # the map omits the key)
+    from openlogreplicator_spark.config import translate_condition as _tc
+
+    sql["f2_config_condition"] = f"""
+WITH d AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN 'del' ELSE 'ins' END AS op,
+         'user' || CAST(user_id % 100 AS VARCHAR) AS "username",
+         CASE WHEN user_id % 3 = 0 THEN NULL
+              ELSE 'r' || CAST(user_id % 5 AS VARCHAR) END AS "region"
+  FROM events
+)
+SELECT event_id, op, "username", "region"
+FROM d
+WHERE {_tc(_CONFIG_COND, attrs_style="column")}
+"""
     # Catalog-level as-of twin: the cross-table snapshot at epoch 0 must
     # equal the single-table version-0 read — identical cutoff-replay oracle
     sql["d4_catalog_as_of"] = sql["d4_time_travel_as_of"]

@@ -189,7 +189,8 @@ def _sq(s: str) -> str:
 
 
 def translate_condition(cond: str, op_col: str = "op",
-                        attrs_col: str = "attrs") -> str:
+                        attrs_col: str = "attrs",
+                        attrs_style: str = "map") -> str:
     """Translate a reference row condition to a SQL boolean expression.
 
     Semantics matched to BoolValue.cpp / StringValue.cpp evaluation:
@@ -198,6 +199,13 @@ def translate_condition(cond: str, op_col: str = "op",
     ``[name]`` -> ``coalesce(attrs['name'], '')`` (absent attribute
     compares as empty string); numbers compare as their string form
     (Token::evaluateToString returns the literal text).
+
+    ``attrs_style``: "map" (default) renders attribute lookups against the
+    engine's ``attrs`` map column; "column" renders them as quoted plain
+    column references (``coalesce("name", '')``) — portable to engines
+    whose map subscript is not scalar-valued (DuckDB), used by the
+    contract oracle so BOTH engines evaluate the same translated
+    predicate shape.
     """
     toks = _cond_tokens(cond)
     pos = 0
@@ -220,6 +228,8 @@ def translate_condition(cond: str, op_col: str = "op",
             take()
             if v == "op":
                 return f"substr({op_col}, 1, 1)"
+            if attrs_style == "column":
+                return 'coalesce("' + v.replace('"', '""') + "\", '')"
             return f"coalesce({attrs_col}[{_sq(v)}], '')"
         if k == "str":
             take()
@@ -651,6 +661,25 @@ def run_from_config(
         # continuous tail must not race its own maintenance.
         if plan.keep_checkpoints and continuous is None:
             target.vacuum(retain_last=int(plan.keep_checkpoints))
+        if plan.writer_type == "network" and protobuf_spool_dir is not None:
+            # the reference's network writer IS a server clients connect
+            # to (WriterStream binds target[].writer.uri); serve the spool
+            # with the INFO/START/CONFIRM protocol.  Attached as
+            # ``.network_server`` (already started; caller stops it) —
+            # ``replicate_from_stream`` on the other end completes the
+            # reference's writer->client pair.
+            from .sources.network import RedoStreamServer
+
+            host, port = "127.0.0.1", 0
+            if plan.writer_uri and ":" in plan.writer_uri:
+                h, p = plan.writer_uri.rsplit(":", 1)
+                host, port = (h or "127.0.0.1"), int(p)
+            srv = RedoStreamServer(protobuf_spool_dir, host=host, port=port)
+            srv.address = srv.start()  # actual (host, port) after bind
+            try:
+                target.network_server = srv
+            except AttributeError:  # slotted/frozen result object
+                srv.stop()
         return target
 
     try:

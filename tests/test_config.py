@@ -265,6 +265,42 @@ def test_debug_stop_bounds(spark, tmpdir_path):
     assert plan.stop_log_switches == 1 and "source.debug" not in plan.ignored
 
 
+def test_network_writer_serves_the_stream(spark, tmpdir_path):
+    """writer type 'network': the config job spools protobuf RedoResponses
+    AND binds the WriterStream server on writer.uri (the reference's
+    network writer IS a server, WriterStream.cpp); a replicate_from_stream
+    client drains it into a replica whose state matches the source."""
+    from openlogreplicator_spark.sources.network import replicate_from_stream
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb, feed_dir = _feed(spark, tmpdir_path)
+    cfg = _base_cfg(
+        feed_dir, os.path.join(tmpdir_path, "state"),
+        writer={"type": "network", "uri": "127.0.0.1:0"},
+        # without the condition the feed's deletes empty the table; keep
+        # USER1's row so the replica has non-trivial state to match
+        tables=[{"owner": "O1", "table": "transcripts",
+                 "condition": "!([op] == 'd' && [login username] == 'USER1')"}],
+    )
+    cfg["source"][0]["format"] = {"type": "protobuf"}
+    table = run_from_config(spark, cfg)
+    srv = getattr(table, "network_server", None)
+    assert srv is not None, "network writer did not bind a server"
+    try:
+        host, port = srv.address
+        replica_path = os.path.join(tmpdir_path, "replica")
+        create_target(spark, replica_path, n_buckets=4)
+        replicate_from_stream(spark, host, port, srv.db_name, replica_path)
+        from openlogreplicator_spark.lake.table import LakeTable
+
+        src = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        got = {(r.conv_id, r.turn_idx): r.text
+               for r in LakeTable(spark, replica_path).read().collect()}
+        assert got == src and src  # non-trivial state replicated
+    finally:
+        srv.stop()
+
+
 def test_keep_checkpoints_applies_retention(spark, tmpdir_path, monkeypatch):
     """state.keep-checkpoints -> vacuum(retain_last=N) after a bounded
     drain (vacuum semantics themselves are covered in
