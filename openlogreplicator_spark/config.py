@@ -640,6 +640,28 @@ def run_from_config(
     json_mirror_dir, protobuf_spool_dir = _writer_dirs(plan, lake_root)
     pre = _with_debug_bounds(spark, plan, plan.pre_filter())
 
+    # Reference state-dir RESUME: when the config names no explicit start
+    # position, adopt the newest reference-format checkpoint file for this
+    # database from state.path (Metadata::readCheckpoints semantics,
+    # state_compat.resume_position) — a deployment migrating off the
+    # reference continues where it left off instead of replaying history.
+    # Data at or below the checkpoint scn was already delivered, so the
+    # gate is strict (scn > chkpt scn); it composes with the rest of the
+    # config predicate and pushes down to the scan like any other filter.
+    if (plan.start_scn is None and plan.start_seq is None
+            and plan.state_path and plan.source_name):
+        from .state_compat import resume_position
+
+        _resume = resume_position(plan.state_path, plan.source_name)
+        if _resume is not None:
+            from pyspark.sql import functions as F
+
+            _gate = F.col("scn") > int(_resume["scn"])
+            _base_pre = pre
+
+            def pre(df, _b=_base_pre, _g=_gate):  # noqa: F811
+                return (_b(df) if _b is not None else df).filter(_g)
+
     recorder = None
     if plan.metrics:
         from .streaming.metrics import attach_metrics
@@ -661,6 +683,8 @@ def run_from_config(
         # continuous tail must not race its own maintenance.
         if plan.keep_checkpoints and continuous is None:
             target.vacuum(retain_last=int(plan.keep_checkpoints))
+        if plan.state_path and plan.source_name and continuous is None:
+            _export_reference_checkpoint(spark, plan, target)
         if plan.writer_type == "network" and protobuf_spool_dir is not None:
             # the reference's network writer IS a server clients connect
             # to (WriterStream binds target[].writer.uri); serve the spool
@@ -725,6 +749,89 @@ def run_from_config(
             from .streaming.metrics import detach_metrics
 
             detach_metrics(spark, recorder)
+
+
+def _max_feed_seq(paths: list[str]) -> int:
+    """Highest redo sequence visible in the feed directories, from the
+    ``seq-N`` / ``seq=N`` file-naming contract (S4 archived-log
+    discovery) — free, no Spark job."""
+    mx = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for n in os.listdir(p):
+                m = re.search(r"seq[-=](\d+)", n)
+                if m:
+                    mx = max(mx, int(m.group(1)))
+    return mx
+
+
+def _export_reference_checkpoint(spark, plan: JobPlan, target) -> str | None:
+    """After a bounded drain, write the applied frontier back to
+    state.path as a reference-format ``<db>-chkpt-<scn>.json`` — the
+    return leg of the migration path: a state dir this engine maintained
+    can be handed BACK to the reference (Metadata::writeCheckpoint
+    lifecycle, incl. keep-checkpoints pruning).  Driver-side metadata
+    only; the one lineage fallback collect is O(epochs), not O(rows)."""
+    from .state_compat import (
+        checkpoint_doc,
+        delete_old_checkpoints,
+        list_checkpoints,
+        write_reference_checkpoint,
+    )
+
+    if plan.stop_transactions is not None or plan.stop_log_switches is not None:
+        return None  # a debug-truncated run does not advance migration state
+
+    frontier = target.manifest.get("shard_frontier") or {}
+    threads = None
+    if frontier:
+        # watermark mode tracks the exact per-shard scn frontier; the
+        # checkpoint scn is the safe LWM across shards (the reference's
+        # checkpointScn is likewise the multi-thread minimum)
+        scn = min(int(v) for v in frontier.values())
+        threads = [{"thread": int(k), "seq": 0, "lwn-scn": int(v)}
+                   for k, v in sorted(frontier.items(), key=lambda kv: int(kv[0]))]
+    else:
+        # a completed bounded drain processed the whole feed (applied or
+        # filtered — both advance the confirmed position, like the
+        # reference confirming past skipped transactions), so the
+        # frontier is the feed's max scn; parquet column stats make this
+        # single-column agg a metadata-cheap job
+        from pyspark.sql import functions as F
+
+        row = _read_paths(spark, plan.feed_paths).agg(
+            F.max("scn").alias("m")).collect()
+        scn = int(row[0]["m"]) if row and row[0]["m"] is not None else 0
+    if scn <= 0:
+        return None
+    if scn in list_checkpoints(plan.state_path, plan.source_name):
+        return None  # already checkpointed at this frontier (idempotent rerun)
+
+    owners = {r.table: r.owner for r in plan.rules if r.table and r.owner}
+    default_owner = next(iter(owners.values()), "USR1")
+
+    def _cols(tbl) -> list[tuple[str, str]]:
+        return [(c["name"], c["type"])
+                for c in tbl.manifest["key_cols"] + tbl.manifest["value_cols"]]
+
+    if hasattr(target, "table_names"):   # Catalog
+        tables = [(owners.get(n, default_owner), n, _cols(target.table(n)))
+                  for n in target.table_names()]
+    else:
+        name = plan.multi_tables[0] if plan.multi_tables else (
+            plan.rules[0].table if plan.rules and plan.rules[0].table
+            and plan.rules[0].is_literal else "transcripts")
+        tables = [(owners.get(name, default_owner), name, _cols(target))]
+
+    doc = checkpoint_doc(
+        plan.source_name, scn, _max_feed_seq(plan.feed_paths),
+        threads=threads, tables=tables,
+    )
+    path = write_reference_checkpoint(plan.state_path, doc)
+    if plan.keep_checkpoints:
+        delete_old_checkpoints(plan.state_path, plan.source_name,
+                               keep=int(plan.keep_checkpoints))
+    return path
 
 
 def _with_debug_bounds(spark, plan: JobPlan, base_pre):
