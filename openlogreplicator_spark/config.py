@@ -648,12 +648,16 @@ def run_from_config(
     # Data at or below the checkpoint scn was already delivered, so the
     # gate is strict (scn > chkpt scn); it composes with the rest of the
     # config predicate and pushes down to the scan like any other filter.
+    fresh_create = True
+    resume_scn = None
+    feed_schema = None
     if (plan.start_scn is None and plan.start_seq is None
             and plan.state_path and plan.source_name):
         from .state_compat import resume_position
 
         _resume = resume_position(plan.state_path, plan.source_name)
         if _resume is not None:
+            resume_scn = int(_resume["scn"])
             from pyspark.sql import functions as F
 
             _gate = F.col("scn") > int(_resume["scn"])
@@ -661,6 +665,42 @@ def run_from_config(
 
             def pre(df, _b=_base_pre, _g=_gate):  # noqa: F811
                 return (_b(df) if _b is not None else df).filter(_g)
+
+            # Schema IMPORT: the checkpoint's SYS dictionary defines the
+            # destination table the way the reference rebuilds its table
+            # map from the file (readCheckpoint -> buildMaps).  Single-
+            # table jobs only (multi-table registries evolve via DDL);
+            # the tracked-pattern match picks the table, our feed's key
+            # pair stays the key, remaining dictionary columns become
+            # value columns.  replay_batch's create=True is a rebuilding
+            # overwrite, so a pre-created import flows with create=False.
+            if _resume.get("tables") and not plan.multi_tables:
+                match = [t for t in _resume["tables"]
+                         if re.match(plan.tracked_pattern, t[1])]
+                if match:
+                    _, _tname, _cols = match[0]
+                    from .lake.table import LakeTable
+                    from .streaming.job import DEFAULT_VALUE_COLS, KEY_COLS
+
+                    key_names = [k for k, _ in KEY_COLS]
+                    imported = dict(_cols)
+                    if all(k in imported for k in key_names):
+                        keys = [(k, imported[k]) for k in key_names]
+                        vals = [(n, t) for n, t in _cols
+                                if n not in key_names]
+                        if vals != DEFAULT_VALUE_COLS:
+                            # the dictionary widens/narrows the image
+                            # struct: read the feed with the matching
+                            # wide-schema variant, not the static default
+                            from .schema import change_event_schema_for
+
+                            feed_schema = change_event_schema_for(
+                                [n for n, _ in vals])
+                        if not os.path.exists(
+                                os.path.join(lake_root, "VERSION")):
+                            LakeTable.create(spark, lake_root, keys, vals,
+                                             n_buckets=n_buckets)
+                            fresh_create = False
 
     recorder = None
     if plan.metrics:
@@ -723,9 +763,19 @@ def run_from_config(
                 protobuf_spool_dir=protobuf_spool_dir,
                 json_format=plan.wire))
         if plan.mode == "batch":
-            feed = _read_paths(spark, plan.feed_paths)
+            feed = _read_paths(spark, plan.feed_paths, schema=feed_schema)
+            # Resuming INTO an existing lake continues it: no rebuilding
+            # overwrite (create=False), and the epoch id is the resume
+            # frontier scn so the new slice commits under a fresh ledger
+            # key (replaying the same slice stays a no-op) — the same
+            # scn-keyed-epoch idempotency the TCP replica uses.
+            batch_create, batch_epoch = fresh_create, 0
+            if (resume_scn is not None
+                    and os.path.exists(os.path.join(lake_root, "VERSION"))):
+                batch_create, batch_epoch = False, resume_scn
             return _retention(replay_batch(
                 spark, feed, lake_root, tracked_pattern=plan.tracked_pattern,
+                create=batch_create, epoch_id=batch_epoch,
                 n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
                 pre_filter=pre, dump_xids=plan.dump_xids or None,
                 dump_dir=(os.path.join(lake_root, "_dump")
@@ -881,10 +931,13 @@ def _single_dir(plan: JobPlan) -> str:
     return plan.feed_paths[0]
 
 
-def _read_paths(spark, paths: list[str]):
+def _read_paths(spark, paths: list[str], schema=None):
     from .sources.feed import read_feed_batch
 
-    dfs = [read_feed_batch(spark, p) for p in paths]
+    if schema is not None:
+        dfs = [spark.read.schema(schema).parquet(p) for p in paths]
+    else:
+        dfs = [read_feed_batch(spark, p) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

@@ -40,19 +40,44 @@ _ROWID_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz012345678
 
 # SysCol::COLTYPE codes (reference src/system/SysCol.h): VARCHAR2=1,
 # NUMBER=2, DATE=12, RAW=23, CHAR=96, CLOB=112, BLOB=113, TIMESTAMP=180.
+# (type, length, precision, scale); integer widths ride NUMBER
+# precision/scale the way Oracle DDL does (NUMBER(10)=int, NUMBER(19)=
+# long), so an export→import round trip preserves the Spark type.
+# boolean exports as NUMBER(1) and imports as int — the one documented
+# lossy pair (Oracle pre-23c has no boolean column type).
 _ORACLE_TYPE = {
-    "string": (1, 4000),
-    "int": (2, 22),
-    "long": (2, 22),
-    "bigint": (2, 22),
-    "double": (2, 22),
-    "float": (2, 22),
-    "boolean": (2, 22),
-    "decimal": (2, 22),
-    "date": (12, 7),
-    "timestamp": (180, 11),
-    "binary": (23, 2000),
+    "string": (1, 4000, -1, -1),
+    "int": (2, 22, 10, 0),
+    "long": (2, 22, 19, 0),
+    "bigint": (2, 22, 19, 0),
+    "double": (2, 22, -1, -1),
+    "float": (2, 22, -1, -1),
+    "boolean": (2, 22, 1, 0),
+    "decimal": (2, 22, 38, 10),
+    "date": (12, 7, -1, -1),
+    "timestamp": (180, 11, -1, -1),
+    "binary": (23, 2000, -1, -1),
 }
+
+
+def _spark_type(otype: int, precision: int, scale: int) -> str:
+    """SysCol (type, precision, scale) -> Spark type string; the reverse
+    of ``_ORACLE_TYPE`` for files WE wrote, and the natural projection
+    for files the reference wrote from a real database (value-decode
+    twin: functions/decode.py P4/P6 map the same classes)."""
+    if otype in (1, 96, 112):          # VARCHAR2 / CHAR / CLOB
+        return "string"
+    if otype == 12:                    # DATE
+        return "date"
+    if otype in (180, 181, 231):       # TIMESTAMP [WITH [LOCAL] TZ]
+        return "timestamp"
+    if otype in (23, 24, 113):         # RAW / LONG RAW / BLOB
+        return "binary"
+    if otype == 2:                     # NUMBER(p,s)
+        if scale == 0:
+            return "int" if 0 <= precision <= 10 else "long"
+        return "double"
+    return "string"                    # unknown classes decode as text
 
 _CHKPT_RE = re.compile(r"^(?P<db>.+)-chkpt-(?P<scn>\d+)\.json$")
 
@@ -102,13 +127,13 @@ def synthesize_dictionary(
             "clu-cols": 0, "flags": [0, 0], "property": [536870912, 0],
         })
         for c, (name, coltype) in enumerate(columns, start=1):
-            otype, length = _ORACLE_TYPE.get(
-                coltype.split("(")[0].lower(), (1, 4000))
+            otype, length, precision, scale = _ORACLE_TYPE.get(
+                coltype.split("(")[0].lower(), (1, 4000, -1, -1))
             charform = 1 if otype in (1, 96, 112) else 0
             sys_col.append({
                 "row-id": _rowid(obj, 2 + c), "obj": obj, "col": c,
                 "seg-col": c, "int-col": c, "name": name, "type": otype,
-                "length": length, "precision": -1, "scale": -1,
+                "length": length, "precision": precision, "scale": scale,
                 "charset-form": charform,
                 "charset-id": 873 if charform else 0,
                 "null": 1, "property": [0, 0],
@@ -218,6 +243,38 @@ def read_reference_checkpoint(state_dir: str, database: str, scn: int) -> dict:
         return json.load(f)
 
 
+def tables_from_checkpoint(doc: dict) -> list[tuple[str, str, list[tuple[str, str]]]]:
+    """Table definitions from a checkpoint's SYS dictionary:
+    ``[(owner, table, [(column, spark_type)])]``.
+
+    The inverse of ``synthesize_dictionary``, and the migration entry
+    point for checkpoints the REFERENCE wrote: sys-obj rows of type 2
+    (TABLE) joined to their owner's sys-user name, columns ordered by
+    ``seg-col`` exactly as ``Schema::buildMaps`` orders them; hidden /
+    virtual columns (seg-col 0 in real dictionaries) are skipped the way
+    the reference skips them for column counting."""
+    users = {u["user"]: u["name"] for u in doc.get("sys-user", [])}
+    cols: dict[int, list] = {}
+    for c in doc.get("sys-col", []):
+        if int(c.get("seg-col", 0)) <= 0:
+            continue
+        cols.setdefault(int(c["obj"]), []).append(c)
+    out = []
+    for o in doc.get("sys-obj", []):
+        if int(o.get("type", 0)) != 2:
+            continue
+        obj = int(o["obj"])
+        ordered = sorted(cols.get(obj, []), key=lambda c: int(c["seg-col"]))
+        out.append((
+            users.get(int(o["owner"]), "UNKNOWN"),
+            o["name"],
+            [(c["name"], _spark_type(int(c["type"]), int(c.get("precision", -1)),
+                                     int(c.get("scale", -1))))
+             for c in ordered],
+        ))
+    return out
+
+
 def resume_position(
     state_dir: str, database: str, start_scn: int | None = None,
 ) -> dict | None:
@@ -232,7 +289,12 @@ def resume_position(
     below the checkpoint scn has already been delivered downstream, so
     the DATA gate is ``scn > checkpoint scn``.
 
-    Returns ``{"scn", "seq", "offset", "min_xid", "threads"}``.
+    Returns ``{"scn", "seq", "offset", "min_xid", "threads", "tables"}``;
+    ``tables`` is the imported schema (``tables_from_checkpoint``) — when
+    the selected file carries ``schema-ref-scn`` instead of an inline
+    schema, the referenced checkpoint is chased for it, exactly the
+    two-file read of ``Metadata::readCheckpoint`` (Metadata.cpp:586-613);
+    None when neither file yields one.
     """
     scns = list_checkpoints(state_dir, database)
     if start_scn is not None:
@@ -240,6 +302,16 @@ def resume_position(
     if not scns:
         return None
     doc = read_reference_checkpoint(state_dir, database, scns[-1])
+    tables = None
+    if "schema-scn" in doc:
+        tables = tables_from_checkpoint(doc) or None
+    elif "schema-ref-scn" in doc:
+        try:
+            ref = read_reference_checkpoint(state_dir, database,
+                                            int(doc["schema-ref-scn"]))
+            tables = tables_from_checkpoint(ref) or None
+        except (OSError, ValueError, KeyError):
+            tables = None
     mt = doc.get("min-tran")
     return {
         "scn": int(doc["scn"]),
@@ -247,6 +319,7 @@ def resume_position(
         "offset": int(mt["offset"] if mt else doc.get("offset", 0)),
         "min_xid": (mt or {}).get("xid"),
         "threads": doc.get("threads", []),
+        "tables": tables,
     }
 
 

@@ -111,8 +111,32 @@ def test_resume_prefers_min_tran_position(tmpdir_path):
     pos = resume_position(tmpdir_path, "DB2")
     # redo reading restarts at the oldest in-flight txn's seq/offset
     # (SerializerJson.cpp:624-632) while the data gate stays at scn
-    assert pos == {"scn": 800, "seq": 4, "offset": 1024,
-                   "min_xid": "0x0001.002.00000003", "threads": []}
+    assert {k: pos[k] for k in ("scn", "seq", "offset", "min_xid",
+                                "threads")} == {
+        "scn": 800, "seq": 4, "offset": 1024,
+        "min_xid": "0x0001.002.00000003", "threads": []}
+    assert pos["tables"] == _TABLES  # inline schema imported
+
+
+def test_schema_round_trip_and_ref_chase(tmpdir_path):
+    from openlogreplicator_spark.state_compat import tables_from_checkpoint
+
+    tables = [("USR1", "wide",
+               [("conv_id", "string"), ("turn_idx", "int"),
+                ("n_long", "long"), ("x_double", "double"),
+                ("d", "date"), ("ts", "timestamp"), ("raw", "binary")])]
+    # export -> import preserves every Spark type (int/long ride
+    # NUMBER(10)/NUMBER(19) precision like Oracle DDL would)
+    doc = checkpoint_doc("DB4", 100, 1, tables=tables)
+    assert tables_from_checkpoint(doc) == tables
+
+    # a later checkpoint referencing the schema-storing one is chased
+    # for the dictionary (Metadata::readCheckpoint two-file read)
+    write_reference_checkpoint(tmpdir_path, doc)
+    write_reference_checkpoint(
+        tmpdir_path, checkpoint_doc("DB4", 200, 2, schema_ref_scn=100))
+    pos = resume_position(tmpdir_path, "DB4")
+    assert pos["scn"] == 200 and pos["tables"] == tables
 
 
 def test_delete_old_checkpoints_keeps_schema_anchor(tmpdir_path):
@@ -209,6 +233,64 @@ def test_config_exports_then_resumes_from_checkpoint(spark, tmpdir_path):
                          table_path=os.path.join(tmpdir_path, "lake3"))
     assert t3.read().count() == 0
     assert list_checkpoints(state, "TESTDB") == scns2
+
+
+def test_resume_continues_existing_lake_without_loss(spark, tmpdir_path):
+    """Re-running the config against the SAME lake resumes it: the new
+    slice merges as a fresh scn-keyed epoch instead of the batch mode's
+    rebuilding overwrite, so pre-checkpoint rows survive."""
+    from openlogreplicator_spark.config import run_from_config
+    from openlogreplicator_spark.feedgen import FeedBuilder
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    state = os.path.join(tmpdir_path, "state")
+
+    fb = FeedBuilder()
+    t = fb.begin(); t.ins("c1", 0, role="user", text="old"); fb.commit(t)
+    fb.write_parquet(spark, feed_dir)
+    run_from_config(spark, _cfg(feed_dir, state))
+
+    fb.new_seq()
+    t = fb.begin(); t.ins("c2", 0, role="user", text="new"); fb.commit(t)
+    fb.write_parquet(spark, feed_dir)
+
+    t2 = run_from_config(spark, _cfg(feed_dir, state))  # same default lake
+    assert {(r.conv_id, r.text) for r in t2.read().collect()} == {
+        ("c1", "old"), ("c2", "new")}
+
+    # and draining again with nothing new changes nothing
+    t3 = run_from_config(spark, _cfg(feed_dir, state))
+    assert t3.read().count() == 2
+
+
+def test_schema_import_precreates_table(spark, tmpdir_path):
+    """A reference-written checkpoint whose SYS dictionary carries an
+    extra column shapes the created lake table — the migration brings
+    the schema along, not just the position."""
+    from openlogreplicator_spark.config import run_from_config
+    from openlogreplicator_spark.feedgen import FeedBuilder
+    from openlogreplicator_spark.state_compat import (
+        checkpoint_doc as _doc, write_reference_checkpoint as _write)
+
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    state = os.path.join(tmpdir_path, "state")
+    os.makedirs(state)
+    cols = [("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("extra", "string")]
+    _write(state, _doc("TESTDB", 1, 0,
+                       tables=[("USR1", "transcripts", cols)]))
+
+    fb = FeedBuilder(image_columns=["role", "text", "extra"],
+                     columns=["role", "text", "extra"])
+    t = fb.begin()
+    t.ins("c9", 0, role="user", text="hi", extra="payload")
+    fb.commit(t)
+    fb.write_parquet(spark, feed_dir)
+
+    tbl = run_from_config(spark, _cfg(feed_dir, state))
+    assert "extra" in tbl.value_names  # imported schema defined it
+    rows = tbl.read().collect()
+    assert len(rows) == 1 and rows[0].extra == "payload"
 
 
 def test_explicit_start_scn_overrides_checkpoint(spark, tmpdir_path):
