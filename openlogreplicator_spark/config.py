@@ -34,9 +34,12 @@ runs here with ``job.py config --file OpenLogReplicator.json``:
                           zeromq           -> unsupported here (no libzmq)
 
 Fields that configure the reference's manual memory management (``memory``,
-buffer sizes, sleeps, ``flags``) have no analog — Spark manages memory and
+buffer sizes, sleeps) have no analog — Spark manages memory and
 scheduling — and are accepted but recorded in ``JobPlan.ignored`` instead
-of silently dropped.  Unknown fields are an error, exactly like the
+of silently dropped.  ``source.flags`` (Ctx.h:86-105 REDO_FLAGS) is
+decoded bit-by-bit: SCHEMALESS, ADAPTIVE_SCHEMA, and CHECKPOINT_KEEP are
+honored (untracked DML on the wire / multi-table self-registration /
+no checkpoint pruning); other set bits are reported by name.  Unknown fields are an error, exactly like the
 reference's ``Ctx::checkJsonFields`` (unless ``strict=False``).
 
 The row-condition mini-language (``!([op] == 'd' && [login username] ==
@@ -114,9 +117,31 @@ _WRITER_FIELDS = {"append", "max-file-size", "max-message-mb", "new-line",
                   "write-buffer-flush-size", "brokers"}
 
 # Reference knobs with no Spark analog: accepted, reported, not applied.
-_IGNORED_SOURCE = {"arch-read-sleep-us", "arch-read-tries", "flags",
+_IGNORED_SOURCE = {"arch-read-sleep-us", "arch-read-tries",
                    "memory", "redo-read-sleep-us", "redo-verify-delay-us",
                    "refresh-interval-us"}
+
+# source.flags bit names (Ctx.h:86-105 REDO_FLAGS).  Three bits map onto
+# engine behaviors and are HONORED: SCHEMALESS (untracked DML rides the
+# wire untyped), ADAPTIVE_SCHEMA (multi-table: unregistered tables
+# sighted in committed DML register themselves), CHECKPOINT_KEEP (never
+# prune checkpoint history).  The rest describe byte-level decode or
+# display choices the typed feed makes vacuous; set bits among them are
+# reported by NAME in JobPlan.ignored.
+_FLAG_NAMES = [
+    "ARCH_ONLY", "SCHEMALESS", "ADAPTIVE_SCHEMA", "DIRECT_DISABLE",
+    "IGNORE_DATA_ERRORS", "SHOW_DDL", "SHOW_HIDDEN_COLUMNS",
+    "SHOW_GUARD_COLUMNS", "SHOW_NESTED_COLUMNS", "SHOW_UNUSED_COLUMNS",
+    "SHOW_INCOMPLETE_TRANSACTIONS", "SHOW_SYSTEM_TRANSACTIONS",
+    "SHOW_CHECKPOINT", "CHECKPOINT_KEEP", "VERIFY_SCHEMA",
+    "RAW_COLUMN_DATA", "EXPERIMENTAL_XMLTYPE", "EXPERIMENTAL_JSON",
+    "EXPERIMENTAL_NOT_NULL_MISSING",
+]
+_FLAG_SCHEMALESS = 1 << 1
+_FLAG_ADAPTIVE_SCHEMA = 1 << 2
+_FLAG_CHECKPOINT_KEEP = 1 << 13
+_HONORED_FLAGS = (_FLAG_SCHEMALESS | _FLAG_ADAPTIVE_SCHEMA
+                  | _FLAG_CHECKPOINT_KEEP)
 _IGNORED_READER = {"db-timezone", "disable-checks", "host-timezone",
                    "log-archive-format", "log-timezone", "password",
                    "path-mapping", "redo-copy-path", "user",
@@ -324,6 +349,9 @@ class JobPlan:
     max_txn_ops: int | None = None
     state_path: str | None = None
     keep_checkpoints: int | None = None
+    schemaless: bool = False         # flags bit 1, REDO_FLAGS::SCHEMALESS
+    adaptive_schema: bool = False    # flags bit 2, REDO_FLAGS::ADAPTIVE_SCHEMA
+    checkpoint_keep_all: bool = False  # flags bit 13, REDO_FLAGS::CHECKPOINT_KEEP
     metrics: bool = False
     writer_type: str = "discard"
     writer_output: str | None = None        # file: output path
@@ -450,6 +478,10 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         ignored.append(f"reader.{k}")
     for k in sorted(set(src) & _IGNORED_SOURCE):
         ignored.append(f"source.{k}")
+    flags = int(src.get("flags", 0) or 0)
+    for bit, name in enumerate(_FLAG_NAMES):
+        if flags & (1 << bit) and not ((1 << bit) & _HONORED_FLAGS):
+            ignored.append(f"flags.{name}")
     for k in ("memory", "dump-path", "dump-raw-data", "dump-redo-log",
               "log-level", "trace"):
         if k in cfg:
@@ -574,6 +606,9 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         max_txn_ops=(int(max_txn_mb) * OPS_PER_MB) if max_txn_mb else None,
         state_path=state.get("path"),
         keep_checkpoints=state.get("keep-checkpoints"),
+        schemaless=bool(flags & _FLAG_SCHEMALESS),
+        adaptive_schema=bool(flags & _FLAG_ADAPTIVE_SCHEMA),
+        checkpoint_keep_all=bool(flags & _FLAG_CHECKPOINT_KEEP),
         metrics=bool(metrics_cfg),
         writer_type=wtype,
         writer_output=writer.get("output"),
@@ -721,7 +756,10 @@ def run_from_config(
         # the manifest snapshots ARE the checkpoints — vacuum keeps the
         # same-depth time-travel window).  Bounded drains only: a
         # continuous tail must not race its own maintenance.
-        if plan.keep_checkpoints and continuous is None:
+        if (plan.keep_checkpoints and continuous is None
+                and not plan.checkpoint_keep_all):
+            # REDO_FLAGS::CHECKPOINT_KEEP: never prune history
+            # (Metadata::deleteOldCheckpoints early-returns on the flag)
             target.vacuum(retain_last=int(plan.keep_checkpoints))
         if plan.state_path and plan.source_name and continuous is None:
             _export_reference_checkpoint(spark, plan, target)
@@ -753,12 +791,19 @@ def run_from_config(
                 return _retention(replay_batch_multi(
                     spark, feed, lake_root, tables=plan.multi_tables,
                     n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
+                    auto_register=plan.adaptive_schema,
+                    schemaless=plan.schemaless,
+                    json_mirror_dir=json_mirror_dir,
+                    protobuf_spool_dir=protobuf_spool_dir,
+                    json_format=plan.wire,
                     pre_filter=pre))
             return _retention(run_stream_multi(
                 spark, _single_dir(plan), lake_root, ckpt,
                 tables=plan.multi_tables, n_buckets=n_buckets,
                 max_txn_ops=plan.max_txn_ops, pre_filter=pre,
                 processing_time=continuous,
+                auto_register=plan.adaptive_schema,
+                schemaless=plan.schemaless,
                 json_mirror_dir=json_mirror_dir,
                 protobuf_spool_dir=protobuf_spool_dir,
                 json_format=plan.wire))
@@ -776,6 +821,7 @@ def run_from_config(
             return _retention(replay_batch(
                 spark, feed, lake_root, tracked_pattern=plan.tracked_pattern,
                 create=batch_create, epoch_id=batch_epoch,
+                schemaless=plan.schemaless,
                 n_buckets=n_buckets, max_txn_ops=plan.max_txn_ops,
                 pre_filter=pre, dump_xids=plan.dump_xids or None,
                 dump_dir=(os.path.join(lake_root, "_dump")
@@ -786,6 +832,7 @@ def run_from_config(
         return _retention(run_stream(
             spark, _single_dir(plan), lake_root, ckpt,
             tracked_pattern=plan.tracked_pattern, n_buckets=n_buckets,
+            schemaless=plan.schemaless,
             max_txn_ops=plan.max_txn_ops, pre_filter=pre,
             json_mirror_dir=json_mirror_dir,
             protobuf_spool_dir=protobuf_spool_dir,
@@ -866,7 +913,7 @@ def _export_reference_checkpoint(spark, plan: JobPlan, target) -> str | None:
 
     if hasattr(target, "table_names"):   # Catalog
         tables = [(owners.get(n, default_owner), n, _cols(target.table(n)))
-                  for n in target.table_names()]
+                  for n in target.table_names]
     else:
         name = plan.multi_tables[0] if plan.multi_tables else (
             plan.rules[0].table if plan.rules and plan.rules[0].table
@@ -878,7 +925,7 @@ def _export_reference_checkpoint(spark, plan: JobPlan, target) -> str | None:
         threads=threads, tables=tables,
     )
     path = write_reference_checkpoint(plan.state_path, doc)
-    if plan.keep_checkpoints:
+    if plan.keep_checkpoints and not plan.checkpoint_keep_all:
         delete_old_checkpoints(plan.state_path, plan.source_name,
                                keep=int(plan.keep_checkpoints))
     return path

@@ -59,6 +59,7 @@ def replay_batch(
     json_mirror_dir: str | None = None,
     protobuf_spool_dir: str | None = None,
     json_format=None,
+    schemaless: bool = False,
 ) -> LakeTable:
     """Bounded replay: whole feed as one epoch (ReplicatorBatch analog).
 
@@ -77,7 +78,8 @@ def replay_batch(
     apply_epoch(table, feed, epoch_id, job_id=job_id, tracked_pattern=tracked_pattern,
                 max_txn_ops=max_txn_ops, dump_xids=dump_xids, dump_dir=dump_dir,
                 json_mirror_dir=json_mirror_dir,
-                protobuf_spool_dir=protobuf_spool_dir, json_format=json_format)
+                protobuf_spool_dir=protobuf_spool_dir, json_format=json_format,
+                schemaless=schemaless)
     return table.refresh()
 
 
@@ -240,6 +242,7 @@ def replay_batch_multi(
     max_txn_ops: int | None = None,
     auto_register: bool = False,
     pre_filter=None,
+    **apply_kwargs,
 ):
     """Bounded multi-table replay: whole feed as one epoch into a Catalog
     (the reference's multi-table batch mode, fixtures multi-table.sql).
@@ -256,7 +259,8 @@ def replay_batch_multi(
     for name in tables or []:
         catalog.create_table(name, n_buckets=n_buckets, mode=mode)
     apply_epoch_multi(catalog, feed, epoch_id, job_id=job_id,
-                      max_txn_ops=max_txn_ops, auto_register=auto_register)
+                      max_txn_ops=max_txn_ops, auto_register=auto_register,
+                      **apply_kwargs)
     return catalog.refresh()
 
 

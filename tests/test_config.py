@@ -344,3 +344,98 @@ def test_config_plan_cli():
     plan = json.loads(out.stdout)
     assert plan["tracked_pattern"] == "^(transcripts)$"
     os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# source.flags (REDO_FLAGS bitmask, Ctx.h:86-105)
+# ---------------------------------------------------------------------------
+
+def test_flags_bits_parse():
+    cfg = _base_cfg("/tmp/feed", "/tmp/state",
+                    flags=(1 << 1) | (1 << 2) | (1 << 13) | (1 << 0) | (1 << 5))
+    plan = plan_from_config(cfg)
+    assert plan.schemaless and plan.adaptive_schema and plan.checkpoint_keep_all
+    # unhonored set bits reported by NAME; honored ones NOT reported
+    assert "flags.ARCH_ONLY" in plan.ignored
+    assert "flags.SHOW_DDL" in plan.ignored
+    assert not any(i in ("flags.SCHEMALESS", "flags.ADAPTIVE_SCHEMA",
+                         "flags.CHECKPOINT_KEEP") for i in plan.ignored)
+    # no flags field at all -> nothing reported, nothing honored
+    plan0 = plan_from_config(_base_cfg("/tmp/feed", "/tmp/state"))
+    assert not plan0.schemaless and not any(
+        i.startswith("flags.") for i in plan0.ignored)
+
+
+def test_flag_schemaless_rides_the_mirror(spark, tmpdir_path):
+    """REDO_FLAGS::SCHEMALESS (flags bit 1): committed DML of untracked
+    tables rides the JSON wire untyped instead of being dropped."""
+    def run(flags, sub):
+        fb = FeedBuilder()
+        t = fb.begin()
+        t.ins("c1", 0, role="user", text="x")
+        t.dml_other_table("sidecar", "s1", 0, role="bot", text="side")
+        fb.commit(t)
+        feed_dir = os.path.join(tmpdir_path, sub, "feed")
+        fb.write_parquet(spark, feed_dir)
+        mirror = os.path.join(tmpdir_path, sub, "mirror")
+        cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, sub, "state"),
+                        writer={"type": "file",
+                                "output": os.path.join(mirror, "out.json")},
+                        **({"flags": flags} if flags else {}))
+        run_from_config(spark, cfg)
+        text = ""
+        for p in glob.glob(os.path.join(mirror, "**", "*"), recursive=True):
+            if os.path.isfile(p):
+                with open(p) as f:
+                    text += f.read()
+        return text
+
+    assert '"sidecar"' in run(1 << 1, "on")
+    assert '"sidecar"' not in run(0, "off")
+
+
+def test_flag_adaptive_schema_registers_sighted_tables(spark, tmpdir_path):
+    """REDO_FLAGS::ADAPTIVE_SCHEMA (flags bit 2): multi-table jobs
+    register unseen tables sighted in committed DML (no CREATE TABLE
+    needed), the reference's dictionary-less adaptive mode."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x")
+    t.dml_other_table("newtab", "n1", 0, role="bot", text="fresh")
+    fb.commit(t)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cfg = _base_cfg(
+        feed_dir, os.path.join(tmpdir_path, "state"),
+        tables=[{"owner": "O1", "table": "transcripts"},
+                {"owner": "O1", "table": "orders"}],
+        flags=1 << 2)
+    cat = run_from_config(spark, cfg)
+    assert "newtab" in cat.table_names
+    assert [r.conv_id for r in cat.table("newtab").read().collect()] == ["n1"]
+
+
+def test_flag_checkpoint_keep_preserves_history(spark, tmpdir_path):
+    """REDO_FLAGS::CHECKPOINT_KEEP (flags bit 13): checkpoint files are
+    never pruned even under state.keep-checkpoints (the reference's
+    deleteOldCheckpoints early-returns on the flag)."""
+    from openlogreplicator_spark.state_compat import list_checkpoints
+
+    def run_twice(flags, sub):
+        feed_dir = os.path.join(tmpdir_path, sub, "feed")
+        state = os.path.join(tmpdir_path, sub, "state")
+        fb = FeedBuilder()
+        t = fb.begin(); t.ins("c1", 0, role="user", text="a"); fb.commit(t)
+        fb.write_parquet(spark, feed_dir)
+        cfg = _base_cfg(feed_dir, state,
+                        **({"flags": flags} if flags else {}))
+        cfg["state"]["keep-checkpoints"] = 1
+        run_from_config(spark, cfg)
+        fb.new_seq()
+        t = fb.begin(); t.ins("c2", 0, role="user", text="b"); fb.commit(t)
+        fb.write_parquet(spark, feed_dir)
+        run_from_config(spark, cfg)
+        return list_checkpoints(state, "TESTDB")
+
+    assert len(run_twice(1 << 13, "keep")) == 2   # flag: history survives
+    assert len(run_twice(0, "prune")) == 1        # default: pruned to keep=1
