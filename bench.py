@@ -23,6 +23,9 @@ Env:
   BENCH_UPDATE=1       include the update-epoch (CoW vs MoR) measurements
                        even under BENCH_SKIP_SKEW (scaling runs measure the
                        merge-on-read steady-state update path)
+  BENCH_UPDATE_TXNS    size of the update epoch in txns (default N_TXNS/10;
+                       the scaling harness raises it so variable work
+                       dominates the fixed per-epoch cost)
 """
 
 from __future__ import annotations
@@ -209,12 +212,18 @@ def run_cdc_group() -> dict:
     # append) — the write-amplification story that decides 100 TB viability.
     # The update feed reuses a prefix of the main feed's conversation space,
     # so every update hits existing rows across all buckets.
+    # BENCH_UPDATE_TXNS sizes the update epoch (default N/10 — a small
+    # steady-state epoch); the scaling harness raises it so the variable
+    # work dominates the ~5 s fixed per-epoch cost, the same w/c >> f rule
+    # the main feed already follows (tools/bench_scaling.py).
     if not skip_skew or os.environ.get("BENCH_UPDATE") == "1":
         from openlogreplicator_spark.lake import LakeTable
         from openlogreplicator_spark.streaming.apply import apply_epoch
         from openlogreplicator_spark.streaming.job import replay_batch
 
-        upd_dir = feed_cache_dir(max(N_TXNS // 10, 1000), 0.0)
+        upd_txns = int(os.environ.get("BENCH_UPDATE_TXNS", "0")) or max(
+            N_TXNS // 10, 1000)
+        upd_dir = feed_cache_dir(upd_txns, 0.0)
         upd_feed = read_feed_batch(spark, upd_dir)
         n_upd = upd_feed.count()
 

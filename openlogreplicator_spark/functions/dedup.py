@@ -211,20 +211,29 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     each round a node takes the min of (its label, its neighbors' labels,
     its label's label).  The extra label-of-label hop halves path lengths,
     so convergence is O(log diameter) rounds, each round two equi-joins on
-    node id (no all-pairs anywhere).  Plans are truncated per round with
-    localCheckpoint to keep the iterative lineage from exploding — on a
-    cluster use spark.sparkContext.setCheckpointDir + .checkpoint().
+    node id (no all-pairs anywhere).  Plans are truncated per round to keep
+    the iterative lineage from exploding: reliable ``.checkpoint()`` when
+    ``spark.sparkContext.setCheckpointDir`` has been called (survives
+    executor loss — the 1000-executor mode), else ``localCheckpoint()``
+    (executor-local blocks; fine on local[*], lose-an-executor restarts
+    the job).
 
     ``docs``: pass the full corpus to include singleton documents
     (keep=true, rep=self); otherwise only paired docs are returned.
     """
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     edges = pairs.select(F.col("id_a").alias("n"), F.col("id_b").alias("m"))
     edges = edges.unionByName(
         edges.select(F.col("m").alias("n"), F.col("n").alias("m"))
     ).distinct().persist()
 
     labels = edges.select("n").distinct().withColumn("lbl", F.col("n"))
-    labels = labels.localCheckpoint()
+    labels = _truncate(labels)
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("n", "m"), "m")
@@ -248,7 +257,8 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame | None = None,
                     F.coalesce(F.col("_jump"), F.col("lbl")),
                 ).alias("lbl"),
             )
-        ).localCheckpoint()
+        )
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "n")

@@ -1,5 +1,7 @@
 """Unit tests for the training-data-pipeline operators and decode helpers."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from openlogreplicator_spark.functions.dedup import (
@@ -199,6 +201,36 @@ def test_resolve_clusters_long_chain(spark):
     assert len(rows) == 20
     assert {r["rep_id"] for r in rows} == {"n00"}
     assert sum(r["keep"] for r in rows) == 1
+
+
+def test_resolve_clusters_reliable_checkpoint(spark, tmpdir_path):
+    """With a context checkpoint dir set, lineage truncation switches to
+    reliable .checkpoint() (survives executor loss on a real cluster) and
+    the result is identical to the localCheckpoint path."""
+    from openlogreplicator_spark.functions.dedup import resolve_clusters
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("d", "e")], ["id_a", "id_b"]
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = os.path.join(tmpdir_path, "rdd-ckpt")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = {
+            r["doc_id"]: (r["rep_id"], r["keep"])
+            for r in resolve_clusters(pairs).collect()
+        }
+        assert got == {
+            "a": ("a", True), "b": ("a", False), "c": ("a", False),
+            "d": ("d", True), "e": ("d", False),
+        }
+        assert os.listdir(ckdir)  # reliable checkpoint files were written
+    finally:
+        # restore: other tests expect no checkpoint dir ($-named scala
+        # setter is not reachable by attribute syntax, hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
 
 
 def test_embedding_near_dups_requires_bucket(spark):
