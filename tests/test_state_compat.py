@@ -56,6 +56,46 @@ _TABLES = [("USR1", "transcripts",
              ("role", "string"), ("ts", "timestamp")])]
 
 
+# A checkpoint file the REFERENCE ITSELF wrote (its Oracle-Free-23 e2e
+# fixture) — the strongest import-parity evidence: not our synthesis, the
+# real artifact with the full SYS dictionary (411 sys-col rows), xdb-*
+# packs, and an untracked-by-us NUMBER column (ID, no precision).
+_REAL_CHKPT = ("/root/reference/tests/fixtures/schema/example-free-23/"
+               "TEST-chkpt-2266634.json")
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_CHKPT),
+                    reason="reference fixture not present")
+def test_import_genuine_reference_checkpoint(tmpdir_path):
+    """resume_position + tables_from_checkpoint over the reference's own
+    TEST-chkpt-2266634.json (written by SerializerJson::serialize against
+    a real Oracle Free 23 database, not by us)."""
+    import shutil
+
+    from openlogreplicator_spark.state_compat import tables_from_checkpoint
+
+    state = os.path.join(tmpdir_path, "state")
+    os.makedirs(state)
+    shutil.copy(_REAL_CHKPT, os.path.join(state, "TEST-chkpt-2266634.json"))
+
+    assert list_checkpoints(state, "TEST") == [2266634]
+    pos = resume_position(state, "TEST")
+    assert pos["scn"] == 2266634 and pos["seq"] == 0
+    assert pos["min_xid"] is None          # fixture has no min-tran section
+
+    tabs = {t: (o, cols) for o, t, cols in pos["tables"]}
+    # the user table, with Oracle NUMBER (no precision) -> double, and
+    # VARCHAR2 -> string, ordered by seg-col
+    assert tabs["TEST_CDC"] == ("OLR_TEST",
+                                [("ID", "double"), ("NAME", "string")])
+    # the dictionary's own SYS tables ride along (type 2 objects) — the
+    # config layer excludes them via the job's tracked pattern, the same
+    # way the reference routes SYS.% through system-object handling
+    assert "OBJ$" in tabs and "COL$" in tabs
+    import re
+    assert [t for t in tabs if re.match(r"^(TEST_CDC)$", t)] == ["TEST_CDC"]
+
+
 def test_doc_matches_reference_vocabulary():
     doc = checkpoint_doc("DB1", 5000, 7, tables=_TABLES)
     assert set(doc) <= _ALLOWED
