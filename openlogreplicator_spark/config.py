@@ -105,7 +105,10 @@ _FORMAT_FIELDS = {"attributes", "char", "char-set", "column", "db",
                   "rid", "redo-thread", "schema", "scn", "scn-type",
                   "timestamp", "timestamp-metadata", "timestamp-type",
                   "timestamp-tz", "type", "unknown", "unknown-type",
-                  "user-type", "xid"}
+                  "user-type", "xid",
+                  # extension (not in the reference vocabulary): reference-
+                  # native header keys (scns/tms/c_scn/c_idx) on the wire
+                  "native-keys"}
 _FILTER_FIELDS = {"dump-xid", "separator", "skip-xid", "table"}
 _TABLE_FIELDS = {"condition", "key", "owner", "table", "tag"}
 _DEBUG_FIELDS = {"owner", "stop-checkpoints", "stop-log-switches",
@@ -503,10 +506,11 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
             f'bad JSON, invalid format "type" value: {ftype}, expected: one '
             'of {"json", "protobuf"}')
     _HONORED_FMT = {"message", "scn", "rid", "timestamp", "attributes",
-                    "column", "schema"}
+                    "column", "schema", "xid", "db", "native-keys"}
     for name, hi in (("message", 31), ("scn", 1), ("rid", 1),
                      ("timestamp", 15), ("attributes", 7), ("column", 2),
-                     ("schema", 7)):
+                     ("schema", 7), ("xid", 3), ("db", 3),
+                     ("native-keys", 1)):
         if name in fmt and not (isinstance(fmt[name], int)
                                 and 0 <= fmt[name] <= hi):
             raise ConfigError(

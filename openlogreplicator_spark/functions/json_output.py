@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .decode import encode_rowid
+from .decode import encode_rowid, format_xid, parse_xid
 
 _OP_CODE = {"ins": "c", "upd": "u", "del": "d"}  # reference op letters
 
@@ -55,8 +55,20 @@ class WireFormat:
     rid, unix-nano tm) so a reference config reproduces reference-shaped
     output.
 
-    Not mapped (documented vacuities): ``xid`` renderings — the feed xid
-    is an opaque string, not a packed usn.slt.sqn; ``char``/``char-set``
+    ``native_keys`` switches the HEADER to the reference's exact key
+    naming and identity fields (BuilderJson.h appendHeader:232-327):
+    ``scns``/``tms`` on the transaction's first message when the scn /
+    timestamp dials pick string renderings (else ``scn``/``tm``), the
+    ``c_scn``/``c_idx`` message identity on EVERY message, the ``xid``
+    dial's rendering, and DB_FORMAT-gated ``db`` — byte-compatible with
+    the reference wire (golden test vs its own e2e fixture
+    tests/fixtures/expected/example-free-23/output.json).  The native
+    wire drops this engine's self-containment extensions (``key`` /
+    ``changed`` payload fields), so it is an EGRESS dial for reference
+    consumers; chained replication (sources/json_feed.py ingress) needs
+    the self-contained default shape.
+
+    Not mapped (documented vacuities): ``char``/``char-set``
     — ingress-side (functions/charset.py); ``interval-*``/``unknown*`` —
     no such column types in the typed feed; ADD_OFFSET — no redo-file
     byte offsets exist here (the (scn, idx) identity replaces them).
@@ -69,6 +81,12 @@ class WireFormat:
     attributes: int = ATTR_DML
     column: int = 1       # COLUMN_FORMAT: 0 changed-only, >=1 full nulls
     schema: int = 0       # SCHEMA_FORMAT: bit 1 = embed column name/types
+    xid: int = -1         # XID_FORMAT (Format.h:195-200): -1 = feed xid
+                          # verbatim (historical); 0 hex / 1 dec / 2 packed
+                          # numeric ("xidn") / 3 reversed hex
+    db: int = -1          # DB_FORMAT: -1 = always shown (historical);
+                          # else bit 1 = show on DML messages
+    native_keys: bool = False
 
     def __post_init__(self):
         if self.message & MSG_FULL and self.message & (MSG_SKIP_BEGIN | MSG_SKIP_COMMIT):
@@ -90,6 +108,18 @@ class WireFormat:
             attributes=int(fmt.get("attributes", 0)),
             column=int(fmt.get("column", 0)),
             schema=int(fmt.get("schema", 0)),
+            # only explicit dials re-render: the absent-field reference
+            # defaults (xid TEXT_HEX, db hidden) describe a packed binary
+            # xid and a multi-tenant conName this feed doesn't have, so
+            # the historical behaviors (verbatim xid, db always present)
+            # stay the wire defaults and existing consumers keep their
+            # bytes
+            xid=int(fmt["xid"]) if "xid" in fmt else -1,
+            db=int(fmt["db"]) if "db" in fmt else -1,
+            # extension field (not in the reference vocabulary): opt into
+            # the byte-compatible reference header.  Off by default so
+            # config-driven wires stay self-contained (chained replicas).
+            native_keys=bool(fmt.get("native-keys", 0)),
         )
 
 
@@ -101,6 +131,31 @@ def _scn_expr(scn: Column, fmt: WireFormat) -> Column:
     if fmt.scn == 1:  # SCN_FORMAT::TEXT_HEX — BuilderJson appendHex path
         return F.format_string("0x%016x", scn)
     return scn
+
+
+def _xid_expr(fmt: WireFormat) -> Column:
+    """XID rendering (BuilderJson.h:298-327).  The feed xid is the
+    'usn.slt.sqnhex' string (parse_xid's shape); a non-parseable xid
+    falls back to verbatim so arbitrary upstream ids never render null."""
+    if fmt.xid < 0:
+        return F.col("xid").alias("xid")
+    p = parse_xid(F.col("xid"))
+    usn, slt, sqn = p.getField("usn"), p.getField("slt"), p.getField("sqn")
+    if fmt.xid == 2:  # NUMERIC — packed usn<<48|slt<<32|sqn, key "xidn"
+        packed = (F.shiftleft(usn, 48).bitwiseOR(F.shiftleft(slt, 32))
+                  .bitwiseOR(sqn)).cast("long")
+        return packed.alias("xidn")
+    if fmt.xid == 1:  # TEXT_DEC
+        rendered = F.format_string("%d.%d.%d", usn, slt, sqn)
+    elif fmt.xid == 3:  # TEXT_REVERSED — hex16 of packed, reversed
+        packed = (F.shiftleft(usn, 48).bitwiseOR(F.shiftleft(slt, 32))
+                  .bitwiseOR(sqn)).cast("long")
+        rendered = F.reverse(F.format_string("%016x", packed))
+    else:  # TEXT_HEX
+        rendered = format_xid(usn, slt, sqn)
+    rendered = F.when(usn.isNotNull() & slt.isNotNull() & sqn.isNotNull(),
+                      rendered).otherwise(F.col("xid"))
+    return rendered.alias("xid")
 
 
 _TS_ISO = {
@@ -174,35 +229,69 @@ def build_json_messages(
         payload_fields.append(F.col("seq_in_txn").alias("num"))
     if fmt.rid == 1:  # RID_FORMAT::TEXT
         payload_fields.append(rid.alias("rid"))
+    if not fmt.native_keys:
+        payload_fields += [
+            # key columns + changed-column list make the message
+            # SELF-CONTAINED (the reference emits the key columns inside
+            # the row images — 3.output-format.adoc:69-173; the explicit
+            # `changed` list also disambiguates "set to NULL" from
+            # "unchanged", which the sparse null-means-unchanged after
+            # image alone cannot) — required for the ingress round trip
+            # (sources/json_feed.py).  The native wire drops them — it
+            # matches the reference's bytes, and inherits the reference's
+            # own set-to-NULL ambiguity on compact images.
+            F.struct(
+                F.col("conv_id").alias("conv_id"),
+                F.col("turn_idx").alias("turn_idx"),
+            ).alias("key"),
+            F.col("changed_cols").alias("changed"),
+        ]
     payload_fields += [
-        # key columns + changed-column list make the message SELF-CONTAINED
-        # (the reference emits the key columns inside the row images —
-        # 3.output-format.adoc:69-173; the explicit `changed` list also
-        # disambiguates "set to NULL" from "unchanged", which the sparse
-        # null-means-unchanged after image alone cannot) — required for the
-        # ingress round trip (sources/json_feed.py)
-        F.struct(
-            F.col("conv_id").alias("conv_id"),
-            F.col("turn_idx").alias("turn_idx"),
-        ).alias("key"),
-        F.col("changed_cols").alias("changed"),
         F.col("before").alias("before"),
         F.col("after").alias("after"),
     ]
     payload = F.struct(*payload_fields)
 
-    def header_fields(idx_expr):
+    def header_fields(idx_expr, first: bool = True, attrs_bit: int = ATTR_DML):
+        """``first``: this message opens its transaction on the wire —
+        the reference emits scn/tm only there (appendHeader's ``first``,
+        BuilderJson.h:238-289; true on begin messages and FULL-mode txn
+        messages, false on DML and commit — BuilderJson.cpp:462,491,516).
+        The scn value is commit-anchored (SCN_TYPE::COMMIT_VALUE reading;
+        in the reference's single-LWN transactions beginScn == lwnScn,
+        the golden fixture's shape)."""
+        if fmt.native_keys:
+            out = []
+            if first:
+                out.append(_scn_expr(F.col("txn_commit_scn"), fmt)
+                           .alias("scns" if fmt.scn == 1 else "scn"))
+                out.append(_tm_expr(F.col("ts"), fmt)
+                           .alias("tms" if fmt.timestamp >= 4 else "tm"))
+            out += [
+                # the LWN message identity, on EVERY message
+                # (BuilderJson.h:291-293); our begin/dml/commit idx is
+                # 0-based where lwnIdx counts from 1
+                F.col("txn_commit_scn").alias("c_scn"),
+                (idx_expr + F.lit(1)).cast("long").alias("c_idx"),
+                _xid_expr(fmt),
+            ]
+            if fmt.db == -1 or fmt.db & 1:  # DB_FORMAT::ADD_DML
+                out.append(F.lit(db_name).alias("db"))
+            if fmt.attributes & attrs_bit:
+                out.append(F.col("attrs").alias("attributes"))
+            return out
         out = [
             _scn_expr(F.col("txn_commit_scn"), fmt).alias("scn"),
             idx_expr.alias("idx"),
             _tm_expr(F.col("ts"), fmt).alias("tm"),
-            F.col("xid").alias("xid"),
-            F.lit(db_name).alias("db"),
+            _xid_expr(fmt),
         ]
+        if fmt.db == -1 or fmt.db & 1:  # explicit DB_FORMAT dial honored
+            out.append(F.lit(db_name).alias("db"))
         # session attributes (reference: "attributes" message field fed by
         # opcodes 5.19/5.20 session info, src/parser/OpCode0513.h);
         # ATTRIBUTES_FORMAT bit gates which message kinds carry them
-        if fmt.attributes & ATTR_DML:
+        if fmt.attributes & attrs_bit:
             out.append(F.col("attrs").alias("attributes"))
         return out
 
@@ -233,7 +322,7 @@ def build_json_messages(
             F.to_json(msg, json_opts).alias("message"),
         )
 
-    msg = F.struct(*header_fields(F.col("seq_in_txn")),
+    msg = F.struct(*header_fields(F.col("seq_in_txn"), first=False),
                    F.array(payload).alias("payload"))
     out = d.select(
         F.col("txn_commit_scn").alias("scn"),
@@ -243,10 +332,14 @@ def build_json_messages(
 
     marker_kinds = []
     if not fmt.message & MSG_SKIP_BEGIN:
-        marker_kinds.append(("begin", ATTR_BEGIN, F.lit(-1)))
+        # native c_idx counts from 1 (lwnIdx); the historical stream keeps
+        # the -1 sentinel so existing (scn, idx) consumers see no change
+        marker_kinds.append(
+            ("begin", ATTR_BEGIN, F.lit(0) if fmt.native_keys else F.lit(-1),
+             True))
     if not fmt.message & MSG_SKIP_COMMIT:
         marker_kinds.append(("commit", ATTR_COMMIT,
-                             F.col("_max_seq") + F.lit(1)))
+                             F.col("_max_seq") + F.lit(1), False))
     if marker_kinds:
         # begin/commit marker messages per transaction (processBeginMessage
         # / processCommit): payload [{"op":"begin"|"commit"}]; idx slots
@@ -257,16 +350,9 @@ def build_json_messages(
                  F.first("attrs", ignorenulls=True).alias("attrs"),
                  F.max("seq_in_txn").alias("_max_seq"))
         )
-        for kind, attr_bit, idx_expr in marker_kinds:
-            fields = [
-                _scn_expr(F.col("txn_commit_scn"), fmt).alias("scn"),
-                idx_expr.alias("idx"),
-                _tm_expr(F.col("ts"), fmt).alias("tm"),
-                F.col("xid").alias("xid"),
-                F.lit(db_name).alias("db"),
-            ]
-            if fmt.attributes & attr_bit:
-                fields.append(F.col("attrs").alias("attributes"))
+        for kind, attr_bit, idx_expr, is_first in marker_kinds:
+            fields = header_fields(idx_expr, first=is_first,
+                                   attrs_bit=attr_bit)
             mmsg = F.struct(
                 *fields,
                 F.array(F.struct(F.lit(kind).alias("op"))).alias("payload"))

@@ -439,3 +439,22 @@ def test_flag_checkpoint_keep_preserves_history(spark, tmpdir_path):
 
     assert len(run_twice(1 << 13, "keep")) == 2   # flag: history survives
     assert len(run_twice(0, "prune")) == 1        # default: pruned to keep=1
+
+
+def test_format_xid_db_native_keys_honored():
+    """format.xid / format.db / native-keys (extension) are honored dials
+    now, not ignored; out-of-range values rejected like the reference."""
+    cfg = _base_cfg("/tmp/feed", "/tmp/state",
+                    format={"type": "json", "xid": 1, "db": 0,
+                            "native-keys": 1})
+    plan = plan_from_config(cfg)
+    assert plan.wire.xid == 1 and plan.wire.db == 0
+    assert plan.wire.native_keys is True
+    assert not any(i.startswith("format.") for i in plan.ignored)
+    # absent fields keep the historical wire (verbatim xid, db shown)
+    plan0 = plan_from_config(_base_cfg("/tmp/feed", "/tmp/state"))
+    assert plan0.wire.xid == -1 and plan0.wire.db == -1
+    assert plan0.wire.native_keys is False
+    with pytest.raises(ConfigError):
+        plan_from_config(_base_cfg("/tmp/feed", "/tmp/state",
+                                   format={"type": "json", "xid": 9}))

@@ -155,3 +155,83 @@ def test_schemaless_mode_emits_untracked(spark, tmpdir_path):
     assert table.lineage().agg(F.sum("n_skipped").alias("s")).first()["s"] == 0
     # the lake table itself stays transcripts-only
     assert {r["conv_id"] for r in table.read().collect()} == {"c1"}
+
+
+def test_native_wire_byte_parity_with_reference_golden(spark):
+    """Byte-exact reproduction of the reference's OWN e2e output fixture
+    (tests/fixtures/expected/example-free-23/output.json, produced by
+    BuilderJson against a real Oracle Free 23 database with format dials
+    {scn:1, timestamp:7, xid:1} — tests/sql/scripts/drivers/base.sh:468).
+    Same transaction (OLR_TEST.TEST_CDC insert ID=1/NAME='hello world',
+    commit scn 2267707, xid 10.12.572) through OUR builder under
+    native_keys must emit the same three wire lines, byte for byte."""
+    import os
+
+    golden_path = ("/root/reference/tests/fixtures/expected/"
+                   "example-free-23/output.json")
+    if not os.path.exists(golden_path):
+        import pytest
+        pytest.skip("reference fixture not present")
+    golden = [l for l in open(golden_path).read().splitlines() if l]
+
+    fb = FeedBuilder(table_name="TEST_CDC", start_scn=2267705,
+                     columns=["ID", "NAME"], image_columns=["ID", "NAME"])
+    t = fb.begin()
+    t.ins("1", 0, ID="1", NAME="hello world")
+    fb.commit(t)
+    df = (
+        fb.to_spark(spark)
+        # pin the wire-visible identities to the fixture's values: xid
+        # usn=10/slt=12/sqn=0x23c and record time 1772847880 (the scn is
+        # pinned via start_scn: begin 2267705, ins ..06, commit ..07)
+        .withColumn("xid", F.lit("10.012.0000023c"))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1772847880)))
+        # the fixture's ID is Oracle NUMBER -> JSON numeric
+        .withColumn("after", F.struct(
+            F.col("after.ID").cast("int").alias("ID"), F.col("after.NAME")))
+        .withColumn("before", F.when(
+            F.col("before").isNotNull(),
+            F.struct(F.col("before.ID").cast("int").alias("ID"),
+                     F.col("before.NAME"))))
+    )
+    from openlogreplicator_spark.functions.json_output import WireFormat
+
+    wire = WireFormat(message=0, scn=1, rid=0, timestamp=7, attributes=0,
+                      column=0, schema=0, xid=1, db=0, native_keys=True)
+    committed = assemble_transactions(df)["committed"]
+    msgs = (
+        build_json_messages(
+            committed.filter(F.col("op").isin("ins", "upd", "del")),
+            owner="OLR_TEST", fmt=wire)
+        .orderBy("scn", "idx").collect()
+    )
+    assert [m["message"] for m in msgs] == golden
+
+
+def test_xid_format_dials(spark):
+    """XID_FORMAT renderings (BuilderJson.h:298-327) from the feed's
+    'usn.slt.sqnhex' xid: hex, dec, packed numeric (key xidn), reversed."""
+    from openlogreplicator_spark.functions.json_output import WireFormat
+
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x")
+    fb.commit(t)
+    df = fb.to_spark(spark).withColumn("xid", F.lit("10.012.0000023c"))
+    committed = assemble_transactions(df)["committed"]
+    dml = committed.filter(F.col("op") == "ins")
+
+    def one(**kw):
+        m = build_json_messages(dml, fmt=WireFormat(**kw)).collect()[0]
+        return json.loads(m["message"])
+
+    assert one(xid=0)["xid"] == "0x000a.00c.0000023c"
+    assert one(xid=1)["xid"] == "10.12.572"
+    packed = (10 << 48) | (12 << 32) | 572
+    assert one(xid=2)["xidn"] == packed
+    assert one(xid=3)["xid"] == f"{packed:016x}"[::-1]
+    # default: feed xid verbatim
+    assert one()["xid"].startswith("10.012.0000023c")
+    # db dial: 0 hides the db field, default keeps it
+    assert "db" not in one(db=0)
+    assert "db" in one()
