@@ -16,7 +16,9 @@ runs here with ``job.py config --file OpenLogReplicator.json``:
                                               needs a live Oracle -> error
     source[].reader.redo-log               -> feed path(s)
     source[].reader.start-scn / start-seq  -> pushed-down scan gate
-    source[].format.type  json | protobuf  -> wire egress format (W6 / W7)
+    source[].format.type  json | protobuf | debezium -> wire egress format
+                          (W6 / W7; debezium = the reference's dial preset
+                          over the JSON builder, OpenLogReplicator.cpp:695)
     source[].filter.table[]                -> tracked pattern or Catalog
                                               tables; per-entry ``key`` ->
                                               lake key columns, ``condition``
@@ -501,10 +503,26 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
 
     # ---- format ----------------------------------------------------------
     ftype = fmt.get("type", "json")
-    if ftype not in ("json", "protobuf"):
+    if ftype not in ("json", "protobuf", "debezium"):
         raise ConfigError(
             f'bad JSON, invalid format "type" value: {ftype}, expected: one '
-            'of {"json", "protobuf"}')
+            'of {"json", "protobuf", "debezium"}')
+    if ftype == "debezium":
+        # the reference's debezium type is a dial PRESET over the same
+        # JSON builder (OpenLogReplicator.cpp:695-709), overridable by
+        # explicit fields below: full update images, db on all messages,
+        # per-op sequence numbers, rids, full schema dictionary, reversed
+        # xid.  scn-type/user-type/interval/timestamp-type pieces of the
+        # preset aren't modeled (no b_scn/e_scn or login-user header
+        # fields on this wire) and are reported.
+        fmt = {"message": 2, "rid": 1, "column": 2, "db": 3, "xid": 3,
+               "schema": 7, **{k: v for k, v in fmt.items() if k != "type"},
+               "type": "json"}
+        ignored += ["format.debezium.scn-type", "format.debezium.user-type",
+                    "format.debezium.timestamp-type",
+                    "format.debezium.interval-dts",
+                    "format.debezium.interval-ytm"]
+        ftype = "json"
     _HONORED_FMT = {"message", "scn", "rid", "timestamp", "attributes",
                     "column", "schema", "xid", "db", "native-keys"}
     for name, hi in (("message", 31), ("scn", 1), ("rid", 1),

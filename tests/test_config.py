@@ -115,9 +115,6 @@ def test_reference_example_configs_parse():
     if not examples:
         pytest.skip("reference scripts not present")
     for path in examples:
-        name = os.path.basename(path)
-        if "debezium" in name:
-            continue  # debezium config is a Kafka-Connect doc, not this schema
         cfg = load_config(path)  # strict field check passes
         reader = cfg["source"][0]["reader"]
         writer = cfg["target"][0]["writer"]
@@ -458,3 +455,52 @@ def test_format_xid_db_native_keys_honored():
     with pytest.raises(ConfigError):
         plan_from_config(_base_cfg("/tmp/feed", "/tmp/state",
                                    format={"type": "json", "xid": 9}))
+
+
+def test_format_type_debezium_preset():
+    """format.type debezium = the reference's dial preset over the JSON
+    builder (OpenLogReplicator.cpp:695-709): full update images, db on
+    messages, per-op sequence numbers, rids, schema dictionary, reversed
+    xid; explicit fields override the preset; unmodeled preset pieces
+    reported."""
+    plan = plan_from_config(_base_cfg(
+        "/tmp/feed", "/tmp/state", format={"type": "debezium"}))
+    w = plan.wire
+    assert (w.message, w.rid, w.column, w.xid) == (2, 1, 2, 3)
+    assert w.db == 3 and w.schema == 7
+    assert plan.wire_format == "json"          # same builder, preset dials
+    assert "format.debezium.scn-type" in plan.ignored
+    # explicit fields override the preset (the reference parses them after)
+    plan2 = plan_from_config(_base_cfg(
+        "/tmp/feed", "/tmp/state", format={"type": "debezium", "xid": 1}))
+    assert plan2.wire.xid == 1 and plan2.wire.column == 2
+
+
+def test_debezium_wire_end_to_end(spark, tmpdir_path):
+    """A debezium-type config job emits the preset wire: begin/commit
+    markers, per-op sequence numbers, rid, embedded schema dictionary,
+    full null images, reversed-hex xid, db on messages."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("c1", 0, role="user", text="x")
+    fb.commit(t)
+    feed = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed)
+    out = os.path.join(tmpdir_path, "mirror")
+    cfg = _base_cfg(feed, os.path.join(tmpdir_path, "state"),
+                    writer={"type": "file",
+                            "output": os.path.join(out, "out.json")},
+                    format={"type": "debezium"})
+    run_from_config(spark, cfg)
+    lines = []
+    for p in glob.glob(os.path.join(out, "**", "part-*"), recursive=True):
+        lines += [l for l in open(p).read().splitlines() if l]
+    msgs = [json.loads(l) for l in lines]
+    ops = [m["payload"][0]["op"] for m in msgs if "payload" in m]
+    assert "begin" in ops and "commit" in ops and "c" in ops
+    dml = next(m for m in msgs if m["payload"][0]["op"] == "c")
+    p0 = dml["payload"][0]
+    assert p0["num"] == 1 and len(p0["rid"]) == 18
+    assert {c["name"] for c in p0["schema"]["columns"]} >= {"role", "text"}
+    assert "tool" in p0["after"] and p0["after"]["tool"] is None  # full nulls
+    assert dml["db"] and len(dml["xid"]) == 16  # reversed hex16 of packed xid
