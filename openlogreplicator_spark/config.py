@@ -512,23 +512,28 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         # JSON builder (OpenLogReplicator.cpp:695-709), overridable by
         # explicit fields below: full update images, db on all messages,
         # per-op sequence numbers, rids, full schema dictionary, reversed
-        # xid.  scn-type/user-type/interval/timestamp-type pieces of the
-        # preset aren't modeled (no b_scn/e_scn or login-user header
-        # fields on this wire) and are reported.
+        # xid, the b_scn/e_scn + b_tm/e_tm + usr header trio (SCN_TYPE /
+        # TIMESTAMP_TYPE / USER_TYPE ::DEBEZIUM), on the reference-native
+        # header.  The interval formats and timestamp-metadata pieces of
+        # the preset aren't modeled (no interval column types in the
+        # typed feed) and are reported.
         fmt = {"message": 2, "rid": 1, "column": 2, "db": 3, "xid": 3,
-               "schema": 7, **{k: v for k, v in fmt.items() if k != "type"},
+               "schema": 7, "scn-type": 14, "timestamp-type": 14,
+               "user-type": 15, "native-keys": 1,
+               **{k: v for k, v in fmt.items() if k != "type"},
                "type": "json"}
-        ignored += ["format.debezium.scn-type", "format.debezium.user-type",
-                    "format.debezium.timestamp-type",
-                    "format.debezium.interval-dts",
-                    "format.debezium.interval-ytm"]
+        ignored += ["format.debezium.interval-dts",
+                    "format.debezium.interval-ytm",
+                    "format.debezium.timestamp-metadata"]
         ftype = "json"
     _HONORED_FMT = {"message", "scn", "rid", "timestamp", "attributes",
-                    "column", "schema", "xid", "db", "native-keys"}
+                    "column", "schema", "xid", "db", "native-keys",
+                    "scn-type", "timestamp-type", "user-type"}
     for name, hi in (("message", 31), ("scn", 1), ("rid", 1),
                      ("timestamp", 15), ("attributes", 7), ("column", 2),
                      ("schema", 7), ("xid", 3), ("db", 3),
-                     ("native-keys", 1)):
+                     ("native-keys", 1), ("scn-type", 15),
+                     ("timestamp-type", 15), ("user-type", 15)):
         if name in fmt and not (isinstance(fmt[name], int)
                                 and 0 <= fmt[name] <= hi):
             raise ConfigError(

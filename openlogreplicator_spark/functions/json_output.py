@@ -38,6 +38,15 @@ ATTR_DML = 2
 ATTR_COMMIT = 4
 # SCHEMA_FORMAT bits (Format.h:110-116)
 SCHEMA_FULL = 1
+# SCN_TYPE / TIMESTAMP_TYPE bits (Format.h:101-108,118-125 — same layout)
+SCNT_COMMIT_VALUE = 1
+SCNT_BEGIN = 2
+SCNT_DML = 4
+SCNT_COMMIT = 8
+# USER_TYPE bits (Format.h:127-134)
+USR_BEGIN = 1
+USR_DML = 2
+USR_COMMIT = 4
 
 
 @dataclass(frozen=True)
@@ -87,6 +96,14 @@ class WireFormat:
     db: int = -1          # DB_FORMAT: -1 = always shown (historical);
                           # else bit 1 = show on DML messages
     native_keys: bool = False
+    # native-header-only dials (the historical wire always carries scn/tm
+    # on every message — a superset — and session attributes ride the
+    # `attributes` map, so these shape only the native header):
+    scn_type: int = 0        # SCN_TYPE bits: +b_scn(s) / scn on DML / +e_scn(s)
+    timestamp_type: int = 0  # TIMESTAMP_TYPE bits: +b_tm(s) / tm on DML / +e_tm(s)
+    user: int = 0            # USER_TYPE bits: "usr" = attrs['login username']
+                             # per message kind (null shows explicitly under
+                             # FULL-null images; the reference omits it)
 
     def __post_init__(self):
         if self.message & MSG_FULL and self.message & (MSG_SKIP_BEGIN | MSG_SKIP_COMMIT):
@@ -120,6 +137,9 @@ class WireFormat:
             # the byte-compatible reference header.  Off by default so
             # config-driven wires stay self-contained (chained replicas).
             native_keys=bool(fmt.get("native-keys", 0)),
+            scn_type=int(fmt.get("scn-type", 0)),
+            timestamp_type=int(fmt.get("timestamp-type", 0)),
+            user=int(fmt.get("user-type", 0)),
         )
 
 
@@ -252,21 +272,47 @@ def build_json_messages(
     ]
     payload = F.struct(*payload_fields)
 
-    def header_fields(idx_expr, first: bool = True, attrs_bit: int = ATTR_DML):
+    def header_fields(idx_expr, first: bool = True, attrs_bit: int = ATTR_DML,
+                      kind: str = "dml", scn_rec=None, ts_rec=None,
+                      b_scn=None, b_ts=None, e_ts=None):
         """``first``: this message opens its transaction on the wire —
         the reference emits scn/tm only there (appendHeader's ``first``,
         BuilderJson.h:238-289; true on begin messages and FULL-mode txn
         messages, false on DML and commit — BuilderJson.cpp:462,491,516).
-        The scn value is commit-anchored (SCN_TYPE::COMMIT_VALUE reading;
-        in the reference's single-LWN transactions beginScn == lwnScn,
-        the golden fixture's shape)."""
+        The first-message scn value is commit-anchored (SCN_TYPE::
+        COMMIT_VALUE reading; in the reference's single-LWN transactions
+        beginScn == lwnScn, the golden fixture's shape).  ``kind``
+        (begin/dml/commit) gates the SCN_TYPE / TIMESTAMP_TYPE / USER_TYPE
+        bit dials; the ``*_rec``/``b_*``/``e_*`` exprs are the per-kind
+        record / txn-begin / txn-end value columns."""
         if fmt.native_keys:
+            hexk = fmt.scn == 1
+            strk = fmt.timestamp >= 4
             out = []
-            if first:
+            if first or (kind == "dml" and fmt.scn_type & SCNT_DML):
+                v = F.col("txn_commit_scn")
+                if (kind == "dml" and scn_rec is not None
+                        and not fmt.scn_type & SCNT_COMMIT_VALUE):
+                    v = scn_rec
+                out.append(_scn_expr(v, fmt).alias("scns" if hexk else "scn"))
+            if fmt.scn_type & SCNT_BEGIN and b_scn is not None:
+                out.append(_scn_expr(b_scn, fmt)
+                           .alias("b_scns" if hexk else "b_scn"))
+            if fmt.scn_type & SCNT_COMMIT:
                 out.append(_scn_expr(F.col("txn_commit_scn"), fmt)
-                           .alias("scns" if fmt.scn == 1 else "scn"))
-                out.append(_tm_expr(F.col("ts"), fmt)
-                           .alias("tms" if fmt.timestamp >= 4 else "tm"))
+                           .alias("e_scns" if hexk else "e_scn"))
+            if first or (kind == "dml" and fmt.timestamp_type & SCNT_DML):
+                tv = F.col("ts")
+                if (kind == "dml" and ts_rec is not None
+                        and not fmt.timestamp_type & SCNT_COMMIT_VALUE):
+                    tv = ts_rec
+                out.append(_tm_expr(tv, fmt).alias("tms" if strk else "tm"))
+            if fmt.timestamp_type & SCNT_BEGIN and b_ts is not None:
+                out.append(_tm_expr(b_ts, fmt)
+                           .alias("b_tms" if strk else "b_tm"))
+            if fmt.timestamp_type & SCNT_COMMIT and e_ts is not None:
+                out.append(_tm_expr(e_ts, fmt)
+                           .alias("e_tms" if strk else "e_tm"))
             out += [
                 # the LWN message identity, on EVERY message
                 # (BuilderJson.h:291-293); our begin/dml/commit idx is
@@ -277,6 +323,11 @@ def build_json_messages(
             ]
             if fmt.db == -1 or fmt.db & 1:  # DB_FORMAT::ADD_DML
                 out.append(F.lit(db_name).alias("db"))
+            usr_bit = {"begin": USR_BEGIN, "dml": USR_DML,
+                       "commit": USR_COMMIT}[kind]
+            if fmt.user & usr_bit:  # appendHeader showUser → "usr"
+                out.append(F.col("attrs").getItem("login username")
+                           .alias("usr"))
             if fmt.attributes & attrs_bit:
                 out.append(F.col("attrs").alias("attributes"))
             return out
@@ -301,20 +352,35 @@ def build_json_messages(
     # FULL_INS_DEC/FULL_UPD emit explicit nulls for the whole row image.
     json_opts = {"ignoreNullFields": "true" if fmt.column == 0 else "false"}
 
+    # some call sites project the per-event scn away before the mirror
+    # (the lake epoch path keys everything on txn_commit_scn); the header
+    # trio then falls back commit-anchored — the single-LWN reading where
+    # record scn == begin scn == commit scn, the golden fixture's shape
+    if "scn" not in d.columns:
+        d = d.withColumn("scn", F.col("txn_commit_scn"))
+
+    _txn_bounds = dict(b_scn=F.col("_b_scn"), b_ts=F.col("_b_ts"),
+                       e_ts=F.col("_e_ts"))
+
     if fmt.message & MSG_FULL:
         # one message per transaction, payload = ops in intra-txn order
         grouped = (
             d.select(F.col("xid"), F.col("txn_commit_scn"), F.col("ts"),
-                     F.col("attrs"), F.col("seq_in_txn"), payload.alias("_p"))
+                     F.col("scn"), F.col("attrs"), F.col("seq_in_txn"),
+                     payload.alias("_p"))
             .groupBy("xid", "txn_commit_scn")
             .agg(F.min("ts").alias("ts"),
+                 F.min("scn").alias("_b_scn"),
+                 F.min("ts").alias("_b_ts"),
+                 F.max("ts").alias("_e_ts"),
                  F.first("attrs", ignorenulls=True).alias("attrs"),
                  F.min("seq_in_txn").alias("_idx"),
                  F.array_sort(F.collect_list(
                      F.struct(F.col("seq_in_txn").alias("s"),
                               F.col("_p").alias("p")))).alias("_ops"))
         )
-        msg = F.struct(*header_fields(F.col("_idx")),
+        msg = F.struct(*header_fields(F.col("_idx"), kind="begin",
+                                      **_txn_bounds),
                        F.col("_ops").getField("p").alias("payload"))
         return grouped.select(
             F.col("txn_commit_scn").alias("scn"),
@@ -322,7 +388,22 @@ def build_json_messages(
             F.to_json(msg, json_opts).alias("message"),
         )
 
-    msg = F.struct(*header_fields(F.col("seq_in_txn"), first=False),
+    # per-DML txn-bound values (b_scn/b_tm/e_tm header fields) need a
+    # window over the transaction — computed ONLY when a dial asks
+    if fmt.native_keys and (fmt.scn_type & SCNT_BEGIN
+                            or fmt.timestamp_type & (SCNT_BEGIN | SCNT_COMMIT)):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("xid", "txn_commit_scn")
+        d = (d.withColumn("_b_scn", F.min("scn").over(w))
+             .withColumn("_b_ts", F.min("ts").over(w))
+             .withColumn("_e_ts", F.max("ts").over(w)))
+        dml_bounds = _txn_bounds
+    else:
+        dml_bounds = {}
+    msg = F.struct(*header_fields(F.col("seq_in_txn"), first=False,
+                                  kind="dml", scn_rec=F.col("scn"),
+                                  ts_rec=F.col("ts"), **dml_bounds),
                    F.array(payload).alias("payload"))
     out = d.select(
         F.col("txn_commit_scn").alias("scn"),
@@ -347,12 +428,16 @@ def build_json_messages(
         txns = (
             d.groupBy("xid", "txn_commit_scn")
             .agg(F.min("ts").alias("ts"),
+                 F.min("scn").alias("_b_scn"),
+                 F.min("ts").alias("_b_ts"),
+                 F.max("ts").alias("_e_ts"),
                  F.first("attrs", ignorenulls=True).alias("attrs"),
                  F.max("seq_in_txn").alias("_max_seq"))
         )
         for kind, attr_bit, idx_expr, is_first in marker_kinds:
             fields = header_fields(idx_expr, first=is_first,
-                                   attrs_bit=attr_bit)
+                                   attrs_bit=attr_bit, kind=kind,
+                                   **_txn_bounds)
             mmsg = F.struct(
                 *fields,
                 F.array(F.struct(F.lit(kind).alias("op"))).alias("payload"))

@@ -468,8 +468,10 @@ def test_format_type_debezium_preset():
     w = plan.wire
     assert (w.message, w.rid, w.column, w.xid) == (2, 1, 2, 3)
     assert w.db == 3 and w.schema == 7
+    assert (w.scn_type, w.timestamp_type, w.user) == (14, 14, 15)
+    assert w.native_keys is True
     assert plan.wire_format == "json"          # same builder, preset dials
-    assert "format.debezium.scn-type" in plan.ignored
+    assert "format.debezium.interval-dts" in plan.ignored
     # explicit fields override the preset (the reference parses them after)
     plan2 = plan_from_config(_base_cfg(
         "/tmp/feed", "/tmp/state", format={"type": "debezium", "xid": 1}))
@@ -504,3 +506,11 @@ def test_debezium_wire_end_to_end(spark, tmpdir_path):
     assert {c["name"] for c in p0["schema"]["columns"]} >= {"role", "text"}
     assert "tool" in p0["after"] and p0["after"]["tool"] is None  # full nulls
     assert dml["db"] and len(dml["xid"]) == 16  # reversed hex16 of packed xid
+    # native header trio from the preset: message identity, begin/end scn,
+    # per-DML scn/tm, begin/end tm, usr from session attributes
+    assert dml["c_scn"] == dml["e_scn"] and dml["c_idx"] == 2
+    assert dml["b_scn"] <= dml["scn"] <= dml["e_scn"]
+    assert dml["b_tm"] <= dml["tm"] <= dml["e_tm"]
+    assert "usr" in dml  # USER_TYPE::DEBEZIUM (null: no login attr set)
+    begin = next(m for m in msgs if m["payload"][0]["op"] == "begin")
+    assert begin["c_idx"] == 1 and "scn" in begin and "b_scn" in begin
