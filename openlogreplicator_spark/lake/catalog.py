@@ -233,42 +233,22 @@ class Catalog:
         m = dict(self.manifest)
 
         if pending_update is not None:
-            pmode = pending_update["mode"]
-            dirs = list(self.manifest["pending_dirs"])
-            closed = list(self.manifest.get("pending_closed", []))
-            open_x = self.manifest.get("pending_open_xids")
-            if pmode == "clear":
-                dirs, closed, open_x = [], [], []
-            elif pmode == "full":
-                prel = f"pending/v{version:06d}"
-                pending_update["df"].write.mode("overwrite").parquet(
-                    os.path.join(self.path, prel)
-                )
-                dirs, closed = [prel], []
-                open_x = sorted(pending_update.get("open_xids", []))
-            elif pmode == "delta":
-                if pending_update.get("df") is not None:
-                    prel = f"pending/v{version:06d}"
-                    pending_update["df"].write.mode("overwrite").parquet(
-                        os.path.join(self.path, prel)
-                    )
-                    dirs.append(prel)
-                closed = sorted(pending_update.get("closed", []))
-                open_x = sorted(pending_update.get("open_xids", []))
-            else:
-                raise ValueError(f"bad pending_update mode {pmode!r}")
-            m["pending_dirs"] = dirs
-            m["pending_closed"] = closed
-            if open_x is not None:
-                m["pending_open_xids"] = open_x
-            else:
-                m.pop("pending_open_xids", None)
+            from .table import apply_pending_update, set_pending_fields
+
+            set_pending_fields(
+                m,
+                apply_pending_update(
+                    self.path, self.manifest, pending_update, version
+                ),
+            )
         elif pending is not None:
             prel = f"pending/v{version:06d}"
             pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
             m["pending_dirs"] = [prel]
             m["pending_closed"] = []
             m.pop("pending_open_xids", None)
+            m.pop("pending_closed_dirs", None)
+            m.pop("pending_open_large", None)
         if lineage is not None:
             lrel = f"lineage/v{version:06d}"
             lineage.write.mode("overwrite").parquet(os.path.join(self.path, lrel))

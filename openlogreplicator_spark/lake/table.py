@@ -76,9 +76,11 @@ def read_pending_state(
 ) -> DataFrame:
     """Open-transaction pending state = union of the manifest's pending
     delta files minus the tombstoned xids (transactions that closed since a
-    file was written — see LakeTable.merge pending_update).  The tombstone
-    is a literal IN-list filter (bounded by the compaction cap), pushed
-    down to the parquet scan — no join."""
+    file was written — see LakeTable.merge pending_update).  Small open
+    sets tombstone as a literal IN-list in the manifest (pushed down to the
+    parquet scan — no join); past the stats detail cap tombstones are
+    parquet files of closed xids applied as an anti-join (broadcast by AQE
+    when small) so NO xid set ever lives driver-side."""
     dirs = [os.path.join(root, d) for d in manifest["pending_dirs"]]
     dirs = [d for d in dirs if os.path.isdir(d)]
     if not dirs:
@@ -87,7 +89,89 @@ def read_pending_state(
     closed = manifest.get("pending_closed") or []
     if closed:
         df = df.filter(~F.col("xid").isin(list(closed)))
+    cdirs = [os.path.join(root, d) for d in manifest.get("pending_closed_dirs", [])]
+    cdirs = [d for d in cdirs if os.path.isdir(d)]
+    if cdirs:
+        tomb = spark.read.parquet(*cdirs).select("xid").distinct()
+        df = df.join(tomb, "xid", "left_anti")
     return df
+
+
+def apply_pending_update(root: str, manifest: dict, pending_update: dict,
+                         version: int) -> dict:
+    """Apply one epoch's pending-state commit decision (see
+    streaming/apply.py plan_pending_update / plan_pending_update_large):
+    writes this version's pending delta / tombstone parquet under ``root``
+    and returns the new manifest pending fields.  Shared by LakeTable.merge
+    and Catalog.commit_epoch."""
+    dirs = list(manifest.get("pending_dirs", []))
+    closed = list(manifest.get("pending_closed", []))
+    closed_dirs = list(manifest.get("pending_closed_dirs", []))
+    open_x = manifest.get("pending_open_xids")
+    large = bool(manifest.get("pending_open_large", False))
+    pmode = pending_update["mode"]
+    if pmode == "clear":
+        dirs, closed, closed_dirs, open_x, large = [], [], [], [], False
+    elif pmode == "full":
+        prel = f"pending/v{version:06d}"
+        pending_update["df"].write.mode("overwrite").parquet(
+            os.path.join(root, prel)
+        )
+        dirs, closed, closed_dirs = [prel], [], []
+        if pending_update.get("open_large"):
+            large, open_x = True, None
+        else:
+            large, open_x = False, sorted(pending_update.get("open_xids", []))
+    elif pmode == "delta":
+        if pending_update.get("df") is not None:
+            prel = f"pending/v{version:06d}"
+            pending_update["df"].write.mode("overwrite").parquet(
+                os.path.join(root, prel)
+            )
+            dirs.append(prel)
+        if pending_update.get("closed_df") is not None:
+            crel = f"pending/v{version:06d}_closed"
+            pending_update["closed_df"].write.mode("overwrite").parquet(
+                os.path.join(root, crel)
+            )
+            closed_dirs.append(crel)
+        if pending_update.get("open_large"):
+            # large mode: no xid lists; legacy literal tombstones (written
+            # while the set was still small) stay applied at read
+            large, open_x = True, None
+        else:
+            large = False
+            closed = sorted(pending_update.get("closed", []))
+            open_x = sorted(pending_update.get("open_xids", []))
+    else:
+        raise ValueError(f"bad pending_update mode {pmode!r}")
+    return {
+        "pending_dirs": dirs,
+        "pending_closed": closed,
+        "pending_closed_dirs": closed_dirs,
+        "pending_open_xids": open_x,
+        "pending_open_large": large,
+    }
+
+
+def set_pending_fields(m: dict, fields: dict) -> None:
+    """Fold apply_pending_update's result into a manifest dict (absent
+    optional fields are removed, not left stale)."""
+    m["pending_dirs"] = fields["pending_dirs"]
+    m["pending_closed"] = fields["pending_closed"]
+    if fields["pending_closed_dirs"]:
+        m["pending_closed_dirs"] = fields["pending_closed_dirs"]
+    else:
+        m.pop("pending_closed_dirs", None)
+    if fields["pending_open_large"]:
+        m["pending_open_large"] = True
+        m.pop("pending_open_xids", None)
+    else:
+        m.pop("pending_open_large", None)
+        if fields["pending_open_xids"] is not None:
+            m["pending_open_xids"] = fields["pending_open_xids"]
+        else:
+            m.pop("pending_open_xids", None)
 
 
 def write_lineage_parquet(dirpath: str, rows: list[tuple]) -> None:
@@ -579,38 +663,22 @@ class LakeTable:
 
         # pending-transaction state (see docstring; legacy `pending` is a
         # full copy-on-write snapshot)
-        pending_dirs = list(self.manifest["pending_dirs"])
-        pending_closed = list(self.manifest.get("pending_closed", []))
-        pending_open = self.manifest.get("pending_open_xids")
+        pending_fields = None
         if pending_update is not None:
-            pmode = pending_update["mode"]
-            if pmode == "clear":
-                pending_dirs, pending_closed, pending_open = [], [], []
-            elif pmode == "full":
-                prel = f"pending/v{version:06d}"
-                pending_update["df"].write.mode("overwrite").parquet(
-                    os.path.join(self.path, prel)
-                )
-                pending_dirs = [prel]
-                pending_closed = []
-                pending_open = sorted(pending_update.get("open_xids", []))
-            elif pmode == "delta":
-                if pending_update.get("df") is not None:
-                    prel = f"pending/v{version:06d}"
-                    pending_update["df"].write.mode("overwrite").parquet(
-                        os.path.join(self.path, prel)
-                    )
-                    pending_dirs.append(prel)
-                pending_closed = sorted(pending_update.get("closed", []))
-                pending_open = sorted(pending_update.get("open_xids", []))
-            else:
-                raise ValueError(f"bad pending_update mode {pmode!r}")
+            pending_fields = apply_pending_update(
+                self.path, self.manifest, pending_update, version
+            )
         elif pending is not None:
             prel = f"pending/v{version:06d}"
             pending.write.mode("overwrite").parquet(os.path.join(self.path, prel))
-            pending_dirs = [prel]
-            pending_closed = []
-            pending_open = None  # unknown xid set → next delta decision rewrites
+            pending_fields = {
+                "pending_dirs": [prel],
+                "pending_closed": [],
+                "pending_closed_dirs": [],
+                # unknown xid set → next delta decision rewrites
+                "pending_open_xids": None,
+                "pending_open_large": False,
+            }
 
         lineage_dirs = list(self.manifest["lineage_dirs"])
         if lineage is not None:
@@ -639,12 +707,8 @@ class LakeTable:
         m["buckets"] = buckets
         m["file_stats"] = file_stats
         m["deltas"] = {b: ds for b, ds in deltas_map.items() if ds}
-        m["pending_dirs"] = pending_dirs
-        m["pending_closed"] = pending_closed
-        if pending_open is not None:
-            m["pending_open_xids"] = pending_open
-        else:
-            m.pop("pending_open_xids", None)
+        if pending_fields is not None:
+            set_pending_fields(m, pending_fields)
         m["lineage_dirs"] = lineage_dirs
         if shard_frontier is not None:
             # per-shard read frontier (RAC SCN watermark state) — atomic
@@ -864,6 +928,7 @@ class LakeTable:
             for ds in m.get("deltas", {}).values():
                 ref.update(ds)
             ref.update(m["pending_dirs"])
+            ref.update(m.get("pending_closed_dirs", []))
             ref.update(m["lineage_dirs"])
 
         removed: list[str] = []

@@ -29,7 +29,10 @@ per-epoch overhead at ~4 s/job on this box, BASELINE.md t(c)=f+w/c fit):
   5. lineage rows written driver-side via pyarrow — zero jobs;
 plus config-gated extras (watermark pre-job; one skip-count job when a
 txn cap / expiry / savepoint interplay invalidates the fused counters).
-No O(rows) driver traffic anywhere.
+No O(rows) driver traffic anywhere — including the open set: per-xid
+detail collects only up to stats.OPEN_DETAIL_CAP; past it the pending
+carry, tombstones, and expiry all run as distributed joins
+(plan_pending_update_large) and the driver sees aggregate counts only.
 
 The reference serializes all of this on one writer thread
 (/root/reference/src/writer/Writer.cpp:213-360) with a client-checkpoint
@@ -65,11 +68,14 @@ PENDING_CLOSED_CAP = 50_000
 def plan_pending_update(
     manifest: dict, cur_open: set, n_new_events: int
 ) -> tuple[dict, bool]:
-    """Decide this epoch's pending-state commit (see LakeTable.merge).
+    """Decide this epoch's pending-state commit (see LakeTable.merge) —
+    SMALL-open-set mode: the per-xid detail fit the stats collect cap, so
+    tombstones live as a literal list in the manifest and a delta with no
+    new events is a manifest-only commit (zero jobs).
 
     Returns (pending_update, needs_df): ``needs_df`` tells the caller
     whether the update requires the open-events frame (full snapshot or a
-    non-empty delta) — when False the commit is manifest-only (zero jobs).
+    non-empty delta).
 
     Reference analog: TransactionBuffer keeps open txns in place and spills
     incrementally (src/common/MemoryManager.cpp:1-410); rewriting the whole
@@ -84,12 +90,45 @@ def plan_pending_update(
         return {"mode": "clear"}, False
     closed_total = (prev_closed | (set(prev_open or []) - cur_open)) - cur_open
     if (
-        prev_open is None  # legacy snapshot: xid set unknown
+        prev_open is None  # legacy snapshot / large-mode exit: set unknown
+        or manifest.get("pending_open_large")
+        or manifest.get("pending_closed_dirs")
         or len(prev_dirs) >= PENDING_COMPACT_DIRS
         or len(closed_total) > PENDING_CLOSED_CAP
     ):
         return {"mode": "full", "open_xids": cur_open}, True
     upd = {"mode": "delta", "closed": closed_total, "open_xids": cur_open}
+    return upd, n_new_events > 0
+
+
+def plan_pending_update_large(
+    manifest: dict,
+    n_open_xids: int,
+    n_new_events: int,
+    n_closed_pending_rows: int,
+    n_stale: int = 0,
+) -> tuple[dict, bool]:
+    """LARGE-open-set mode (the open set overflowed the stats detail cap,
+    streaming/stats.py OPEN_DETAIL_CAP): no xid set ever touches the
+    driver or the manifest.  Tombstones are parquet files of closed xids
+    anti-joined at read time (read_pending_state), computed as a
+    distributed anti-join by the caller when ``need_closed_df`` is set.
+
+    Returns (pending_update, needs_df).  The caller attaches ``df`` when
+    needs_df and ``closed_df`` when pending_update['need_closed_df'].
+    """
+    prev_dirs = manifest.get("pending_dirs", [])
+    if n_open_xids <= 0:
+        return {"mode": "clear"}, False
+    if (
+        not manifest.get("pending_open_large")  # entering large mode
+        or len(prev_dirs) >= PENDING_COMPACT_DIRS
+        or len(manifest.get("pending_closed_dirs", [])) >= PENDING_COMPACT_DIRS
+    ):
+        return {"mode": "full", "open_large": True}, True
+    upd: dict = {"mode": "delta", "open_large": True}
+    if n_closed_pending_rows > 0 or n_stale > 0:
+        upd["need_closed_df"] = True
     return upd, n_new_events > 0
 
 
@@ -241,6 +280,7 @@ def apply_epoch(
             untracked_cond=~F.coalesce(is_tracked, F.lit(False)),
             pending_flag="_pend",
             extra_branches=extra_branches,
+            pending_events=events.filter(F.col("_pend")),
         )
         use_fused = (
             changes0 is not None
@@ -253,21 +293,53 @@ def apply_epoch(
             changes0 = None
 
         open_events = parts["open"]
-        cur_open = set(stats["open_xids"])
+        detail = stats["open_xids"]  # per-xid dict, or None past the cap
+        osum = stats["open_summary"]
+        n_open_xids = osum["n_xids"]
+        cur_open = set(detail) if detail is not None else None
         expired_dml = None
-        if max_open_scn_lag is not None and stats["max_scn_by_shard"]:
+        n_stale = 0
+        if max_open_scn_lag is not None and stats["max_scn_by_shard"] and n_open_xids:
             hz = max(stats["max_scn_by_shard"].values())
-            stale = sorted(
-                x
-                for x, info in stats["open_xids"].items()
-                if info["max_scn"] < hz - max_open_scn_lag and not info["has_commit"]
-            )
-            if stale:
-                expired_dml = open_events.filter(
-                    F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
+            if detail is not None:
+                stale = sorted(
+                    x
+                    for x, info in detail.items()
+                    if info["max_scn"] < hz - max_open_scn_lag
+                    and not info["has_commit"]
                 )
-                open_events = open_events.filter(~F.col("xid").isin(stale))
-                cur_open -= set(stale)
+                n_stale = len(stale)
+                if stale:
+                    expired_dml = open_events.filter(
+                        F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
+                    )
+                    open_events = open_events.filter(~F.col("xid").isin(stale))
+                    cur_open -= set(stale)
+            else:
+                # large open set: the stale set is computed as a DataFrame
+                # and applied by anti-join — per-xid rows never reach the
+                # driver (one config-gated scalar count job)
+                stale_xids = (
+                    open_events.groupBy("xid")
+                    .agg(
+                        F.max("scn").alias("_mx"),
+                        F.max(
+                            F.when(F.col("op") == "commit", F.lit(1)).otherwise(F.lit(0))
+                        ).alias("_hc"),
+                    )
+                    .filter(
+                        (F.col("_mx") < F.lit(hz - max_open_scn_lag))
+                        & (F.col("_hc") == 0)
+                    )
+                    .select("xid")
+                )
+                n_stale = stale_xids.count()
+                if n_stale:
+                    expired_dml = open_events.join(
+                        stale_xids, "xid", "left_semi"
+                    ).filter(F.col("op").isin("ins", "upd", "del"))
+                    open_events = open_events.join(stale_xids, "xid", "left_anti")
+            n_open_xids -= n_stale
 
         # only the columns downstream stages read (before-images, raw
         # scn/seq and schema_version are not needed past this point)
@@ -351,15 +423,32 @@ def apply_epoch(
         last_by = stats["last_lsn_by_shard"]
 
         # ---- pending carry: delta-append, compact lazily ----
-        n_new = sum(stats["open_xids"][x]["n_new"] for x in cur_open)
-        pending_update, needs_df = plan_pending_update(
-            table.manifest, cur_open, n_new
-        )
+        if detail is not None:
+            n_new = sum(detail[x]["n_new"] for x in cur_open)
+            pending_update, needs_df = plan_pending_update(
+                table.manifest, cur_open, n_new
+            )
+        else:
+            pending_update, needs_df = plan_pending_update_large(
+                table.manifest,
+                n_open_xids,
+                osum["n_new"],
+                n_closed_pending_rows=(
+                    int(stats["n_pending_rows"] or 0) - osum["n_pend_open_rows"]
+                ),
+                n_stale=n_stale,
+            )
         if needs_df:
             df = open_events
             if pending_update["mode"] == "delta":
                 df = df.filter(~F.col("_pend"))
             pending_update["df"] = df.select(*fields)
+        if pending_update.get("need_closed_df"):
+            # previously-pending xids that closed (or expired) this epoch —
+            # a distributed anti-join, written as a parquet tombstone
+            pending_update["closed_df"] = pending.select("xid").distinct().join(
+                open_events.select("xid").distinct(), "xid", "left_anti"
+            )
 
         # ---- DDL fence: segment the epoch at committed DDL commit_scns ----
         ddls = stats["ddls"]  # [(commit_scn, seq_in_txn, stmt)] sorted

@@ -59,7 +59,7 @@ from ..operators.assemble import (
 )
 from ..operators.collapse import collapse_net_changes
 from ..schema import CHANGE_EVENT_SCHEMA
-from .apply import plan_pending_update
+from .apply import plan_pending_update, plan_pending_update_large
 from .stats import epoch_stats
 
 
@@ -278,6 +278,7 @@ def apply_epoch_multi(
     stats = epoch_stats(
         batch_df, parts, pending_flag="_pend", per_table_dml=True,
         extra_branches=extra_branches,
+        pending_events=events.filter(F.col("_pend")),
     )
     # adaptive-schema mode (reference: REDO_FLAGS::SCHEMALESS +
     # Metadata::loadAdaptiveSchema, Metadata.cpp:676-706 — here the
@@ -314,21 +315,51 @@ def apply_epoch_multi(
         changes0 = None
 
     open_events = parts["open"]
-    cur_open = set(stats["open_xids"])
+    detail = stats["open_xids"]  # per-xid dict, or None past the cap
+    osum = stats["open_summary"]
+    n_open_xids = osum["n_xids"]
+    cur_open = set(detail) if detail is not None else None
     expired_dml = None
-    if max_open_scn_lag is not None and stats["max_scn_by_shard"]:
+    n_stale = 0
+    if max_open_scn_lag is not None and stats["max_scn_by_shard"] and n_open_xids:
         hz = max(stats["max_scn_by_shard"].values())
-        stale = sorted(
-            x
-            for x, info in stats["open_xids"].items()
-            if info["max_scn"] < hz - max_open_scn_lag and not info["has_commit"]
-        )
-        if stale:
-            expired_dml = open_events.filter(
-                F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
+        if detail is not None:
+            stale = sorted(
+                x
+                for x, info in detail.items()
+                if info["max_scn"] < hz - max_open_scn_lag and not info["has_commit"]
             )
-            open_events = open_events.filter(~F.col("xid").isin(stale))
-            cur_open -= set(stale)
+            n_stale = len(stale)
+            if stale:
+                expired_dml = open_events.filter(
+                    F.col("xid").isin(stale) & F.col("op").isin("ins", "upd", "del")
+                )
+                open_events = open_events.filter(~F.col("xid").isin(stale))
+                cur_open -= set(stale)
+        else:
+            # large open set: anti-join expiry, no per-xid driver traffic
+            # (one config-gated scalar count job) — see apply.py
+            stale_xids = (
+                open_events.groupBy("xid")
+                .agg(
+                    F.max("scn").alias("_mx"),
+                    F.max(
+                        F.when(F.col("op") == "commit", F.lit(1)).otherwise(F.lit(0))
+                    ).alias("_hc"),
+                )
+                .filter(
+                    (F.col("_mx") < F.lit(hz - max_open_scn_lag))
+                    & (F.col("_hc") == 0)
+                )
+                .select("xid")
+            )
+            n_stale = stale_xids.count()
+            if n_stale:
+                expired_dml = open_events.join(stale_xids, "xid", "left_semi").filter(
+                    F.col("op").isin("ins", "upd", "del")
+                )
+                open_events = open_events.join(stale_xids, "xid", "left_anti")
+        n_open_xids -= n_stale
 
     committed = committed_all
     # Caching policy mirrors apply.py: recomputing the pushed-down codegen'd
@@ -421,13 +452,30 @@ def apply_epoch_multi(
             skip_by[r["shard"]] = skip_by.get(r["shard"], 0) + r["n"]
 
     # ---- pending carry (apply.py protocol) ----
-    n_new = sum(stats["open_xids"][x]["n_new"] for x in cur_open)
-    pending_update, needs_df = plan_pending_update(catalog.manifest, cur_open, n_new)
+    if detail is not None:
+        n_new = sum(detail[x]["n_new"] for x in cur_open)
+        pending_update, needs_df = plan_pending_update(
+            catalog.manifest, cur_open, n_new
+        )
+    else:
+        pending_update, needs_df = plan_pending_update_large(
+            catalog.manifest,
+            n_open_xids,
+            osum["n_new"],
+            n_closed_pending_rows=(
+                int(stats["n_pending_rows"] or 0) - osum["n_pend_open_rows"]
+            ),
+            n_stale=n_stale,
+        )
     if needs_df:
         df = open_events
         if pending_update["mode"] == "delta":
             df = df.filter(~F.col("_pend"))
         pending_update["df"] = df.select(*fields)
+    if pending_update.get("need_closed_df"):
+        pending_update["closed_df"] = pending.select("xid").distinct().join(
+            open_events.select("xid").distinct(), "xid", "left_anti"
+        )
 
     # per-table sinks for every name live at some point this epoch (a table
     # CREATEd later this epoch resolves to None until its DDL applies)
@@ -518,8 +566,15 @@ def apply_epoch_multi(
                     affected=sorted(affected[name]),
                 )
 
-            if len(live) > 1:
-                with ThreadPoolExecutor(max_workers=min(8, len(live))) as ex:
+            # pool width (OLR_MULTI_WRITE_POOL dials it): measured on the
+            # 10M-event T=8 bench, local[32] — T8/T2 = 0.83 at pool 8,
+            # 1.15 at 4, 1.35 at 2, 1.48 serial: concurrent merges overlap
+            # each job's fixed cost and the shared-cache scans do NOT
+            # contend, so the widest pool wins (round-4's 1.36 driver draw
+            # was box variance, now damped by bench.py's median-of-3)
+            pool = int(os.environ.get("OLR_MULTI_WRITE_POOL", "8"))
+            if len(live) > 1 and pool > 1:
+                with ThreadPoolExecutor(max_workers=min(pool, len(live))) as ex:
                     n_merged += sum(bool(a) for a in ex.map(_merge_one, live))
             else:
                 n_merged += sum(bool(_merge_one(n)) for n in live)

@@ -40,6 +40,15 @@ from pyspark.sql import functions as F
 
 _DML = ("ins", "upd", "del")
 
+# Driver-side open-set detail cap: per-xid open rows collect ONLY up to
+# this many; past it the driver gets the aggregate summary row alone and
+# callers switch to the distributed pending path (parquet tombstones,
+# anti-join expiry — apply.py).  Bounds driver memory at O(cap) no matter
+# how many transactions a pathological feed holds open (reference analog:
+# the txn map lives off the hot path via MemoryManager swap,
+# src/common/MemoryManager.cpp:1-410).
+OPEN_DETAIL_CAP = 10_000
+
 
 def _branch(df: DataFrame, tag: str, **cols) -> DataFrame:
     """Project a mini-stream onto the shared tagged-union schema."""
@@ -88,6 +97,8 @@ def epoch_stats(
     pending_flag: str | None = None,
     per_table_dml: bool = False,
     extra_branches: list[DataFrame] | None = None,
+    pending_events: DataFrame | None = None,
+    open_detail_cap: int | None = None,
 ) -> dict:
     """Collect every driver-side epoch scalar in one aggregation job.
 
@@ -97,7 +108,21 @@ def epoch_stats(
     the previous epoch's pending snapshot — its complement counts the
     epoch's NEW open events (the incremental pending-carry delta size).
     ``per_table_dml``: emit per-(table, shard) committed-DML counts ('tnm').
+
+    ``pending_events``: the carried-pending subset of the event union (rows
+    with the pending flag) — enables the 'pnd' total-pending-rows counter,
+    which with the open summary's still-open-pending-rows count tells the
+    caller whether any previously-pending transaction CLOSED this epoch
+    (→ a tombstone is due) without any per-xid driver traffic.
+
+    Driver-memory contract: the per-xid open detail (``open_xids``) is
+    collected only while the open set fits ``open_detail_cap``; past the
+    cap ``open_xids`` is None and only ``open_summary`` (aggregate counts,
+    O(1) rows) comes back — the collect is O(cap) in the worst case, never
+    O(open transactions).
     """
+    if open_detail_cap is None:
+        open_detail_cap = OPEN_DETAIL_CAP
     committed, dropped, open_ev = parts["committed"], parts["dropped"], parts["open"]
     branches = [
         _branch(
@@ -120,6 +145,13 @@ def epoch_stats(
                 if pending_flag is not None
                 else F.lit(0).cast("long")
             ),
+            # carried-pending rows still open (o slot): total pending minus
+            # this tells the caller how many pending rows CLOSED this epoch
+            o=(
+                F.col(pending_flag).cast("long")
+                if pending_flag is not None
+                else F.lit(0).cast("long")
+            ),
             # staleness inputs for the open-txn expiry horizon: newest scn
             # per xid (scn slot) and has-a-commit-event (lsn slot, 0/1) —
             # watermark-GATED committed txns ride open with a commit event
@@ -128,6 +160,8 @@ def epoch_stats(
             lsn=F.when(F.col("op") == "commit", F.lit(1)).cast("long"),
         ),
     ]
+    if pending_events is not None:
+        branches.append(_branch(pending_events, "pnd"))
     if untracked_cond is not None:
         branches.append(
             _branch(
@@ -150,15 +184,37 @@ def epoch_stats(
     u = branches[0]
     for b in branches[1:]:
         u = u.unionByName(b)
+    agg = u.groupBy("tag", "shard", "xid", "k_scn", "k_seq", "stmt").agg(
+        F.sum("n").alias("n"),
+        F.sum("m").alias("m"),
+        F.sum("o").alias("o"),
+        F.max("lsn").alias("lsn"),
+        F.max("scn").alias("scn"),
+    )
+    # Same single action: the non-open groups (all config-bounded counts)
+    # union the open detail CAPPED at open_detail_cap+1 rows and one
+    # 'osum' aggregate row (n=open events, m=new events, o=still-open
+    # pending rows, k_scn=distinct open xids).  The grouped exchange is
+    # computed once and reused across the three branches; the driver never
+    # receives more than O(cap) open rows.
+    open_rows = agg.filter(F.col("tag") == "open")
+    osum = open_rows.agg(
+        F.lit("osum").alias("tag"),
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("string").alias("xid"),
+        F.count(F.lit(1)).alias("k_scn"),
+        F.lit(None).cast("long").alias("k_seq"),
+        F.lit(None).cast("string").alias("stmt"),
+        F.sum("n").alias("n"),
+        F.sum("m").alias("m"),
+        F.sum("o").alias("o"),
+        F.lit(None).cast("long").alias("lsn"),
+        F.lit(None).cast("long").alias("scn"),
+    )
     rows = (
-        u.groupBy("tag", "shard", "xid", "k_scn", "k_seq", "stmt")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("m").alias("m"),
-            F.sum("o").alias("o"),
-            F.max("lsn").alias("lsn"),
-            F.max("scn").alias("scn"),
-        )
+        agg.filter(F.col("tag") != "open")
+        .unionByName(open_rows.limit(open_detail_cap + 1))
+        .unionByName(osum)
         .collect()
     )
 
@@ -173,6 +229,9 @@ def epoch_stats(
         "n_prollback": 0,
         "n_chunks": 0,
         "open_xids": {},
+        "open_summary": {"n_xids": 0, "n_events": 0, "n_new": 0,
+                         "n_pend_open_rows": 0},
+        "n_pending_rows": 0 if pending_events is not None else None,
     }
     for r in rows:
         t = r["tag"]
@@ -191,6 +250,15 @@ def epoch_stats(
             out["n_prollback"] += r["n"]
         elif t == "nch":
             out["n_chunks"] += r["n"]
+        elif t == "pnd":
+            out["n_pending_rows"] = r["n"]
+        elif t == "osum":
+            out["open_summary"] = {
+                "n_xids": int(r["k_scn"] or 0),
+                "n_events": int(r["n"] or 0),
+                "n_new": int(r["m"] or 0),
+                "n_pend_open_rows": int(r["o"] or 0),
+            }
         elif t == "open":
             out["open_xids"][r["xid"]] = {
                 "n": r["n"],
@@ -203,4 +271,8 @@ def epoch_stats(
                 r["n"], r["m"], r["o"]
             ]
     out["ddls"].sort(key=lambda x: (x[0], x[1]))
+    if len(out["open_xids"]) > open_detail_cap:
+        # detail overflowed the cap — callers must use open_summary and the
+        # distributed pending/expiry path (the collect stays O(cap))
+        out["open_xids"] = None
     return out
