@@ -35,6 +35,11 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# consumer spool: frames per pyarrow row-group append — the driver-memory
+# bound of replicate_from_stream (tests shrink it to force multi-row-group
+# spools)
+NET_SPOOL_BATCH = 4096
+
 from ..functions.protobuf_output import (
     build_protobuf_messages,
     decode_message,
@@ -317,11 +322,13 @@ def replicate_from_stream(
 
     Scale shape: the socket is the serial part by design (the
     reference's writer is one thread; the stream IS a total order).
-    Frames buffer on the driver in chunks of ``chunk_frames`` and each
-    chunk is applied as one distributed epoch (parse fans out via
-    mapInPandas, merge via the bucketed lake path); chunks only cut at
-    commit-scn boundaries so a transaction's ops never split across
-    epochs.  Returns {start_scn, frames, epochs}.
+    Frames SPOOL to a local parquet file as they arrive (pyarrow row
+    groups of ~4k frames) and each chunk of ``chunk_frames`` is applied
+    as one distributed epoch by handing Spark the spool PATH — driver
+    memory is O(row-group buffer), never O(chunk bytes) (round-4 review
+    item: the old list buffer held up to chunk_frames raw frames).
+    Chunks only cut at commit-scn boundaries so a transaction's ops
+    never split across epochs.  Returns {start_scn, frames, epochs}.
 
     ``multi=True``: ``table_path`` is a CATALOG path — frames route to
     per-table LakeTables via the payload schema (apply_epoch_multi), DDL
@@ -341,6 +348,21 @@ def replicate_from_stream(
 
         table = LakeTable(spark, table_path)
 
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spool_schema = pa.schema(
+        [
+            pa.field("scn", pa.int64()),
+            pa.field("idx", pa.int32()),
+            pa.field("message", pa.binary()),
+        ]
+    )
+    spool_dir = tempfile.mkdtemp(prefix="olr-netspool-")
+
     client = RedoStreamClient(host, port, db_name)
     try:
         start = client.info()
@@ -348,17 +370,46 @@ def replicate_from_stream(
             job_id
         )
         frontier = max(done, default=0)  # replica-side applied watermark
-        buf: list[tuple] = []
+        pend: list[tuple] = []  # ≤ SPOOL_BATCH frames awaiting a row group
+        writer = None
+        spool_path = None
+        n_chunk = 0  # frames in the current (open) chunk
+        chunk_no = 0
+        chunk_max_scn = 0  # chunk identity = max commit scn seen
+        last_scn = None
         applied, n_epochs = 0, 0
 
-        def flush():
-            nonlocal buf, applied, n_epochs
-            if not buf:
+        def drain_pend():
+            nonlocal writer, pend, spool_path
+            if not pend:
                 return
-            ep = max(s for s, _, _ in buf)  # chunk identity = max commit scn
-            df = spark.createDataFrame(
-                buf, "scn long, idx int, message binary"
-            ).withColumn("seq", F.lit(ep).cast("long"))
+            if writer is None:
+                spool_path = os.path.join(spool_dir, f"chunk-{chunk_no:06d}.parquet")
+                writer = pq.ParquetWriter(spool_path, spool_schema)
+            writer.write_table(
+                pa.table(
+                    {
+                        "scn": [r[0] for r in pend],
+                        "idx": [r[1] for r in pend],
+                        "message": [r[2] for r in pend],
+                    },
+                    schema=spool_schema,
+                )
+            )
+            pend = []
+
+        def flush():
+            nonlocal writer, spool_path, n_chunk, chunk_no, chunk_max_scn
+            nonlocal applied, n_epochs
+            drain_pend()
+            if writer is None:
+                return
+            writer.close()
+            writer = None
+            ep = chunk_max_scn
+            df = spark.read.parquet(spool_path).withColumn(
+                "seq", F.lit(ep).cast("long")
+            )
             events = parse_protobuf_messages(df, image_type)
             if multi:
                 apply_epoch_multi(Catalog(spark, table_path), events, ep,
@@ -367,19 +418,29 @@ def replicate_from_stream(
                 apply_epoch(table.refresh(), events, ep, job_id=job_id,
                             tracked_pattern=tracked_pattern, **apply_kwargs)
             client.confirm(ep)
-            applied += len(buf)
-            buf, n_epochs = [], n_epochs + 1
+            os.remove(spool_path)  # merge committed; the spool is consumed
+            spool_path = None
+            applied += n_chunk
+            n_chunk, chunk_max_scn = 0, 0
+            chunk_no += 1
+            n_epochs += 1
 
         for c_scn, c_idx, frame in client.stream_raw(start):
             if c_scn <= frontier:
                 continue  # re-delivered frame, already merged (see above)
             # cut only at a commit-scn boundary: txn groups stay whole
-            if len(buf) >= chunk_frames and buf[-1][0] != c_scn:
+            if n_chunk >= chunk_frames and last_scn != c_scn:
                 flush()
-            buf.append((int(c_scn), int(c_idx), frame))
+            pend.append((int(c_scn), int(c_idx), frame))
+            n_chunk += 1
+            chunk_max_scn = max(chunk_max_scn, int(c_scn))
+            last_scn = c_scn
+            if len(pend) >= NET_SPOOL_BATCH:
+                drain_pend()
         flush()
         if applied == 0 and frontier > start:
             client.confirm(frontier)  # heal a rewound/wiped server confirm
         return {"start_scn": start, "frames": applied, "epochs": n_epochs}
     finally:
         client.close()
+        shutil.rmtree(spool_dir, ignore_errors=True)

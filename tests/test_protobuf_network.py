@@ -459,3 +459,59 @@ def test_fuzz_network_replica_exactly_once(spark, tmpdir_path):
             )
         finally:
             server.stop()
+
+
+def test_consumer_spool_multi_row_group(spark, tmpdir_path, monkeypatch):
+    """Driver-memory contract of replicate_from_stream (round-5 item #6):
+    frames spool to a local parquet file in row groups of NET_SPOOL_BATCH
+    (patched tiny here → many row groups per chunk) and each chunk hands
+    Spark the spool PATH — replication result identical to the direct
+    replay with no O(chunk) frame list on the driver."""
+    from openlogreplicator_spark.sources import network as net
+    from openlogreplicator_spark.sources.network import (
+        RedoStreamServer,
+        replicate_from_stream,
+        write_protobuf_mirror,
+    )
+    from openlogreplicator_spark.streaming.job import (
+        create_target,
+        read_final_state,
+        replay_batch,
+    )
+
+    monkeypatch.setattr(net, "NET_SPOOL_BATCH", 2)
+
+    fb = FeedBuilder()
+    for i in range(9):
+        t = fb.begin()
+        t.ins(f"c{i}", 0, role="user", text=f"v{i}", ts=TS)
+        fb.commit(t)
+    expected_tbl = replay_batch(
+        spark, fb.to_spark(spark), os.path.join(tmpdir_path, "direct")
+    )
+    expected = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in expected_tbl.read().collect()
+    )
+
+    spool = os.path.join(tmpdir_path, "spool")
+    write_protobuf_mirror(_committed_dml(spark, fb), spool, 0)
+    replica_path = os.path.join(tmpdir_path, "replica")
+    create_target(spark, replica_path, n_buckets=2)
+    server = RedoStreamServer(spool, db_name="transcripts_feed")
+    host, port = server.start()
+    try:
+        # chunk_frames >> n_frames: ONE chunk built from many tiny row
+        # groups (the memory-bound path); then a second drain is a no-op
+        res = replicate_from_stream(
+            spark, host, port, "transcripts_feed", replica_path,
+            chunk_frames=10_000,
+        )
+        assert res["frames"] == 9 and res["epochs"] == 1
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in read_final_state(spark, replica_path).collect()
+        )
+        assert got == expected
+    finally:
+        server.stop()
