@@ -62,6 +62,28 @@ ORACLE_CHARSETS = {
     "BLT8MSWIN1257": "cp1257",
     "EE8MSWIN1250": "cp1250",
     "US7ASCII": "ascii",
+    # single-byte sets from the reference's matrix (src/locales/Locales.cpp)
+    # whose mapping Python's codec registry already ships
+    "CL8KOI8R": "koi8-r",
+    "CL8KOI8U": "koi8-u",
+    "US8PC437": "cp437",
+    "WE8PC850": "cp850",
+    "WE8PC858": "cp858",
+    "N8PC865": "cp865",
+    "RU8PC866": "cp866",
+    "TR8PC857": "cp857",
+    "EE8PC852": "cp852",
+    "EL8PC737": "cp737",
+    "EL8PC869": "cp869",
+    "IS8PC861": "cp861",
+    "BLT8PC775": "cp775",
+    "CDN8PC863": "cp863",
+    "CL8MACCYRILLICS": "mac-cyrillic",
+    "EL8MACGREEKS": "mac-greek",
+    "TR8MACTURKISHS": "mac-turkish",
+    "IS8MACICELANDICS": "mac-iceland",
+    "WE8MACROMAN8S": "mac-roman",
+    "AZ8ISO8859P9E": "iso8859-9",
 }
 
 
