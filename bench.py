@@ -63,6 +63,70 @@ def feed_cache_dir(n_txns: int, skew: float) -> str:
     return d
 
 
+_ANN_DIM = 64
+_ANN_CLUSTERS = 1000
+_ANN_BLOCK = 4096
+
+
+def _ann_centers():
+    import numpy as np
+
+    c = np.random.RandomState(7).randn(_ANN_CLUSTERS, _ANN_DIM)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ann_block_noise(blk: int):
+    import numpy as np
+
+    return np.random.RandomState(100_003 + blk).randn(_ANN_BLOCK, _ANN_DIM)
+
+
+def _ann_vectors_for_ids(ids, centers):
+    """Deterministic clustered corpus row formula, independent of Arrow
+    batching: vec(id) = unit(center[id % K] + 0.25 * noise_block[id]) with
+    noise drawn per aligned 4096-id block."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    noise = np.empty((len(ids), _ANN_DIM))
+    for blk in np.unique(ids // _ANN_BLOCK):
+        nb = _ann_block_noise(int(blk))
+        sel = (ids // _ANN_BLOCK) == blk
+        noise[sel] = nb[ids[sel] - blk * _ANN_BLOCK]
+    v = centers[ids % _ANN_CLUSTERS] + 0.25 * noise
+    return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype("float32")
+
+
+def ann_corpus_dir(spark, n: int) -> str:
+    """Materialize (once, tmpfs-cached) the n-vector clustered corpus for
+    the scale-honest ANN pair — synthesized deterministically, no external
+    data (the sf tables top out at 2k vectors)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    d = f"{base}/olr_bench_ann_n{n}_d{_ANN_DIM}"
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    centers = _ann_centers()
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b["id"].to_numpy()
+            v = _ann_vectors_for_ids(ids, centers)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(v)})
+
+    (
+        spark.range(n, numPartitions=64)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "data"))
+    )
+    open(marker, "w").write("ok")
+    return d
+
+
 def _timed(times, name, fn, best_of: int = 1):
     """Record wall time; ``best_of > 1`` keeps the fastest run — the
     steady-state number for a long-running engine (first run pays one-time
@@ -501,6 +565,82 @@ def run_side_group() -> dict:
         _timed(times, "ann_pq_rerank_precomputed", ann_pq, best_of=2)
         shutil.rmtree(pq_dir, ignore_errors=True)
 
+    extra: dict = {}
+    # ---- scale-honest ANN pair (round-5 item #7): exact brute force vs
+    # IVF-PQ(+rerank) over a 10M-vector clustered corpus — the regime
+    # where the ADC code scan's ~32× I/O cut is a measured number, not an
+    # extrapolation from 2k fixture vectors.  Ingest halves (cell ids +
+    # codes) are materialized once, untimed, as in production.
+    ann_n = int(os.environ.get("BENCH_ANN_N", "10000000"))
+    if ann_n > 0:
+        import numpy as np
+
+        from openlogreplicator_spark.functions.similarity import (
+            assign_ivf_cells,
+            brute_force_topk,
+            ivf_pq_topk,
+            pq_encode,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        d = ann_corpus_dir(spark, ann_n)
+        corpus = spark.read.parquet(os.path.join(d, "data"))
+        centers = _ann_centers()
+        # training sample = the corpus's own first 16384 rows, regenerated
+        # driver-side from the deterministic formula (no 2.5 GB collect)
+        sample = [list(map(float, r))
+                  for r in _ann_vectors_for_ids(range(16384), centers)]
+        cents = train_ivf_centroids(sample, n_centroids=256, iters=6)
+        books = train_pq_codebooks(sample, n_subspaces=8, n_codes=16, iters=6)
+        enc = os.path.join(d, "enc_c256")
+        if not os.path.exists(os.path.join(enc, "_SUCCESS")):
+            pq_encode(
+                assign_ivf_cells(corpus, dim=_ANN_DIM, centroids=cents),
+                books, dim=_ANN_DIM,
+            ).write.mode("overwrite").parquet(enc)
+        encoded = spark.read.parquet(enc)
+
+        n_q, k = 8, 10
+        qv = _ann_vectors_for_ids(
+            [(i * 37 + 5) * _ANN_BLOCK + i for i in range(n_q)], centers
+        )
+        queries = spark.createDataFrame(
+            [(i, [float(x) for x in qv[i]]) for i in range(n_q)],
+            "q_id long, embedding array<float>",
+        )
+
+        truth: dict = {}
+
+        def brute():
+            rows = brute_force_topk(corpus, queries, k=k).collect()
+            truth.clear()
+            for r in rows:
+                truth.setdefault(r["q_id"], set()).add(r["n_id"])
+
+        _timed(times, "ann_brute_10m", brute, best_of=2)
+
+        got: dict = {}
+
+        def ivfpq():
+            rows = ivf_pq_topk(
+                encoded, queries, books, k=k, dim=_ANN_DIM,
+                centroids=cents, n_probe=8, rerank=8,
+                precomputed_cell_col="ivf_cid",
+                precomputed_code_col="pq_code",
+            ).collect()
+            got.clear()
+            for r in rows:
+                got.setdefault(r["q_id"], set()).add(r["n_id"])
+
+        _timed(times, "ann_ivfpq_10m", ivfpq, best_of=2)
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        extra["ann_10m_n"] = ann_n
+        extra["ann_ivfpq_10m_recall"] = round(hits / max(len(truth) * k, 1), 4)
+        extra["ann_ivfpq_10m_speedup"] = round(
+            times["ann_brute_10m"] / max(times["ann_ivfpq_10m"], 1e-9), 3
+        )
+
     li_path = os.path.join(SF_DIR, "lineitem.parquet")
     if os.path.exists(li_path):
         li = spark.read.parquet(li_path)
@@ -521,7 +661,7 @@ def run_side_group() -> dict:
 
         _timed(times, "agg_pricing_summary", pricing, best_of=2)
 
-    return {"queries": times}
+    return {"queries": times, **extra}
 
 
 def _run_subprocess_group(group: str) -> dict:
@@ -539,6 +679,85 @@ def _run_subprocess_group(group: str) -> dict:
     return json.loads(lines[-1])
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _merge_cdc_draws(draws: list[dict]) -> dict:
+    """Median-of-N fresh-JVM draws for the CDC group (this box swings
+    ±30-40% between same-day draws of identical code — round-4 whipsawed
+    cross-round comparisons on single draws).  Per-query time = median
+    across draws (each draw already keeps best-of-2 in-JVM for JIT);
+    ``spread`` = (max−min)/median per query.  Derived throughputs are
+    recomputed from the median times; remaining scalars come from the
+    draw whose headline (cdc_full_merge) is the median."""
+    if len(draws) == 1:
+        d = dict(draws[0])
+        d["spread"] = {k: 0.0 for k in d["queries"]}
+        d["n_draws"] = 1
+        return d
+    qnames = set()
+    for d in draws:
+        qnames.update(d["queries"])
+    times = {}
+    spread = {}
+    for q in sorted(qnames):
+        vals = [d["queries"][q] for d in draws if q in d["queries"]]
+        med = _median(vals)
+        times[q] = round(med, 3)
+        spread[q] = round((max(vals) - min(vals)) / max(med, 1e-9), 3)
+    # anchor draw: the one whose headline is the median
+    headline = [d["queries"].get("cdc_full_merge", 0.0) for d in draws]
+    anchor = draws[headline.index(_median(headline))] if len(draws) % 2 else draws[
+        min(range(len(draws)), key=lambda i: abs(headline[i] - _median(headline)))
+    ]
+    out = {k: v for k, v in anchor.items() if k != "queries"}
+    out["queries"] = times
+    out["spread"] = spread
+    out["n_draws"] = len(draws)
+    n_events = out.get("n_events")
+    n_upd = out.get("n_update_events")
+    n_wire = out.get("n_wire_messages")
+    if n_events:
+        for key, q in (
+            ("events_per_sec_full_merge", "cdc_full_merge"),
+            ("events_per_sec_parse_assemble", "cdc_parse_assemble"),
+            ("events_per_sec_skewed", "cdc_full_merge_skewed"),
+            ("events_per_sec_multi_table", "cdc_multi_table_merge"),
+        ):
+            if q in times and key in out:
+                out[key] = round(n_events / times[q], 1)
+        if "events_per_sec_skewed" in out:
+            out["skew_ratio"] = round(
+                out["events_per_sec_skewed"] / out["events_per_sec_full_merge"], 3
+            )
+    if n_upd:
+        if "cdc_update_epoch_cow" in times:
+            out["update_events_per_sec_cow"] = round(n_upd / times["cdc_update_epoch_cow"], 1)
+        if "cdc_update_epoch_mor" in times:
+            out["update_events_per_sec_mor"] = round(n_upd / times["cdc_update_epoch_mor"], 1)
+        if "cdc_stateful_assemble" in times:
+            out["stateful_events_per_sec"] = round(n_upd / times["cdc_stateful_assemble"], 1)
+    if n_wire and "cdc_json_wire_parse" in times:
+        out["wire_events_per_sec_parse"] = round(n_wire / times["cdc_json_wire_parse"], 1)
+    if "cdc_multi_table_merge_t8" in times and "cdc_multi_table_merge" in times:
+        out["multi_t8_over_t2"] = round(
+            times["cdc_multi_table_merge_t8"] / times["cdc_multi_table_merge"], 3
+        )
+    if "cdc_protobuf_wire_write" in times and "cdc_json_wire_write" in times:
+        out["pb_over_json_write"] = round(
+            times["cdc_protobuf_wire_write"] / max(times["cdc_json_wire_write"], 1e-9), 3
+        )
+    if "cdc_point_lookup_unclustered" in times and "cdc_point_lookup_clustered" in times:
+        out["point_lookup_speedup"] = round(
+            times["cdc_point_lookup_unclustered"]
+            / max(times["cdc_point_lookup_clustered"], 1e-9), 3
+        )
+    return out
+
+
 def main():
     group = os.environ.get("BENCH_GROUP")
     if group == "cdc":
@@ -548,11 +767,15 @@ def main():
         print(json.dumps(run_side_group()))
         return
 
-    # orchestrator: each group in its own JVM
-    merged = _run_subprocess_group("cdc")
+    # orchestrator: each group in its own JVM; the CDC group as
+    # median-of-N fresh-JVM draws (BENCH_CDC_DRAWS, default 3)
+    n_draws = int(os.environ.get("BENCH_CDC_DRAWS", "3"))
+    draws = [_run_subprocess_group("cdc") for _ in range(max(1, n_draws))]
+    merged = _merge_cdc_draws(draws)
     if ONLY != "cdc":
         side = _run_subprocess_group("side")
         merged["queries"].update(side["queries"])
+        merged.update({k: v for k, v in side.items() if k != "queries"})
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {
