@@ -61,14 +61,26 @@ def _derived_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _derived_feed(
-    spark: SparkSession, sf_dir: str, multi_table: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    multi_table: bool = False,
+    rac_ddl_cut: int | None = None,
 ) -> DataFrame:
     """Full change-event feed (begin/dml/commit per source event) in the
     engine's wire schema — single-op auto-commit transactions.
 
     ``multi_table``: route each user's ops to one of TWO tracked tables
     (user_id parity) — the multi-table replication shape (reference fixture
-    tests/sql/inputs/multi-table.sql)."""
+    tests/sql/inputs/multi-table.sql).
+
+    ``rac_ddl_cut``: the rac-ddl-cross-node shape (reference fixture
+    tests/sql/inputs/rac-ddl-cross-node.rac.sql): events spread across TWO
+    shards (user_id parity — the RAC nodes), an ``ADD COLUMN meta`` DDL
+    txn committed on shard 0 at the event-id cut, and every post-cut DML
+    (from BOTH shards, i.e. new-schema DML crossing the node that ran the
+    DDL) sets the new column to its event_type.  The scn stride widens to
+    4 so the DDL txn owns the free slot at cut*4+3 — strictly between the
+    last pre-cut commit (cut*4+2) and the first post-cut begin (cut*4+4)."""
     from openlogreplicator_spark.schema import CHANGE_EVENT_SCHEMA
 
     ops = _derived_ops(spark, sf_dir)
@@ -81,6 +93,7 @@ def _derived_feed(
         ops = ops.withColumn("_tbl", F.lit("transcripts"))
     base = ops.select(
         F.col("event_id"),
+        F.col("user_id"),
         F.col("op"),
         F.col("conv_id"),
         F.col("turn_idx"),
@@ -89,11 +102,19 @@ def _derived_feed(
         F.col("ts"),
         F.col("_tbl"),
     )
+    stride = 3 if rac_ddl_cut is None else 4
+    post = (
+        F.lit(False) if rac_ddl_cut is None else F.col("event_id") > rac_ddl_cut
+    )
+    shard = (
+        F.lit(0) if rac_ddl_cut is None else (F.col("user_id") % 2).cast("int")
+    )
 
     def row(kind: str):
-        scn = F.col("event_id") * 3 + {"begin": 0, "dml": 1, "commit": 2}[kind]
+        scn = F.col("event_id") * stride + {"begin": 0, "dml": 1, "commit": 2}[kind]
         is_dml = kind == "dml"
         is_commit = kind == "commit"
+        sets_meta = F.lit(is_dml) & post & F.col("op").isin("ins", "upd")
         after = F.when(
             F.lit(is_dml) & F.col("op").isin("ins", "upd"),
             F.struct(
@@ -101,15 +122,27 @@ def _derived_feed(
                 F.col("props").alias("text"),
                 F.lit(None).cast("string").alias("tool"),
                 F.lit(None).cast("timestamp").alias("ts"),
-                F.lit(None).cast("string").alias("meta"),
+                F.when(sets_meta, F.col("event_type")).alias("meta"),
             ),
         )
-        changed = F.when(
-            F.lit(is_dml) & (F.col("op") == "ins"), F.array(F.lit("role"), F.lit("text"))
-        ).when(F.lit(is_dml) & (F.col("op") == "upd"), F.array(F.lit("text")))
+        changed = (
+            F.when(
+                F.lit(is_dml) & (F.col("op") == "ins") & post,
+                F.array(F.lit("role"), F.lit("text"), F.lit("meta")),
+            )
+            .when(
+                F.lit(is_dml) & (F.col("op") == "ins"),
+                F.array(F.lit("role"), F.lit("text")),
+            )
+            .when(
+                F.lit(is_dml) & (F.col("op") == "upd") & post,
+                F.array(F.lit("text"), F.lit("meta")),
+            )
+            .when(F.lit(is_dml) & (F.col("op") == "upd"), F.array(F.lit("text")))
+        )
         return base.select(
             scn.alias("lsn"),
-            F.lit(0).alias("shard"),
+            shard.alias("shard"),
             F.lit(0).cast("long").alias("seq"),
             scn.alias("scn"),
             F.when(F.lit(is_commit), scn).alias("commit_scn"),
@@ -124,14 +157,49 @@ def _derived_feed(
             changed.alias("changed_cols"),
             F.lit(None).cast("int").alias("chunk_no"),
             F.lit(None).cast("string").alias("chunk_text"),
-            F.lit(0).alias("schema_version"),
+            post.cast("int").alias("schema_version"),
             F.lit(None).cast("string").alias("ddl_stmt"),
             F.col("ts"),
             F.lit(None).cast("map<string,string>").alias("attrs"),
         )
 
     _ = CHANGE_EVENT_SCHEMA  # wire shape documented there
-    return row("begin").unionByName(row("dml")).unionByName(row("commit"))
+    feed = row("begin").unionByName(row("dml")).unionByName(row("commit"))
+    if rac_ddl_cut is None:
+        return feed
+    # the DDL transaction itself: begin/ddl/commit on shard 0 at the cut
+    ddl_scn = rac_ddl_cut * 4 + 3
+    one = spark.range(1)
+
+    def ddl_row(kind: str, seq_in_txn: int):
+        return one.select(
+            F.lit(ddl_scn).alias("lsn"),
+            F.lit(0).alias("shard"),
+            F.lit(0).cast("long").alias("seq"),
+            F.lit(ddl_scn).cast("long").alias("scn"),
+            (F.lit(ddl_scn) if kind == "commit" else F.lit(None)).cast("long").alias("commit_scn"),
+            F.lit("xddl").alias("xid"),
+            F.lit(seq_in_txn).alias("seq_in_txn"),
+            F.lit(kind).alias("op"),
+            (F.lit("transcripts") if kind == "ddl" else F.lit(None)).cast("string").alias("table_name"),
+            F.lit(None).cast("string").alias("conv_id"),
+            F.lit(None).cast("int").alias("turn_idx"),
+            F.lit(None).cast("struct<role:string,text:string,tool:string,ts:timestamp,meta:string>").alias("before"),
+            F.lit(None).cast("struct<role:string,text:string,tool:string,ts:timestamp,meta:string>").alias("after"),
+            F.lit(None).cast("array<string>").alias("changed_cols"),
+            F.lit(None).cast("int").alias("chunk_no"),
+            F.lit(None).cast("string").alias("chunk_text"),
+            F.lit(0).alias("schema_version"),
+            (F.lit("ADD COLUMN meta string") if kind == "ddl" else F.lit(None)).cast("string").alias("ddl_stmt"),
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("map<string,string>").alias("attrs"),
+        )
+
+    return (
+        feed.unionByName(ddl_row("begin", 0))
+        .unionByName(ddl_row("ddl", 1))
+        .unionByName(ddl_row("commit", 2))
+    )
 
 
 _ORACLE_DERIVED = """
@@ -996,6 +1064,85 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t13_stateful_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (state-store architecture) — the same flagship replay as s6,
+    but transaction assembly runs through the applyInPandasWithState
+    TransactionBuffer analog (streaming/stateful.py, the reference's
+    src/parser/TransactionBuffer.h:54-109 as a bucket-sharded Spark state
+    operator): derived feed → bounded stream → stateful assembly →
+    collapse → final state.  Hash-contracted against the SAME DuckDB
+    oracle as the batch path — the two architectures must agree bit-for-
+    bit on the final table."""
+    import tempfile
+    import uuid
+
+    from openlogreplicator_spark.operators.collapse import collapse_net_changes
+    from openlogreplicator_spark.sources.feed import read_feed_stream
+    from openlogreplicator_spark.streaming.stateful import assemble_stateful
+
+    tmp = tempfile.mkdtemp(prefix="olr-t13-")
+    feed_dir = os.path.join(tmp, "feed")
+    _derived_feed(spark, sf_dir).write.parquet(feed_dir)
+
+    name = "t13_emitted_" + uuid.uuid4().hex[:12]
+    q = (
+        assemble_stateful(read_feed_stream(spark, feed_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name)
+    dml = emitted.filter(F.col("op").isin("ins", "upd", "del")).withColumn(
+        "after",
+        F.from_json(
+            "after_json",
+            "struct<role:string,text:string,tool:string,ts:timestamp,meta:string>",
+        ),
+    )
+    net = collapse_net_changes(dml, ["role", "text", "tool", "ts"])
+    return net.filter(~F.col("is_delete")).select(
+        "conv_id",
+        "turn_idx",
+        F.col("vals").getField("role").alias("role"),
+        F.col("vals").getField("text").alias("text"),
+    )
+
+
+def q_rac_ddl_cross_node_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/T7 cross-node DDL fence (reference fixture
+    tests/sql/inputs/rac-ddl-cross-node.rac.sql): the derived feed spread
+    over TWO shards, an ADD COLUMN DDL committed on shard 0 at the
+    event-id midpoint, and post-cut DML from BOTH shards writing the new
+    column — all in ONE epoch through the real lake sink.  apply_epoch
+    must order the DDL against both shards' DML by commit scn: pre-cut
+    rows apply under the old schema (meta NULL), the ALTER applies once,
+    post-cut rows land with meta populated.  Oracle: the s6 replay with
+    meta = event_type of the last surviving post-cut write per key."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    max_id = _load(spark, sf_dir, "events").agg(F.max("event_id").alias("m")).first()["m"]
+    cut = int(max_id) // 2
+    feed = _derived_feed(spark, sf_dir, rac_ddl_cut=cut)
+
+    path = tempfile.mkdtemp(prefix="olr-racddl-")
+    table = LakeTable.create(
+        spark, path,
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    apply_epoch(table, feed, 0, job_id="racddl")
+    return table.read().select("conv_id", "turn_idx", "role", "text", "meta")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1017,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
         "d4_catalog_as_of": q_d4_catalog_as_of,
+        "t13_stateful_final_state": q_t13_stateful_final_state,
+        "rac_ddl_cross_node_state": q_rac_ddl_cross_node_state,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
         "t11_lww_dedup": q_t11_lww_dedup,
@@ -1690,4 +1839,42 @@ WHERE {_tc(_CONFIG_COND, attrs_style="column")}
     # Catalog-level as-of twin: the cross-table snapshot at epoch 0 must
     # equal the single-table version-0 read — identical cutoff-replay oracle
     sql["d4_catalog_as_of"] = sql["d4_time_travel_as_of"]
+    # state-store architecture twin: the applyInPandasWithState assembly
+    # must land the exact state the batch path lands — identical oracle
+    sql["t13_stateful_final_state"] = sql["s6_cdc_replay_final_state"]
+    # rac-ddl-cross-node: s6 replay + meta = event_type of the last
+    # surviving post-cut write per key (the ADD COLUMN fence at max//2)
+    sql["rac_ddl_cross_node_state"] = _ORACLE_DERIVED + """
+, st AS (
+  SELECT conv_id, turn_idx,
+         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,
+         max(event_id) AS last_eid
+  FROM ev GROUP BY conv_id, turn_idx
+), last_op AS (
+  SELECT e.conv_id, e.turn_idx, e.op AS last_op
+  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+                      AND e.event_id = s.last_eid
+), surv AS (
+  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx
+  WHERE e.op <> 'del' AND e.event_id >= s.boundary
+), sv AS (
+  SELECT conv_id, turn_idx, max(event_id) AS me,
+         max(CASE WHEN op = 'ins' THEN event_type END) AS role
+  FROM surv GROUP BY conv_id, turn_idx
+), mx AS (
+  SELECT max(event_id) // 2 AS cut FROM ev
+), mm AS (
+  SELECT s.conv_id, s.turn_idx, max(s.event_id) AS meid
+  FROM surv s, mx WHERE s.event_id > mx.cut
+  GROUP BY s.conv_id, s.turn_idx
+)
+SELECT l.conv_id, l.turn_idx, s.role, e.props AS text, me.event_type AS meta
+FROM last_op l
+JOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx
+JOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me
+LEFT JOIN mm ON mm.conv_id = l.conv_id AND mm.turn_idx = l.turn_idx
+LEFT JOIN surv me ON me.conv_id = mm.conv_id AND me.turn_idx = mm.turn_idx
+                 AND me.event_id = mm.meid
+WHERE l.last_op <> 'del'
+"""
     return sql
