@@ -360,10 +360,30 @@ class JobPlan:
     metrics: bool = False
     writer_type: str = "discard"
     writer_output: str | None = None        # file: output path
+    writer_max_file_size: int = 0           # file: rotation size budget
+    writer_timestamp_format: str = "%F_%T"  # file: %t mask strftime
+    writer_new_line: int = 1                # file: 0 none / 1 LF / 2 CRLF
+    writer_append: int = 1                  # file: resume vs next-number
     writer_uri: str | None = None           # network: bind host:port
     kafka_topic: str | None = None
     kafka_brokers: str | None = None
     ignored: list[str] = field(default_factory=list)
+
+    def rotating_writer(self):
+        """The reference-semantics rotating file sink when the config asks
+        for one (rotation mask in ``output`` or ``max-file-size`` set);
+        None when the plain distributed mirror is the egress."""
+        if self.writer_type != "file":
+            return None
+        from .sources.file_writer import writer_from_plan
+
+        return writer_from_plan(
+            self.writer_output or "",
+            timestamp_format=self.writer_timestamp_format,
+            max_file_size=self.writer_max_file_size,
+            new_line=self.writer_new_line,
+            append=self.writer_append,
+        )
 
     def pre_filter(self):
         """The config-driven predicate as one pushed-down DataFrame filter
@@ -609,8 +629,49 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
             'writer type "zeromq" needs libzmq, which this image does not '
             'ship; use "network" (the same redo-stream protocol over plain '
             "TCP) or \"file\"")
+    # file-writer rotation dials (OpenLogReplicator.cpp:1135-1175): honored
+    # for type "file" (sources/file_writer.py), validated here so a bad
+    # config fails at parse time like the reference's 30001/30005-30007
+    _file_dials = {"max-file-size", "timestamp-format", "new-line", "append",
+                   "write-buffer-flush-size"}
+    w_max_file_size = int(writer.get("max-file-size", 0) or 0)
+    w_ts_format = writer.get("timestamp-format", "%F_%T")
+    w_new_line = int(writer.get("new-line", 1))
+    w_append = int(writer.get("append", 1))
+    if wtype == "file":
+        if w_new_line > 2 or w_new_line < 0:
+            raise ConfigError(
+                f'bad JSON, invalid "new-line" value: {w_new_line}, '
+                "expected: one of {0 .. 2}")
+        if w_append not in (0, 1):
+            raise ConfigError(
+                f'bad JSON, invalid "append" value: {w_append}, '
+                "expected: one of {0, 1}")
+        if w_max_file_size and not writer.get("output"):
+            raise ConfigError(
+                'bad JSON, invalid "output" value: , expected: to be set '
+                f'when "max-file-size" is set ({w_max_file_size})')
+        flush_size = int(writer.get("write-buffer-flush-size", 1048576))
+        if flush_size > 1048576 or flush_size < 0:
+            raise ConfigError(
+                'bad JSON, invalid "write-buffer-flush-size" value: '
+                f"{flush_size}, expected: one of {{0 .. 1048576}}")
+        if "write-buffer-flush-size" in writer:
+            # range-validated for parity; Python file objects buffer
+            ignored.append("writer.write-buffer-flush-size")
+        from .sources.file_writer import FileWriterConfigError, writer_from_plan
+
+        try:  # mask grammar errors surface at parse time (30005-30007)
+            writer_from_plan(writer.get("output") or "",
+                             timestamp_format=w_ts_format,
+                             max_file_size=w_max_file_size,
+                             new_line=w_new_line, append=w_append)
+        except FileWriterConfigError as e:
+            raise ConfigError(str(e)) from e
+    else:
+        _file_dials = set()
     for k in sorted(set(writer) - {"type", "output", "uri", "topic",
-                                   "properties", "brokers"}):
+                                   "properties", "brokers"} - _file_dials):
         ignored.append(f"writer.{k}")
 
     max_txn_mb = src.get("transaction-max-mb")
@@ -639,6 +700,10 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         metrics=bool(metrics_cfg),
         writer_type=wtype,
         writer_output=writer.get("output"),
+        writer_max_file_size=w_max_file_size,
+        writer_timestamp_format=w_ts_format,
+        writer_new_line=w_new_line,
+        writer_append=w_append,
         writer_uri=writer.get("uri"),
         kafka_topic=writer.get("topic"),
         kafka_brokers=(writer.get("brokers")
@@ -652,10 +717,18 @@ def _writer_dirs(plan: JobPlan, lake_root: str) -> tuple[str | None, str | None]
     """(json_mirror_dir, protobuf_spool_dir) for the planned egress."""
     if plan.writer_type == "file":
         out = plan.writer_output or "output.json"
-        # "output-%t.json"-style patterns name files inside the mirror dir
-        d = os.path.dirname(out) if ("%" in os.path.basename(out)
-                                     or out.endswith(".json")) else out
-        d = d or os.path.join(lake_root, "mirror")
+        if plan.rotating_writer() is not None:
+            # rotation requested: the mirror becomes an internal spool
+            # under the lake root; the user's output path receives ONLY
+            # the rotated files the reference would produce
+            d = os.path.join(lake_root, "mirror")
+        else:
+            # "output.json"-style plain names: the mirror dir sits next
+            # to the named file (documented divergence: the distributed
+            # egress is a directory of ordered part files)
+            d = os.path.dirname(out) if ("%" in os.path.basename(out)
+                                         or out.endswith(".json")) else out
+            d = d or os.path.join(lake_root, "mirror")
         if plan.wire_format == "protobuf":
             return None, d
         return d, None
@@ -790,6 +863,14 @@ def run_from_config(
             target.vacuum(retain_last=int(plan.keep_checkpoints))
         if plan.state_path and plan.source_name and continuous is None:
             _export_reference_checkpoint(spark, plan, target)
+        if json_mirror_dir is not None and continuous is None:
+            # rotation tail (WriterFile semantics): drain the ordered
+            # mirror into the user's rotated output files; the .writer-pos
+            # cursor makes re-drains exactly-once
+            rot = plan.rotating_writer()
+            if rot is not None:
+                with rot:
+                    rot.drain_mirror(json_mirror_dir)
         if plan.writer_type == "network" and protobuf_spool_dir is not None:
             # the reference's network writer IS a server clients connect
             # to (WriterStream binds target[].writer.uri); serve the spool

@@ -201,20 +201,43 @@ def test_run_from_config_batch_with_condition(spark, tmpdir_path):
 
 def test_run_from_config_stream_file_writer(spark, tmpdir_path):
     """offline reader + file writer: streams the feed and mirrors the
-    committed ops as JSON wire messages, like the reference's file sink."""
+    committed ops as JSON wire messages, like the reference's file sink.
+    A %t mask REQUIRES max-file-size (reference error 30007), so this
+    config carries one; the rotated output file must hold the wire
+    messages in commit order."""
     fb, feed_dir = _feed(spark, tmpdir_path)
     state = os.path.join(tmpdir_path, "state")
-    mirror = os.path.join(tmpdir_path, "mirror", "out-%t.json")
+    out_dir = os.path.join(tmpdir_path, "rotated")
     cfg = _base_cfg(feed_dir, state, reader_type="offline",
-                    writer={"type": "file", "output": mirror, "new-line": 1})
+                    writer={"type": "file",
+                            "output": os.path.join(out_dir, "out-%t.json"),
+                            "max-file-size": 10_000_000, "new-line": 1})
     table = run_from_config(spark, cfg)
     expected = replay(fb.rows, tracked_tables={"transcripts"})
     got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
     want = {(k[0], k[1]): v["text"] for k, v in expected.rows.items()}
     assert got == want
-    files = glob.glob(os.path.join(tmpdir_path, "mirror", "**", "*"),
-                      recursive=True)
-    assert any(os.path.isfile(f) for f in files), "JSON mirror egress missing"
+    rotated = [f for f in glob.glob(os.path.join(out_dir, "out-*.json"))
+               if os.path.isfile(f)]
+    assert rotated, "rotated file egress missing"
+    lines = [json.loads(ln) for f in rotated for ln in open(f)
+             if ln.strip()]
+    data = [m for m in lines
+            if m["payload"][0].get("op") in ("c", "u", "d")]
+    assert len(data) == 4  # all four committed DML ops ride the wire
+    scns = [m["scn"] for m in data]
+    assert scns == sorted(scns), "rotated stream must be in commit order"
+
+
+def test_run_from_config_rotation_mask_requires_size(spark, tmpdir_path):
+    """%t without max-file-size is the reference's config error 30007 —
+    rejected at parse time, before any job runs."""
+    fb, feed_dir = _feed(spark, tmpdir_path)
+    cfg = _base_cfg(feed_dir, os.path.join(tmpdir_path, "state"),
+                    writer={"type": "file",
+                            "output": os.path.join(tmpdir_path, "o-%t.json")})
+    with pytest.raises(ConfigError, match="max file size"):
+        plan_from_config(cfg)
 
 
 def test_run_from_config_skip_xid(spark, tmpdir_path):
