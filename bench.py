@@ -626,9 +626,13 @@ def run_side_group() -> dict:
         books = train_pq_codebooks(sample, n_subspaces=8, n_codes=16, iters=6)
         enc = os.path.join(d, "enc_c256")
         if not os.path.exists(os.path.join(enc, "_SUCCESS")):
+            # ingest halves on the vectorized engine: the interpreted
+            # higher-order-function fold costs ~20 min at 10M x 256
+            # centroids; the Arrow-batched BLAS path costs seconds
             pq_encode(
-                assign_ivf_cells(corpus, dim=_ANN_DIM, centroids=cents),
-                books, dim=_ANN_DIM,
+                assign_ivf_cells(corpus, dim=_ANN_DIM, centroids=cents,
+                                 engine="numpy"),
+                books, dim=_ANN_DIM, engine="numpy",
             ).write.mode("overwrite").parquet(enc)
         encoded = spark.read.parquet(enc)
 

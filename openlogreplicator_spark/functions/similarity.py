@@ -267,16 +267,54 @@ def _ivf_cid(vec: Column, cents: list[list[float]], dim: int) -> Column:
 def assign_ivf_cells(corpus: DataFrame, n_centroids: int = 8, dim: int = 64,
                      vec_col: str = "embedding",
                      cell_col: str = "ivf_cid",
-                     centroids: list[list[float]] | None = None) -> DataFrame:
+                     centroids: list[list[float]] | None = None,
+                     engine: str = "expr") -> DataFrame:
     """The at-INGEST half of IVF: materialize each vector's coarse cell id
     as a column (the same pattern as the lake's bucket column).  Store the
     result (partitioned/bucketed by the cell) once; ``ivf_topk`` with
     ``precomputed_cell_col`` then skips the corpus assignment scan — at
     10^10 vectors the assignment is paid once per centroid refresh, not
     per query batch.  ``centroids``: trained literals
-    (:func:`train_ivf_centroids`) — defaults to the md5 pseudo-matrix."""
+    (:func:`train_ivf_centroids`) — defaults to the md5 pseudo-matrix.
+
+    ``engine``: ``"expr"`` (default) scores with plan-time literal column
+    expressions — right for the serving-time few-centroid probes and for
+    the hash contracts (sequential double adds, bit-equal to the DuckDB
+    oracle).  ``"numpy"`` scores with one Arrow-batched BLAS matmul per
+    batch — the INGEST path for production centroid counts: Catalyst
+    higher-order functions (aggregate∘zip_with) run interpreted per
+    element, so at 256 centroids × 64 dims they cost ~16k interpreted
+    steps per row, ~100× a vectorized multiply; same argmax/first-tie
+    rule, float64 accumulation, order-of-additions may differ on exact
+    near-ties (measure-zero on real embeddings)."""
     cents = centroids if centroids is not None else centroid_matrix(n_centroids, dim)
+    if engine == "numpy":
+        return _assign_ivf_cells_numpy(corpus, cents, dim, vec_col, cell_col)
     return corpus.withColumn(cell_col, _ivf_cid(F.col(vec_col), cents, dim))
+
+
+def _assign_ivf_cells_numpy(corpus: DataFrame, cents: list[list[float]],
+                            dim: int, vec_col: str, cell_col: str) -> DataFrame:
+    import numpy as np
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in corpus.schema.fields)
+    out_schema = f"{fields}, `{cell_col}` int"
+    cmat = np.asarray(cents, dtype=np.float64).T  # (dim, K)
+
+    def gen(batches):
+        for b in batches:
+            v = b[vec_col]
+            ok = v.map(lambda x: x is not None and len(x) == dim)
+            cid = np.full(len(b), None, dtype=object)
+            if ok.any():
+                m = np.stack(v[ok].to_numpy()).astype(np.float64)
+                cid[ok.to_numpy()] = (m @ cmat).argmax(axis=1) + 1
+            b = b.copy()
+            b[cell_col] = cid
+            yield b
+
+    return corpus.mapInPandas(gen, out_schema)
 
 
 def _probe_frame(queries: DataFrame, cents: list[list[float]], n_probe: int,
@@ -465,18 +503,25 @@ def _pq_subscores(vec: Column, book_m: list[list[float]], lo: int) -> Column:
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               dim: int = 64, vec_col: str = "embedding",
-              code_col: str = "pq_code") -> DataFrame:
+              code_col: str = "pq_code", engine: str = "expr") -> DataFrame:
     """The at-INGEST half of PQ: materialize each vector's code array
     (1-based codeword ids, one per subspace) as a column.  Pure column
     expressions — per-subspace score arrays are projected once each, then
     argmin'd (array_position of max), never re-embedded.  Store the result
     once; :func:`pq_topk` / :func:`ivf_pq_topk` with
     ``precomputed_code_col`` then scan ONLY the codes.  Fixed-dim contract
-    as everywhere in this module: length != dim → NULL code → excluded."""
+    as everywhere in this module: length != dim → NULL code → excluded.
+
+    ``engine="numpy"``: one Arrow-batched einsum per batch instead of the
+    interpreted higher-order-function fold — the production INGEST path
+    (same dial and rationale as :func:`assign_ivf_cells`); identical
+    argmax/first-tie codeword rule."""
     m = len(codebooks)
     d0 = len(codebooks[0][0])
     if m * d0 != dim:
         raise ValueError(f"codebooks cover {m}x{d0} != dim {dim}")
+    if engine == "numpy":
+        return _pq_encode_numpy(df, codebooks, dim, vec_col, code_col)
     keep = df.columns
     s = df.select(
         *keep,
@@ -497,6 +542,38 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
         *keep,
         F.when(F.size(F.col(vec_col)) == dim, code).alias(code_col),
     )
+
+
+def _pq_encode_numpy(df: DataFrame, codebooks: list[list[list[float]]],
+                     dim: int, vec_col: str, code_col: str) -> DataFrame:
+    import numpy as np
+
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, `{code_col}` array<int>"
+    books = np.asarray(codebooks, dtype=np.float64)       # (m, K, d0)
+    half = 0.5 * (books * books).sum(axis=2)              # (m, K)
+
+    def gen(batches):
+        for b in batches:
+            v = b[vec_col]
+            ok = v.map(lambda x: x is not None and len(x) == dim)
+            codes = np.full(len(b), None, dtype=object)
+            if ok.any():
+                mat = np.stack(v[ok].to_numpy()).astype(np.float64)
+                segs = mat.reshape(len(mat), m, d0)
+                # scores[n,i,k] = <seg_ni, book_ik> - ||book_ik||^2/2
+                sc = np.einsum("nid,ikd->nik", segs, books) - half
+                ids = (sc.argmax(axis=2) + 1).astype(np.int32)
+                for j, row in zip(np.flatnonzero(ok.to_numpy()), ids):
+                    codes[j] = row.tolist()
+            b = b.copy()
+            b[code_col] = codes
+            yield b
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def pq_codebook_literal(codebooks: list[list[list[float]]]) -> Column:

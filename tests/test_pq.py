@@ -92,6 +92,44 @@ def test_pq_encode_matches_numpy(spark, corpus_rows, books):
         assert got[vid] == _np_codes(vec32, books), vid
 
 
+def test_pq_encode_numpy_engine_matches_expr(spark, corpus_rows, books):
+    """engine="numpy" (Arrow-batched einsum ingest path) must produce the
+    exact codes the expression path produces — same argmax/first-tie rule;
+    the corpus has no exact near-ties, so float association differences
+    cannot flip a codeword."""
+    df, _ = _frames(spark, corpus_rows)
+    expr = {r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(df, books, dim=DIM).collect()}
+    vec = {r["vec_id"]: list(r["pq_code"])
+           for r in pq_encode(df, books, dim=DIM, engine="numpy").collect()}
+    assert expr == vec
+
+
+def test_assign_ivf_cells_numpy_engine_matches_expr(spark, corpus_rows):
+    df, _ = _frames(spark, corpus_rows)
+    sample = [v for _, v in corpus_rows[::3]]
+    cents = train_ivf_centroids(sample, n_centroids=K_CLUSTERS, iters=6)
+    expr = {r["vec_id"]: r["ivf_cid"]
+            for r in assign_ivf_cells(df, dim=DIM, centroids=cents).collect()}
+    vec = {r["vec_id"]: r["ivf_cid"]
+           for r in assign_ivf_cells(df, dim=DIM, centroids=cents,
+                                     engine="numpy").collect()}
+    assert expr == vec
+
+
+def test_assign_ivf_cells_numpy_null_for_wrong_dim(spark, corpus_rows):
+    sample = [v for _, v in corpus_rows[::3]]
+    cents = train_ivf_centroids(sample, n_centroids=K_CLUSTERS, iters=6)
+    df = spark.createDataFrame(
+        [(1, [0.5] * DIM), (2, [0.5] * (DIM - 1)), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r["ivf_cid"]
+            for r in assign_ivf_cells(df, dim=DIM, centroids=cents,
+                                      engine="numpy").collect()}
+    assert rows[1] is not None and rows[2] is None and rows[3] is None
+
+
 def test_pq_encode_null_for_wrong_dim(spark, books):
     df = spark.createDataFrame(
         [(1, [0.5] * DIM), (2, [0.5] * (DIM - 1))],
