@@ -358,6 +358,8 @@ class JobPlan:
     adaptive_schema: bool = False    # flags bit 2, REDO_FLAGS::ADAPTIVE_SCHEMA
     checkpoint_keep_all: bool = False  # flags bit 13, REDO_FLAGS::CHECKPOINT_KEEP
     metrics: bool = False
+    metrics_bind: str | None = None       # prometheus: "host:port" scrape addr
+    metrics_tag_names: str = "none"       # none|filter|sys|all (Metrics.h)
     writer_type: str = "discard"
     writer_output: str | None = None        # file: output path
     writer_max_file_size: int = 0           # file: rotation size budget
@@ -617,6 +619,12 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         raise ConfigError(
             f'bad JSON, invalid metrics "type" value: {metrics_cfg.get("type")}'
             ', expected: one of {"prometheus"}')
+    tag_names = metrics_cfg.get("tag-names", "none")
+    if tag_names not in ("none", "filter", "sys", "all"):
+        # reference error text: OpenLogReplicator.cpp:393-395
+        raise ConfigError(
+            f'bad JSON, invalid "tag-names" value: {tag_names}, expected: '
+            'one of {"all", "filter", "none", "sys"}')
 
     # ---- writer ----------------------------------------------------------
     wtype = writer.get("type")
@@ -698,6 +706,8 @@ def plan_from_config(cfg: str | dict, strict: bool = True) -> JobPlan:
         adaptive_schema=bool(flags & _FLAG_ADAPTIVE_SCHEMA),
         checkpoint_keep_all=bool(flags & _FLAG_CHECKPOINT_KEEP),
         metrics=bool(metrics_cfg),
+        metrics_bind=metrics_cfg.get("bind"),
+        metrics_tag_names=tag_names,
         writer_type=wtype,
         writer_output=writer.get("output"),
         writer_max_file_size=w_max_file_size,
@@ -838,10 +848,27 @@ def run_from_config(
                             fresh_create = False
 
     recorder = None
+    prom_srv = None
+    registry = None
     if plan.metrics:
         from .streaming.metrics import attach_metrics
 
         recorder = attach_metrics(spark, os.path.join(lake_root, "_metrics"))
+        # Prometheus endpoint (MetricsPrometheus.cpp; metrics.adoc): the
+        # registry makes the apply paths fold their driver-side epoch
+        # scalars into reference-vocabulary counters; "bind" exposes them
+        from .streaming import prometheus
+
+        registry = prometheus.enable(plan.metrics_tag_names)
+        # per-table series carry the config's {owner, table} labels
+        # (MetricsPrometheus.cpp:368-460 emit variants)
+        registry.owner_map = {
+            (r.table.lower() if r.is_literal else r.table): r.owner
+            for r in plan.rules
+        }
+        registry.set_state("initializing")
+        if plan.metrics_bind:
+            prom_srv = prometheus.PrometheusServer(plan.metrics_bind, registry)
 
     from .streaming.job import (
         replay_batch,
@@ -890,9 +917,25 @@ def run_from_config(
                 target.network_server = srv
             except AttributeError:  # slotted/frozen result object
                 srv.stop()
+        if registry is not None:
+            # drain-level counters the epoch hook can't see: redo bytes
+            # consumed and log switches (feed seq files) — driver-side
+            # os.stat, no jobs
+            n_seq, n_bytes = _feed_footprint(plan.feed_paths)
+            registry.inc("log_switches", n_seq, type="archived"
+                         if continuous is None else "online")
+            registry.inc("bytes_read", n_bytes)
+            registry.inc("bytes_parsed", n_bytes)
+            registry.set_state(
+                "replicating" if continuous is not None else "finishing")
+            if prom_srv is not None:
+                target.prometheus_server = prom_srv
+                target.metrics_registry = registry
         return target
 
     try:
+        if registry is not None:
+            registry.set_state("starting")
         if plan.multi_tables:
             if plan.mode == "batch":
                 feed = _read_paths(spark, plan.feed_paths)
@@ -949,11 +992,38 @@ def run_from_config(
             dump_dir=(os.path.join(lake_root, "_dump")
                       if plan.dump_xids else None),
             json_format=plan.wire))
+    except BaseException:
+        if registry is not None:
+            registry.set_state("aborting")
+        if prom_srv is not None:
+            prom_srv.close()
+        raise
     finally:
         if recorder is not None and continuous is None:
             from .streaming.metrics import detach_metrics
 
             detach_metrics(spark, recorder)
+
+
+def _feed_footprint(paths: list[str]) -> tuple[int, int]:
+    """(sequence count, total bytes) of the feed directories — the
+    log_switches / bytes_read counter inputs.  Driver-side os.walk."""
+    n_seq, n_bytes = 0, 0
+    for p in paths or []:
+        if not os.path.isdir(p):
+            continue
+        for entry in os.listdir(p):
+            if re.search(r"seq[-=](\d+)", entry):
+                n_seq += 1
+            full = os.path.join(p, entry)
+            if os.path.isfile(full):
+                n_bytes += os.path.getsize(full)
+            elif os.path.isdir(full):
+                for f in os.listdir(full):
+                    fp = os.path.join(full, f)
+                    if os.path.isfile(fp):
+                        n_bytes += os.path.getsize(fp)
+    return n_seq, n_bytes
 
 
 def _max_feed_seq(paths: list[str]) -> int:

@@ -53,6 +53,22 @@ class FileWriterConfigError(ValueError):
 _NUM_MASK = re.compile(r"%(10|[2-9])?i")
 
 
+def _count_sent(n: int, nbytes: int) -> None:
+    """Fold a send batch into the Prometheus registry (messages_sent /
+    bytes_sent; a file write is immediately durable so confirmed == sent —
+    the reference's WriterFile confirms on write the same way)."""
+    if not n:
+        return
+    from ..streaming.prometheus import get_registry
+
+    reg = get_registry()
+    if reg is not None:
+        reg.inc("messages_sent", n)
+        reg.inc("bytes_sent", nbytes)
+        reg.inc("messages_confirmed", n)
+        reg.inc("bytes_confirmed", nbytes)
+
+
 class RotatingFileWriter:
     """Serial rotating-file sink with WriterFile's exact dial semantics."""
 
@@ -238,9 +254,12 @@ class RotatingFileWriter:
     def send_all(self, messages: Iterable[bytes | str],
                  sequence: int | None = None) -> int:
         n = 0
+        nbytes = 0
         for m in messages:
             self.send_message(m, sequence=sequence)
             n += 1
+            nbytes += len(m) if isinstance(m, bytes) else len(m.encode("utf-8"))
+        _count_sent(n, nbytes)
         return n
 
     def flush(self) -> None:
@@ -276,6 +295,7 @@ class RotatingFileWriter:
             with open(state_path) as f:
                 done = json.load(f)["epoch"]
         n = 0
+        nbytes = 0
         for epoch_dir in sorted(glob.glob(os.path.join(mirror_dir, "epoch=*"))):
             epoch = int(os.path.basename(epoch_dir).split("=")[1])
             if epoch <= done:
@@ -290,11 +310,13 @@ class RotatingFileWriter:
                         if line:
                             self.send_message(line, sequence=epoch)
                             n += 1
+                            nbytes += len(line)
             self.flush()
             tmp = state_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"epoch": epoch}, f)
             os.replace(tmp, state_path)
+        _count_sent(n, nbytes)
         return n
 
 

@@ -118,6 +118,14 @@ def read_spool_messages(out_dir: str, after_scn: int = 0):
                     yield scn, idx, msg
 
 
+def _prom_registry():
+    """Active Prometheus registry or None — messages_sent/bytes_sent and
+    the confirm counters (metrics.adoc) hook here, driver-side."""
+    from ..streaming.prometheus import get_registry
+
+    return get_registry()
+
+
 def _send_frame(sock, payload: bytes):
     sock.sendall(struct.pack(">I", len(payload)) + payload)
 
@@ -210,17 +218,31 @@ class RedoStreamServer:
             elif code == REQ_START:
                 start_scn = req.get(3, [0])[0] if 3 in req else self.confirmed_scn()
                 _send_frame(sock, _encode_control(RESP_STARTING, scn=start_scn))
+                reg = _prom_registry()
+                n_msgs = n_bytes = 0
                 for scn, idx, msg in read_spool_messages(self.spool_dir, start_scn):
                     # stamp the confirm coordinates (c_scn/c_idx fields 10/11)
-                    _send_frame(
-                        sock,
-                        msg + field_varint(10, scn) + field_varint(11, idx),
-                    )
+                    out = msg + field_varint(10, scn) + field_varint(11, idx)
+                    _send_frame(sock, out)
+                    n_msgs += 1
+                    n_bytes += len(out) + 4
+                if reg is not None:
+                    reg.inc("messages_sent", n_msgs)
+                    reg.inc("bytes_sent", n_bytes)
                 # spool drained: tell the client it is at the live edge
                 _send_frame(sock, _encode_control(RESP_REPLICATE))
             elif code == REQ_CONFIRM:
                 c_scn = req.get(8, [0])[0] if 8 in req else req.get(3, [0])[0]
                 if c_scn > self.confirmed_scn():
+                    reg = _prom_registry()
+                    if reg is not None:
+                        # confirmed frontier advanced: count the spool
+                        # messages (and their wire bytes) now acknowledged
+                        for _s, _i, m in read_spool_messages(
+                                self.spool_dir, self.confirmed_scn()):
+                            if _s <= c_scn:
+                                reg.inc("messages_confirmed", 1)
+                                reg.inc("bytes_confirmed", len(m) + 4)
                     self._record_confirm(c_scn)
             else:
                 _send_frame(sock, _encode_control(RESP_INVALID_COMMAND))

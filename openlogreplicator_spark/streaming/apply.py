@@ -65,6 +65,26 @@ PENDING_COMPACT_DIRS = 8
 PENDING_CLOSED_CAP = 50_000
 
 
+def _pending_bytes(root: str, manifest: dict) -> int | None:
+    """On-disk bytes of the open-transaction carry — the engine's analog of
+    the reference's transaction-buffer swap usage (MemoryManager.cpp), fed
+    to the swap_usage_mb / memory_used_mb{type=transactions} gauges.
+    Driver-side os.stat over O(pending files); metrics-path only."""
+    dirs = manifest.get("pending_dirs", [])
+    if not dirs:
+        return 0
+    total = 0
+    try:
+        for d in dirs:
+            p = os.path.join(root, d)
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    total += os.path.getsize(os.path.join(p, f))
+    except OSError:
+        return None
+    return total
+
+
 def plan_pending_update(
     manifest: dict, cur_open: set, n_new_events: int
 ) -> tuple[dict, bool]:
@@ -274,6 +294,9 @@ def apply_epoch(
         is_tracked = F.col("table_name").isNotNull() & F.col("table_name").rlike(
             tracked_pattern
         )
+        from .prometheus import get_registry
+
+        registry = get_registry()
         stats = epoch_stats(
             batch_df,
             parts,
@@ -281,6 +304,7 @@ def apply_epoch(
             pending_flag="_pend",
             extra_branches=extra_branches,
             pending_events=events.filter(F.col("_pend")),
+            dml_type_counts=registry is not None,
         )
         use_fused = (
             changes0 is not None
@@ -554,6 +578,16 @@ def apply_epoch(
         table.manifest = m
         if _do_persist:
             committed.unpersist()
+        if registry is not None:
+            registry.observe_epoch(
+                dml_by_type=stats["dml_ops_by_type"],
+                n_skipped=sum(skip_by.values()),
+                n_commits=stats["n_commits"] or 0,
+                n_rollbacks=stats["n_rollbacks"] or 0,
+                ddls=stats["ddls"],
+                had_changes=n_merged > 0,
+                pending_bytes=_pending_bytes(table.path, m),
+            )
         return {"applied": True, "segments": len(boundaries), "merged": n_merged}
     finally:
         if _persist_events:

@@ -275,10 +275,14 @@ def apply_epoch_multi(
 
         extra_branches = [collapse_counts_branch(changes0, per_table=True)]
 
+    from .prometheus import get_registry
+
+    registry = get_registry()
     stats = epoch_stats(
         batch_df, parts, pending_flag="_pend", per_table_dml=True,
         extra_branches=extra_branches,
         pending_events=events.filter(F.col("_pend")),
+        dml_type_counts=registry is not None,
     )
     # adaptive-schema mode (reference: REDO_FLAGS::SCHEMALESS +
     # Metadata::loadAdaptiveSchema, Metadata.cpp:676-706 — here the
@@ -667,4 +671,23 @@ def apply_epoch_multi(
     )
     if _do_persist:
         committed.unpersist()
+    if registry is not None:
+        typed = {
+            t: tuple(
+                sum(v[i] for (t_, _s), v in
+                    stats["dml_by_table_shard_typed"].items() if t_ == t)
+                for i in range(3)
+            )
+            for t in {t_ for (t_, _s) in stats["dml_by_table_shard_typed"]}
+            if t is not None
+        }
+        registry.observe_epoch(
+            dml_by_type=stats["dml_ops_by_type"],
+            dml_by_table_typed=typed,
+            n_skipped=sum(skip_by.values()),
+            n_commits=stats["n_commits"] or 0,
+            n_rollbacks=stats["n_rollbacks"] or 0,
+            ddls=stats["ddls"],
+            had_changes=n_merged > 0,
+        )
     return {"applied": True, "segments": len(boundaries), "merged": n_merged}

@@ -99,6 +99,7 @@ def epoch_stats(
     extra_branches: list[DataFrame] | None = None,
     pending_events: DataFrame | None = None,
     open_detail_cap: int | None = None,
+    dml_type_counts: bool = False,
 ) -> dict:
     """Collect every driver-side epoch scalar in one aggregation job.
 
@@ -108,6 +109,12 @@ def epoch_stats(
     the previous epoch's pending snapshot — its complement counts the
     epoch's NEW open events (the incremental pending-carry delta size).
     ``per_table_dml``: emit per-(table, shard) committed-DML counts ('tnm').
+
+    ``dml_type_counts``: add two metric arms to the SAME job (job count
+    unchanged — more union branches, not more actions): 'dmt' = committed
+    DML split by op type, 'txn' = commit/rollback marker counts from the
+    raw batch.  Off by default so the job's row traffic is byte-identical
+    when the Prometheus registry is disabled.
 
     ``pending_events``: the carried-pending subset of the event union (rows
     with the pending flag) — enables the 'pnd' total-pending-rows counter,
@@ -171,12 +178,34 @@ def epoch_stats(
             )
         )
     if per_table_dml:
+        # n stays the total (existing consumers); m/o carry the by-type
+        # split (m=insert, o=update, delete = n-m-o) for per-table metrics
         branches.append(
             _branch(
                 committed.filter(F.col("op").isin(*_DML)),
                 "tnm",
                 shard=F.col("shard"),
                 stmt=F.col("table_name"),
+                m=(F.col("op") == "ins").cast("long"),
+                o=(F.col("op") == "upd").cast("long"),
+            )
+        )
+    if dml_type_counts:
+        branches.append(
+            _branch(
+                committed.filter(F.col("op").isin(*_DML)),
+                "dmt",
+                n=(F.col("op") == "ins").cast("long"),
+                m=(F.col("op") == "upd").cast("long"),
+                o=(F.col("op") == "del").cast("long"),
+            )
+        )
+        branches.append(
+            _branch(
+                batch_df.filter(F.col("op").isin("commit", "rollback")),
+                "txn",
+                n=(F.col("op") == "commit").cast("long"),
+                m=(F.col("op") == "rollback").cast("long"),
             )
         )
 
@@ -226,6 +255,10 @@ def epoch_stats(
         "dropped_by_shard": {},
         "untracked_by_shard": {} if untracked_cond is not None else None,
         "dml_by_table_shard": {} if per_table_dml else None,
+        "dml_by_table_shard_typed": {} if per_table_dml else None,
+        "dml_ops_by_type": (0, 0, 0) if dml_type_counts else None,
+        "n_commits": 0 if dml_type_counts else None,
+        "n_rollbacks": 0 if dml_type_counts else None,
         "n_prollback": 0,
         "n_chunks": 0,
         "open_xids": {},
@@ -246,6 +279,13 @@ def epoch_stats(
             out["untracked_by_shard"][r["shard"]] = r["n"]
         elif t == "tnm":
             out["dml_by_table_shard"][(r["stmt"], r["shard"])] = r["n"]
+            out["dml_by_table_shard_typed"][(r["stmt"], r["shard"])] = (
+                int(r["m"]), int(r["o"]), int(r["n"] - r["m"] - r["o"]))
+        elif t == "dmt":
+            out["dml_ops_by_type"] = (int(r["n"]), int(r["m"]), int(r["o"]))
+        elif t == "txn":
+            out["n_commits"] = int(r["n"])
+            out["n_rollbacks"] = int(r["m"])
         elif t == "npr":
             out["n_prollback"] += r["n"]
         elif t == "nch":
