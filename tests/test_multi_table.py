@@ -636,3 +636,66 @@ def test_catalog_read_as_of(spark, tmpdir_path):
     assert set(as2) == {"transcripts", "summaries"}  # audit dropped
     assert [r["text"] for r in as2["transcripts"].collect()] == ["e2"]
     assert as2["summaries"].count() == 0
+
+
+def test_rac_concurrent_tables_per_node(spark, tmpdir_path):
+    """rac-concurrent-tables.rac.sql analog: each table written exclusively
+    from a DIFFERENT RAC node (shard) in the same watermark window — node 1
+    owns table 1's insert/update/delete stream, node 2 owns table 2's.  The
+    shard watermark must interleave both nodes' commits by scn without one
+    table's stream gating the other's already-safe commits."""
+    from openlogreplicator_spark.lake.catalog import Catalog
+    from openlogreplicator_spark.streaming.multi import apply_epoch_multi
+
+    fb = FeedBuilder(n_shards=2)
+    t = fb.begin(shard=0)                       # node 1 → transcripts
+    t.ins("r1", 0, role="u", text="T1-Alice", ts=TS)
+    t.ins("r2", 0, role="u", text="T1-Bob", ts=TS)
+    fb.commit(t)
+    t = fb.begin(shard=1)                       # node 2 → summaries
+    t.dml_other_table("summaries", "r1", 0, op="ins", role="u", text="T2-Charlie")
+    t.dml_other_table("summaries", "r2", 0, op="ins", role="u", text="T2-Diana")
+    fb.commit(t)
+    t = fb.begin(shard=0)
+    t.upd("r1", 0, text="T1-Alice-150")
+    t.delete("r2", 0)
+    fb.commit(t)
+    t = fb.begin(shard=1)
+    t.dml_other_table("summaries", "r1", 0, op="upd", text="T2-Charlie-350")
+    t.dml_other_table("summaries", "r2", 0, op="del")
+    fb.commit(t)
+
+    cat = Catalog.create(spark, os.path.join(tmpdir_path, "cat"))
+    for n in ("transcripts", "summaries"):
+        cat.create_table(n, n_buckets=2)
+    apply_epoch_multi(cat, fb.to_spark(spark), 0, job_id="j",
+                      shard_watermark=True, expected_shards=[0, 1])
+    # the window's globally-last commit (node 2's upd/del) sits past node
+    # 1's frontier → gated in epoch 0; a node-1 heartbeat advances the
+    # watermark and it applies (the reference's RAC min-SCN fence)
+    hb = FeedBuilder(n_shards=2, start_scn=50_000)
+    hb._xid_counter = 77
+    t = hb.begin(shard=0)
+    t.ins("hb1", 0, role="hb", text="x", ts=TS)
+    hb.commit(t)
+    apply_epoch_multi(cat, hb.to_spark(spark), 1, job_id="j",
+                      shard_watermark=True, expected_shards=[0, 1])
+
+    expected = replay_multi(
+        fb.rows,
+        initial_tables={
+            "transcripts": ["role", "text", "tool", "ts"],
+            "summaries": ["role", "text", "tool", "ts"],
+        },
+    )
+    for name in ("transcripts", "summaries"):
+        table = cat.table(name)
+        got = normalize_rows(
+            [r.asDict() for r in table.read().collect()
+             if not r["conv_id"].startswith("hb")],
+            table.value_names)
+        want = normalize_rows(expected.as_records(name),
+                              expected.tables[name]["columns"])
+        assert got == want, f"{name}: state mismatch\n got={got}\nwant={want}"
+    sm = {r["conv_id"]: r["text"] for r in cat.table("summaries").read().collect()}
+    assert sm == {"r1": "T2-Charlie-350"}

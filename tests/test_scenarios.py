@@ -789,3 +789,101 @@ def test_rac_ddl_cross_node_multi_table(spark, tmpdir_path):
             expected.as_records(name), expected.tables[name]["columns"]
         )
         assert got == want, f"{name}: state mismatch\n got={got}\nwant={want}"
+
+
+def test_partitioned_table_segments(spark, tmpdir_path):
+    """partitioned-table.sql analog: DML arrives from DISTINCT partition
+    segments (per-txn attrs carry the segment's obj/dataobj, the SysTabPart
+    mapping) but all of it is ONE logical table — segment identity must not
+    split routing, bucketing, or collapse.  Mirrors the fixture's
+    insert-across-partitions / update / delete matrix."""
+    fb = FeedBuilder()
+    # inserts land in three different range-partition segments
+    t = fb.begin(attrs={"obj": "71001", "dataobj": "71002", "part": "p_low"})
+    t.ins("r10", 0, role="u", text="Low-A", ts=TS)
+    t.ins("r50", 0, role="u", text="Low-B", ts=TS)
+    fb.commit(t)
+    t = fb.begin(attrs={"obj": "71001", "dataobj": "71003", "part": "p_mid"})
+    t.ins("r150", 0, role="u", text="Mid-A", ts=TS)
+    fb.commit(t)
+    t = fb.begin(attrs={"obj": "71001", "dataobj": "71004", "part": "p_high"})
+    t.ins("r250", 0, role="u", text="High-A", ts=TS)
+    fb.commit(t)
+    # updates touch rows in different segments within one transaction
+    t = fb.begin(attrs={"obj": "71001", "dataobj": "71002", "part": "p_low"})
+    t.upd("r10", 0, text="Low-A-v2")
+    t.upd("r150", 0, text="Mid-A-v2")
+    fb.commit(t)
+    # deletes from two segments
+    t = fb.begin(attrs={"obj": "71001", "dataobj": "71004", "part": "p_high"})
+    t.delete("r50", 0)
+    t.delete("r250", 0)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("r10", 0)]["text"] == "Low-A-v2"
+    assert rows[("r150", 0)]["text"] == "Mid-A-v2"
+    assert ("r50", 0) not in rows and ("r250", 0) not in rows
+
+
+def test_partition_key_row_movement(spark, tmpdir_path):
+    """Oracle row movement: an UPDATE that changes the partition key is
+    logged as DELETE(old segment) + INSERT(new segment) inside the same
+    transaction (partitioned-table.sql list-partition case).  The op
+    lattice must fold del→ins on one key into the surviving new row, and
+    a crossing pair split across two transactions must behave the same."""
+    fb = FeedBuilder()
+    t = fb.begin(attrs={"part": "p_east"})
+    t.ins("row1", 0, role="u", text="EAST", tool="1000.50", ts=TS)
+    fb.commit(t)
+    # same-txn movement: del in old segment + ins in new segment
+    t = fb.begin(attrs={"part": "p_east->p_west"})
+    t.delete("row1", 0)
+    t.ins("row1", 0, role="u", text="WEST", tool="1000.50", ts=TS)
+    fb.commit(t)
+    # cross-txn movement with an unrelated interleaved write
+    t = fb.begin(attrs={"part": "p_west"})
+    t.delete("row1", 0)
+    fb.commit(t)
+    t = fb.begin(attrs={"part": "p_other"})
+    t.ins("row1", 0, role="u", text="NORTH", tool="3000.00", ts=TS)
+    t.ins("row2", 0, role="u", text="WEST", tool="2000.75", ts=TS)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in table.read().collect()}
+    assert rows[("row1", 0)]["text"] == "NORTH"
+    assert rows[("row2", 0)]["text"] == "WEST"
+
+
+def test_timestamp_variants(spark, tmpdir_path):
+    """timestamp-variants.sql analog: sub-second precision (micros — Spark's
+    native resolution; the fixture's FF9 values truncate the same way the
+    wire's micro-resolution builder does), epoch/midnight, end-of-day
+    .999999, NULL timestamps, NULL→value and value→value updates, delete."""
+    fb = FeedBuilder()
+    t = fb.begin()
+    t.ins("t1", 0, role="u", text="precise",
+          ts=datetime(2025, 6, 15, 10, 30, 0, 123456, tzinfo=timezone.utc))
+    t.ins("t2", 0, role="u", text="midnight",
+          ts=datetime(2000, 1, 1, 0, 0, 0, 0, tzinfo=timezone.utc))
+    t.ins("t3", 0, role="u", text="end-of-day",
+          ts=datetime(2026, 12, 31, 23, 59, 59, 999999, tzinfo=timezone.utc))
+    t.ins("t4", 0, role="u", text="nulls", ts=None)
+    t.ins("t5", 0, role="u", text="pre-epoch",
+          ts=datetime(1969, 12, 31, 23, 59, 59, 1, tzinfo=timezone.utc))
+    fb.commit(t)
+    t = fb.begin()
+    t.upd("t1", 0, ts=datetime(2026, 3, 1, 8, 0, 0, 500000, tzinfo=timezone.utc))
+    t.upd("t4", 0, ts=datetime(2025, 1, 15, 12, 0, 0, 1, tzinfo=timezone.utc))
+    fb.commit(t)
+    t = fb.begin()
+    t.delete("t2", 0)
+    fb.commit(t)
+    table, _ = run_and_compare(spark, fb, tmpdir_path)
+    rows = {r["conv_id"]: r.asDict() for r in table.read().collect()}
+    # collected values are naive UTC (session TZ pinned)
+    assert rows["t1"]["ts"] == datetime(2026, 3, 1, 8, 0, 0, 500000)
+    assert rows["t3"]["ts"] == datetime(2026, 12, 31, 23, 59, 59, 999999)
+    assert rows["t4"]["ts"] == datetime(2025, 1, 15, 12, 0, 0, 1)
+    assert rows["t5"]["ts"] == datetime(1969, 12, 31, 23, 59, 59, 1)
+    assert "t2" not in rows
