@@ -476,6 +476,40 @@ def q_w2_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_for_keys(keys).select("conv_id", "turn_idx", "role", "text")
 
 
+def q_w2_partial_cow_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/maintenance — file-level (partial) copy-on-write: the derived
+    feed is split by KEY BAND — every transaction touching a conv_id in
+    ['u1','u2') replays in a SECOND epoch after the table is OPTIMIZEd
+    (per-key event order is preserved, so the final state must equal the
+    one-shot replay).  The late epoch's key range intersects only a
+    contiguous slice of each clustered bucket, so zone-map-disjoint base
+    files survive the rewrite untouched (lake/table._plan_partial_cow, the
+    Iceberg sparse-update analog); this contract proves survivors plus the
+    rewritten hot files reassemble the exact oracle state — the partial
+    rewrite is invisible to readers."""
+    import tempfile
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    band = (F.col("conv_id") >= "u1") & (F.col("conv_id") < "u2")
+    band_xids = feed.filter(band).select("xid").distinct()
+    early = feed.join(band_xids, "xid", "left_anti")
+    late = feed.join(band_xids, "xid", "left_semi")
+    table = LakeTable.create(
+        spark, tempfile.mkdtemp(prefix="olr-pcow-"),
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    apply_epoch(table, early, 0, job_id="pcow")
+    table.cluster()
+    apply_epoch(table, late, 1, job_id="pcow")
+    return table.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_mt_multi_table_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table replication (reference: Schema::buildMaps,
     /root/reference/src/metadata/Schema.h:129-132; fixture
@@ -1157,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s6_cdc_replay_final_state": q_s6_cdc_replay_final_state,
         "w2_clustered_lookup": q_w2_clustered_lookup,
+        "w2_partial_cow_state": q_w2_partial_cow_state,
         "w6_roundtrip_state": q_w6_roundtrip_state,
         "w6_full_wire_state": q_w6_full_wire_state,
         "f2_config_condition": q_f2_config_condition,
@@ -1392,6 +1427,7 @@ WITH q0 AS (
         "s6_cdc_replay_final_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "w2_clustered_lookup": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del' AND l.conv_id LIKE '%7'\n",
         "w6_roundtrip_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
+        "w2_partial_cow_state": _ORACLE_DERIVED + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "d4_time_travel_as_of": _ORACLE_DERIVED.replace("FROM events", "FROM events WHERE event_id <= (SELECT max(event_id) // 2 FROM events)") + "\n, st AS (\n  SELECT conv_id, turn_idx,\n         max(CASE WHEN op IN ('ins','del') THEN event_id ELSE -1 END) AS boundary,\n         max(event_id) AS last_eid\n  FROM ev GROUP BY conv_id, turn_idx\n), last_op AS (\n  SELECT e.conv_id, e.turn_idx, e.op AS last_op\n  FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n                      AND e.event_id = s.last_eid\n), surv AS (\n  SELECT e.* FROM ev e JOIN st s ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx\n  WHERE e.op <> 'del' AND e.event_id >= s.boundary\n), sv AS (\n  SELECT conv_id, turn_idx, max(event_id) AS me,\n         max(CASE WHEN op = 'ins' THEN event_type END) AS role\n  FROM surv GROUP BY conv_id, turn_idx\n)\nSELECT l.conv_id, l.turn_idx, s.role, e.props AS text\nFROM last_op l\nJOIN sv s ON s.conv_id = l.conv_id AND s.turn_idx = l.turn_idx\nJOIN surv e ON e.conv_id = s.conv_id AND e.turn_idx = s.turn_idx AND e.event_id = s.me\nWHERE l.last_op <> 'del'\n",
         "mt_multi_table_state": _ORACLE_DERIVED_MT + """
 , st AS (

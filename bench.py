@@ -370,6 +370,55 @@ def run_cdc_group() -> dict:
             3,
         )
 
+    # 3b''') key-localized update epoch on the clustered table: partial
+    # (file-level) CoW vs the same epoch with the optimization off.  A
+    # narrow-key-range epoch is the steady-state CDC shape (recent rows get
+    # edited); base files whose zone map is disjoint from the epoch's key
+    # range survive the rewrite unread and unrewritten, so the epoch costs
+    # O(files hit), not O(touched buckets' data) — at 10^10 rows the
+    # difference between a point update and a near-full-table rewrite.
+    if not skip_skew:
+        from openlogreplicator_spark.feedgen import FeedBuilder
+
+        loc_ids = [
+            r["conv_id"]
+            for r in tbl.read()
+            .select("conv_id")
+            .distinct()
+            .orderBy("conv_id")
+            .limit(200)
+            .collect()
+        ]
+
+        def localized_epoch(ids, epoch):
+            fb = FeedBuilder(start_scn=100_000_000 + epoch * 1000)
+            t = fb.begin()
+            for k in ids:
+                t.upd(k, 0, text="bench-localized-edit")
+            fb.commit(t)
+            apply_epoch(tbl, fb.to_spark(spark), epoch, job_id="batch")
+
+        # partial first: a full rewrite drops the zone maps the partial
+        # epoch needs (disjoint key sets keep the two epochs comparable)
+        _timed(times, "cdc_update_epoch_cow_point_partial",
+               lambda: localized_epoch(loc_ids[:100], 2))
+        extra["partial_cow_files_kept"] = sum(
+            os.path.isfile(os.path.join(tbl.path, e))
+            for v in tbl.manifest["buckets"].values()
+            for e in v
+        )
+        os.environ["OLR_PARTIAL_COW"] = "0"
+        try:
+            _timed(times, "cdc_update_epoch_cow_point_full",
+                   lambda: localized_epoch(loc_ids[100:200], 3))
+        finally:
+            os.environ.pop("OLR_PARTIAL_COW", None)
+        extra["partial_cow_speedup"] = round(
+            times["cdc_update_epoch_cow_point_full"]
+            / max(times["cdc_update_epoch_cow_point_partial"], 1e-9),
+            3,
+        )
+
     # 3c) stateful-variant assembly (applyInPandasWithState, T13) over the
     # ~1M-event feed — the state-store architecture measured next to the
     # pending-snapshot default (same feed as the update-epoch entries)

@@ -531,6 +531,7 @@ class LakeTable:
         version = self.manifest["version"] + 1
         mode = self.manifest.get("mode", "cow")
         deltas_map = {k: list(v) for k, v in self.manifest.get("deltas", {}).items()}
+        cold_by_bucket: dict[int, list[str]] = {}
 
         bexpr = self._bucket_expr()
         caller_persisted = affected is not None
@@ -599,7 +600,25 @@ class LakeTable:
             )
         elif affected:
             base_write_buckets = affected
-            target = self.read(touched_existing).withColumn("_bucket", bexpr)
+            # file-level (partial) CoW — Iceberg-style sparse update: base
+            # files whose key zone map is DISJOINT from this epoch's
+            # change-key range survive the rewrite untouched (they stay
+            # listed in the manifest and are neither read nor rewritten).
+            # One tiny agg over the persisted changes buys skipping an
+            # arbitrarily large fraction of the bucket's data I/O; at
+            # 10^10 rows a point update rewrites O(files hit), not O(bucket).
+            cold_by_bucket, hot_entries = self._plan_partial_cow(
+                ch, touched_existing, deltas_map
+            )
+            if not cold_by_bucket:
+                target = self.read(touched_existing).withColumn("_bucket", bexpr)
+            else:
+                base = self._read_paths(hot_entries)
+                deltas = self._read_deltas(touched_existing, dmap=deltas_map)
+                folded = (
+                    base if deltas is None else self._fold_deltas(base, deltas)
+                )
+                target = folded.withColumn("_bucket", bexpr)
             # explicit presence flags (join is eqNullSafe → null keys legal)
             t = target.withColumn("_t", F.lit(True)).alias("t")
             c = ch.withColumn("_c", F.lit(True)).alias("c")
@@ -651,10 +670,13 @@ class LakeTable:
             )
             for b in base_write_buckets:
                 d = f"{data_rel}/_bucket={b}"
+                keep = cold_by_bucket.get(b, [])  # partial-CoW survivors
                 if os.path.isdir(os.path.join(self.path, d)):
-                    new_dirs[str(b)] = [d]
+                    new_dirs[str(b)] = [d] + keep
                 else:
-                    new_dirs[str(b)] = []  # bucket emptied by deletes
+                    # rewrite emitted nothing (bucket emptied by deletes) —
+                    # only the untouched cold files remain, if any
+                    new_dirs[str(b)] = keep
                 if mor_delta:
                     deltas_map[str(b)] = []  # compacted into the new base
 
@@ -699,8 +721,18 @@ class LakeTable:
                 buckets.pop(b, None)
             # a rewrite (CoW / compaction) replaces the clustered base —
             # its zone maps are stale; MoR delta appends keep them (the
-            # base files are untouched and deltas are never file-pruned)
-            file_stats.pop(b, None)
+            # base files are untouched and deltas are never file-pruned).
+            # Partial-CoW survivors were NOT rewritten: their maps stay
+            # valid and keep pruning both point lookups and later epochs.
+            kept_maps = {
+                e: mm
+                for e, mm in self._stats_files(self.manifest, b).items()
+                if e in cold_by_bucket.get(int(b), [])
+            }
+            if kept_maps:
+                file_stats[b] = {"files": kept_maps}
+            else:
+                file_stats.pop(b, None)
 
         m = dict(self.manifest)
         m["version"] = version
@@ -799,7 +831,9 @@ class LakeTable:
                 new_buckets[str(b)] = [d]
                 stats = self._collect_file_stats(d)
                 if stats is not None:
-                    file_stats[str(b)] = {"dir": d, "files": stats}
+                    file_stats[str(b)] = {
+                        "files": {f"{d}/{f}": mm for f, mm in stats.items()}
+                    }
                     n_files += len(stats)
                 else:
                     file_stats.pop(str(b), None)
@@ -856,27 +890,143 @@ class LakeTable:
             out[fname] = [mn, mx] if ok and mn is not None else None
         return out
 
-    def _read_base_pruned(self, buckets: list[int], keys: list) -> DataFrame:
-        """Base read for a point lookup: buckets whose zone maps are
-        current are expanded to the FILES whose [min, max] may contain a
-        requested key; buckets without maps fall back to full-dir scans."""
-        m = self.manifest
+    @staticmethod
+    def _stats_files(m: dict, b) -> dict:
+        """Flat ``{relpath: [min, max] | None}`` zone-map view of a bucket's
+        file stats.  Canonical layout keys by path relative to the table
+        root; the legacy ``{"dir": d, "files": {fname: mm}}`` layout (pre
+        partial-CoW manifests) is normalized on read.  Staleness is
+        intrinsic: a map only applies to a path still listed in
+        ``manifest["buckets"]`` — rewritten paths simply stop matching."""
+        ent = m.get("file_stats", {}).get(str(b))
+        if not ent:
+            return {}
+        d = ent.get("dir")
+        if d is not None:
+            return {f"{d}/{f}": mm for f, mm in ent.get("files", {}).items()}
+        return dict(ent.get("files", {}))
+
+    def _read_paths(self, entries: list[str], m: dict | None = None) -> DataFrame:
+        """Read an explicit list of manifest entries (bucket dirs and/or
+        individual parquet files) with the table schema."""
+        m = m if m is not None else self.manifest
         schema = _schema_from_manifest(m["key_cols"] + m["value_cols"])
-        fs = m.get("file_stats", {})
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, e) for e in entries]
+        )
+
+    def _plan_partial_cow(
+        self, ch: DataFrame, touched: list[int], deltas_map: dict
+    ) -> tuple[dict, list[str] | None]:
+        """Decide which base entries a CoW rewrite may SKIP.
+
+        For each touched bucket that (a) has zone maps and (b) no pending
+        delta chain, one tiny aggregation over the persisted changes frame
+        yields the epoch's change-key range [lo, hi] for that bucket; every
+        base file whose map is disjoint from it provably contains no
+        matching key (zone disjoint → full-outer join has no pair; inserts
+        of new keys inside a cold file's range are impossible — such a key
+        would intersect the map and make the file hot) and is carried
+        forward untouched.  Buckets with NULL change keys keep the whole
+        bucket hot (null keys are legal rows, eqNullSafe join, and have no
+        orderable range).  Reference analog: the reference's writer always
+        streams the full change image (Builder → Writer); file-level
+        scoping is the lake-side equivalent of Iceberg's copy-on-write
+        delete-file granularity.
+
+        Returns ``(cold_by_bucket, hot_entries)``; ``({}, None)`` when
+        nothing can be pruned (whole-bucket rewrite — identical plan and
+        job count to the non-clustered path).  ``OLR_PARTIAL_COW=0``
+        disables the optimization (bench A/B + operational safety valve)."""
+        if os.environ.get("OLR_PARTIAL_COW", "1") == "0":
+            return {}, None
+        m = self.manifest
+        k0 = self.key_names[0]
+        stats = {b: self._stats_files(m, b) for b in touched}
+        prunable = [b for b in touched if stats[b] and not deltas_map.get(str(b))]
+        if not prunable:
+            return {}, None
+        rows = (
+            ch.filter(F.col("_bucket").isin(prunable))
+            .groupBy("_bucket")
+            .agg(
+                F.min(k0).alias("lo"),
+                F.max(k0).alias("hi"),
+                F.sum(F.col(k0).isNull().cast("long")).alias("nulls"),
+            )
+            .collect()
+        )
+        rng = {r["_bucket"]: (r["lo"], r["hi"], r["nulls"]) for r in rows}
+        cold_by_bucket: dict[int, list[str]] = {}
+        hot_by_bucket: dict[int, list[str]] = {}
+        for b in prunable:
+            lo, hi, nulls = rng.get(b, (None, None, 1))
+            if nulls or lo is None:
+                continue
+            files = self._expand_entries(m["buckets"].get(str(b), []))
+            if files is None:
+                continue  # an entry vanished from disk — rewrite whole
+            cold, hot = [], []
+            for p in files:
+                mm = stats[b].get(p)
+                if mm is not None and (mm[1] < lo or mm[0] > hi):
+                    cold.append(p)
+                else:
+                    hot.append(p)  # intersecting or unmapped → must read
+            if cold:
+                cold_by_bucket[b] = cold
+                hot_by_bucket[b] = hot
+        if not cold_by_bucket:
+            return {}, None
+        hot_entries: list[str] = []
+        for b in touched:
+            if b in hot_by_bucket:
+                hot_entries.extend(hot_by_bucket[b])
+            else:
+                hot_entries.extend(m["buckets"].get(str(b), []))
+        return cold_by_bucket, hot_entries
+
+    def _expand_entries(self, entries: list[str]) -> list[str] | None:
+        """Expand manifest bucket entries to individual parquet FILE paths
+        (relative to the table root).  Dir entries (the layout cluster()
+        and whole-bucket rewrites produce) are enumerated on the driver —
+        O(files) listdir, the same cost class as the footer-stat read.
+        Returns None if any entry is missing from disk (caller falls back
+        to the whole-bucket plan and lets the read fail loudly there)."""
+        out: list[str] = []
+        for e in entries:
+            full = os.path.join(self.path, e)
+            if os.path.isfile(full):
+                out.append(e)
+            elif os.path.isdir(full):
+                out.extend(
+                    f"{e}/{f}"
+                    for f in sorted(os.listdir(full))
+                    if f.endswith(".parquet")
+                )
+            else:
+                return None
+        return out
+
+    def _read_base_pruned(self, buckets: list[int], keys: list) -> DataFrame:
+        """Base read for a point lookup: each bucket's entries (dirs and
+        files) are kept only when no zone map excludes every requested key;
+        unmapped entries are always scanned."""
+        m = self.manifest
         vals = [k for k in keys if k is not None]
         paths: list[str] = []
         for b in buckets:
-            dirs = m["buckets"].get(str(b), [])
-            ent = fs.get(str(b))
-            if ent is not None and dirs == [ent["dir"]]:
-                for fname, mm in ent["files"].items():
-                    if mm is None or any(mm[0] <= k <= mm[1] for k in vals):
-                        paths.append(os.path.join(self.path, ent["dir"], fname))
-            else:
-                paths.extend(os.path.join(self.path, d) for d in dirs)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+            fs = self._stats_files(m, b)
+            entries = m["buckets"].get(str(b), [])
+            files = self._expand_entries(entries) if fs else None
+            for entry in files if files is not None else entries:
+                mm = fs.get(entry)
+                if mm is not None and not any(mm[0] <= k <= mm[1] for k in vals):
+                    continue
+                paths.append(entry)
+        return self._read_paths(paths)
 
     def buckets_for_keys(self, keys: list) -> list[int]:
         """Bucket ids for a list of first-key values — point-lookup pruning
@@ -936,9 +1086,26 @@ class LakeTable:
                         "pending/v*", "lineage/v*"):
             for path in glob.glob(os.path.join(self.path, pattern)):
                 rel = os.path.relpath(path, self.path).replace(os.sep, "/")
-                if rel not in ref:
+                # partial-CoW manifests reference individual FILES inside a
+                # bucket dir — a dir survives while any file under it is live
+                if rel not in ref and not any(
+                    r.startswith(rel + "/") for r in ref
+                ):
                     shutil.rmtree(path, ignore_errors=True)
                     removed.append(rel)
+                elif rel not in ref:
+                    # dir survives only via file-level refs — drop the files
+                    # nothing references (per-file remove_orphan_files)
+                    for f in os.listdir(path):
+                        frel = f"{rel}/{f}"
+                        fp = os.path.join(path, f)
+                        if (
+                            os.path.isfile(fp)
+                            and not f.startswith(("_", "."))
+                            and frel not in ref
+                        ):
+                            os.remove(fp)
+                            removed.append(frel)
         # drop version dirs that now hold only writer marker FILES
         # (_SUCCESS, .crc) — live `_bucket=*` subdirectories disqualify
         for vd in glob.glob(os.path.join(self.path, "data/v*")) + glob.glob(

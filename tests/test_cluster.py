@@ -35,10 +35,13 @@ def test_cluster_preserves_content_and_records_stats(spark, tmpdir_path):
     assert res["clustered"] and res["files"] > 0
     fs = table.manifest["file_stats"]
     assert fs, "zone maps missing after cluster()"
-    # every live bucket has maps, and every map is a valid [min, max]
+    # every live bucket has maps keyed by root-relative file path under its
+    # live dir, and every map is a valid [min, max]
     for b, dirs in table.manifest["buckets"].items():
-        assert fs[b]["dir"] == dirs[0]
-        for mm in fs[b]["files"].values():
+        files = fs[b]["files"]
+        assert files
+        for path, mm in files.items():
+            assert path.startswith(dirs[0] + "/")
             assert mm is None or mm[0] <= mm[1]
     assert _rows(table.read(), table.value_names) == before
 
@@ -63,19 +66,28 @@ def test_read_for_keys_skips_files(spark, tmpdir_path):
 
 
 def test_merge_invalidates_stale_zone_maps(spark, tmpdir_path):
-    """A CoW rewrite replaces the clustered base — its zone maps must be
-    dropped, and lookups stay correct."""
+    """A CoW rewrite drops the zone maps of every file it replaces; only
+    partial-CoW survivors (files the epoch provably could not touch) may
+    stay mapped, and lookups stay correct either way."""
+    from openlogreplicator_spark.lake.table import LakeTable
+
     table = _load(spark, os.path.join(tmpdir_path, "t"))
     table.cluster()
     assert table.manifest["file_stats"]
+    key = "conv-00003"
+    b = table.buckets_for_keys([key])[0]
     fb = FeedBuilder(start_scn=9000)
     t = fb.begin()
-    t.upd("conv-00003", 0, text="edited")
+    t.upd(key, 0, text="edited")
     fb.commit(t)
     apply_epoch(table, fb.to_spark(spark), 1, job_id="j")
-    b = str(table.buckets_for_keys(["conv-00003"])[0])
-    assert b not in table.manifest["file_stats"]
-    rows = table.read_for_keys(["conv-00003"]).collect()
+    # every remaining map belongs to a live manifest entry whose range
+    # excludes the rewritten key (a stale map would cover it)
+    live = set(table.manifest["buckets"].get(str(b), []))
+    for e, mm in LakeTable._stats_files(table.manifest, b).items():
+        assert e in live
+        assert mm is None or mm[1] < key or mm[0] > key
+    rows = table.read_for_keys([key]).collect()
     assert len(rows) == 1 and rows[0]["text"] == "edited"
 
 
