@@ -564,6 +564,11 @@ class LakeTable:
                     "_bucket",
                 )
                 .repartition(max(len(affected), 1), "_bucket")
+                # key-sorted within each bucket file: parquet row-group
+                # stats then prune MoR point lookups over the delta tail
+                # for free (satisfies the writer's required _bucket-prefix
+                # ordering, so no extra sort is inserted)
+                .sortWithinPartitions("_bucket", *key)
                 .write.partitionBy("_bucket")
                 .mode("overwrite")
                 .parquet(os.path.join(self.path, delta_rel))
@@ -730,6 +735,17 @@ class LakeTable:
                 if e in cold_by_bucket.get(int(b), [])
             }
             if kept_maps:
+                # map the partial rewrite's OUTPUT files too (one driver
+                # footer scan, O(files this epoch)) — consecutive localized
+                # epochs on different keys then prune each other's outputs,
+                # so the table stays file-pruned without re-clustering
+                hot_dir = next((d for d in dirs if not d.endswith(".parquet")), None)
+                if hot_dir is not None:
+                    fresh = self._collect_file_stats(hot_dir)
+                    if fresh is not None:
+                        kept_maps.update(
+                            {f"{hot_dir}/{f}": mm for f, mm in fresh.items()}
+                        )
                 file_stats[b] = {"files": kept_maps}
             else:
                 file_stats.pop(b, None)
@@ -923,18 +939,24 @@ class LakeTable:
         """Decide which base entries a CoW rewrite may SKIP.
 
         For each touched bucket that (a) has zone maps and (b) no pending
-        delta chain, one tiny aggregation over the persisted changes frame
-        yields the epoch's change-key range [lo, hi] for that bucket; every
-        base file whose map is disjoint from it provably contains no
-        matching key (zone disjoint → full-outer join has no pair; inserts
-        of new keys inside a cold file's range are impossible — such a key
-        would intersect the map and make the file hot) and is carried
-        forward untouched.  Buckets with NULL change keys keep the whole
-        bucket hot (null keys are legal rows, eqNullSafe join, and have no
-        orderable range).  Reference analog: the reference's writer always
-        streams the full change image (Builder → Writer); file-level
-        scoping is the lake-side equivalent of Iceberg's copy-on-write
-        delete-file granularity.
+        delta chain, a file is HOT iff some change key of this epoch lands
+        inside its zone-map [min, max] — tested by one broadcast hash join
+        of the persisted changes frame against the O(files) range list
+        (equi-key ``_bucket``, range as join filter), distinct-collecting
+        only the hit PATHS.  A file no change key hits provably has no
+        full-outer-join partner, and inserts of new keys inside a cold
+        file's range are impossible (such a key would be a hit), so it is
+        carried forward untouched.  Per-FILE testing beats the bucket-wide
+        [lo, hi] envelope for scattered epochs — two hot conversations at
+        opposite ends of the keyspace keep exactly two files hot instead
+        of spanning the whole bucket.  A NULL change key in a bucket
+        matches every mapped file of that bucket (null keys are legal
+        rows, the merge join is eqNullSafe, and nulls have no orderable
+        range), reproducing the conservative whole-bucket rewrite.
+        Reference analog: the reference's writer always streams the full
+        change image (Builder → Writer); file-level scoping is the
+        lake-side equivalent of Iceberg's copy-on-write delete-file
+        granularity.
 
         Returns ``(cold_by_bucket, hot_entries)``; ``({}, None)`` when
         nothing can be pruned (whole-bucket rewrite — identical plan and
@@ -945,36 +967,60 @@ class LakeTable:
         m = self.manifest
         k0 = self.key_names[0]
         stats = {b: self._stats_files(m, b) for b in touched}
-        prunable = [b for b in touched if stats[b] and not deltas_map.get(str(b))]
-        if not prunable:
-            return {}, None
-        rows = (
-            ch.filter(F.col("_bucket").isin(prunable))
-            .groupBy("_bucket")
-            .agg(
-                F.min(k0).alias("lo"),
-                F.max(k0).alias("hi"),
-                F.sum(F.col(k0).isNull().cast("long")).alias("nulls"),
-            )
-            .collect()
-        )
-        rng = {r["_bucket"]: (r["lo"], r["hi"], r["nulls"]) for r in rows}
-        cold_by_bucket: dict[int, list[str]] = {}
-        hot_by_bucket: dict[int, list[str]] = {}
-        for b in prunable:
-            lo, hi, nulls = rng.get(b, (None, None, 1))
-            if nulls or lo is None:
+        prunable: list[int] = []
+        files_by_bucket: dict[int, list[str]] = {}
+        ranges: list[tuple] = []
+        for b in touched:
+            if not stats[b] or deltas_map.get(str(b)):
                 continue
             files = self._expand_entries(m["buckets"].get(str(b), []))
             if files is None:
                 continue  # an entry vanished from disk — rewrite whole
+            mapped = [(p, stats[b].get(p)) for p in files]
+            if not any(mm is not None for _, mm in mapped):
+                continue
+            prunable.append(b)
+            files_by_bucket[b] = files
+            ranges.extend(
+                (int(b), p, mm[0], mm[1]) for p, mm in mapped if mm is not None
+            )
+        if not ranges:
+            return {}, None
+        ktype = next(c["type"] for c in m["key_cols"] if c["name"] == k0)
+        kdt = _TYPE_MAP[ktype]
+        rng_df = self.spark.createDataFrame(
+            ranges,
+            T.StructType(
+                [
+                    T.StructField("_pb", T.IntegerType(), False),
+                    T.StructField("_pf", T.StringType(), False),
+                    T.StructField("_plo", kdt, False),
+                    T.StructField("_phi", kdt, False),
+                ]
+            ),
+        )
+        k = F.col(k0)
+        hit = (F.col("_bucket") == F.col("_pb")) & (
+            k.isNull() | ((k >= F.col("_plo")) & (k <= F.col("_phi")))
+        )
+        hot_paths = {
+            r["_pf"]
+            for r in ch.filter(F.col("_bucket").isin(prunable))
+            .select("_bucket", k0)
+            .join(F.broadcast(rng_df), hit, "inner")
+            .select("_pf")
+            .distinct()
+            .collect()
+        }
+        cold_by_bucket: dict[int, list[str]] = {}
+        hot_by_bucket: dict[int, list[str]] = {}
+        for b in prunable:
             cold, hot = [], []
-            for p in files:
-                mm = stats[b].get(p)
-                if mm is not None and (mm[1] < lo or mm[0] > hi):
+            for p in files_by_bucket[b]:
+                if stats[b].get(p) is not None and p not in hot_paths:
                     cold.append(p)
                 else:
-                    hot.append(p)  # intersecting or unmapped → must read
+                    hot.append(p)  # hit or unmapped → must read
             if cold:
                 cold_by_bucket[b] = cold
                 hot_by_bucket[b] = hot

@@ -66,9 +66,11 @@ def test_read_for_keys_skips_files(spark, tmpdir_path):
 
 
 def test_merge_invalidates_stale_zone_maps(spark, tmpdir_path):
-    """A CoW rewrite drops the zone maps of every file it replaces; only
-    partial-CoW survivors (files the epoch provably could not touch) may
-    stay mapped, and lookups stay correct either way."""
+    """A CoW rewrite never leaves a stale map: every surviving map belongs
+    to a live manifest entry, and the only maps covering the rewritten key
+    are the FRESH ones collected from the rewrite's own output (survivor
+    maps provably exclude it).  Lookups prune to the covering files and
+    stay correct."""
     from openlogreplicator_spark.lake.table import LakeTable
 
     table = _load(spark, os.path.join(tmpdir_path, "t"))
@@ -76,19 +78,28 @@ def test_merge_invalidates_stale_zone_maps(spark, tmpdir_path):
     assert table.manifest["file_stats"]
     key = "conv-00003"
     b = table.buckets_for_keys([key])[0]
+    maps_before = LakeTable._stats_files(table.manifest, b)
     fb = FeedBuilder(start_scn=9000)
     t = fb.begin()
     t.upd(key, 0, text="edited")
     fb.commit(t)
     apply_epoch(table, fb.to_spark(spark), 1, job_id="j")
-    # every remaining map belongs to a live manifest entry whose range
-    # excludes the rewritten key (a stale map would cover it)
     live = set(table.manifest["buckets"].get(str(b), []))
+    covering = []
     for e, mm in LakeTable._stats_files(table.manifest, b).items():
-        assert e in live
-        assert mm is None or mm[1] < key or mm[0] > key
-    rows = table.read_for_keys([key]).collect()
+        # live entry itself, or a file under a live rewrite-output dir
+        assert e in live or os.path.dirname(e) in live
+        if e in maps_before:  # survivor — its map must exclude the key
+            assert mm is not None and (mm[1] < key or mm[0] > key)
+        elif mm is not None and mm[0] <= key <= mm[1]:
+            covering.append(e)  # fresh map on the rewrite output
+    assert covering, "rewrite output should carry fresh maps covering the key"
+    df = table.read_for_keys([key])
+    rows = df.collect()
     assert len(rows) == 1 and rows[0]["text"] == "edited"
+    # the lookup scanned only files whose fresh/survivor map allows the key
+    scanned = {os.path.relpath(f.replace("file:", ""), table.path) for f in df.inputFiles()}
+    assert scanned <= set(covering), (scanned, covering)
 
 
 def test_cluster_folds_mor_deltas_and_lookup_sees_delta_tail(spark, tmpdir_path):

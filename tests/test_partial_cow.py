@@ -68,10 +68,19 @@ def test_partial_cow_keeps_cold_files(spark, tmpdir_path):
     # the file that held the key was rewritten out of the manifest
     for e in hot_before:
         assert e not in entries
-    # survivors keep their zone maps — and ONLY survivors are mapped
+    # survivors keep their zone maps unchanged; the rewrite's OUTPUT files
+    # carry fresh maps (collected from their own footers), so the whole
+    # bucket stays mapped — nothing else is
     maps_after = LakeTable._stats_files(table.manifest, b)
-    assert set(maps_after) == set(survivors)
     assert all(maps_after[e] == maps_before[e] for e in survivors)
+    hot_dirs = [e for e in entries if not e.endswith(".parquet")]
+    assert len(hot_dirs) == 1
+    fresh = set(maps_after) - set(survivors)
+    assert fresh, "rewrite output should be mapped"
+    for e in fresh:
+        assert e.startswith(hot_dirs[0] + "/") and e not in maps_before
+        mm = maps_after[e]
+        assert mm is None or mm[0] <= mm[1]
     # content is exactly what a full rewrite would have produced
     rows = table.read_for_keys([key]).collect()
     assert len(rows) == 1 and rows[0]["text"] == "edited"
@@ -154,6 +163,37 @@ def test_partial_cow_second_epoch_prunes_again(spark, tmpdir_path):
     texts = {r["conv_id"]: r["text"] for r in rows}
     assert texts == {key1: "edited", key2: "edited2"}
     assert table.read().count() == 400
+
+
+def test_partial_cow_scattered_keys_prune_between(spark, tmpdir_path):
+    """Per-FILE hit testing: an epoch touching two keys at OPPOSITE ends of
+    a bucket's keyspace keeps only the two hit files hot — the files BETWEEN
+    them survive (a bucket-wide [lo, hi] envelope would rewrite them all)."""
+    table = _load(spark, os.path.join(tmpdir_path, "t"), n_buckets=1)
+    table.cluster()
+    maps = LakeTable._stats_files(table.manifest, 0)
+    files = sorted(
+        (e for e, mm in maps.items() if mm is not None),
+        key=lambda e: maps[e][0],
+    )
+    assert len(files) > 2, "fixture too small for a between-files survivor"
+    lo_key, hi_key = maps[files[0]][0], maps[files[-1]][1]
+
+    fb = FeedBuilder(start_scn=9000)
+    t = fb.begin()
+    t.upd(lo_key, 0, text="edited-lo")
+    t.upd(hi_key, 0, text="edited-hi")
+    fb.commit(t)
+    apply_epoch(table, fb.to_spark(spark), 1, job_id="j")
+
+    entries = table.manifest["buckets"]["0"]
+    # the middle files all survived; both end files were rewritten out
+    for e in files[1:-1]:
+        assert e in entries, f"between-file {e} should have survived"
+    assert files[0] not in entries and files[-1] not in entries
+    rows = {r["conv_id"]: r["text"] for r in table.read().collect()}
+    assert len(rows) == 400
+    assert rows[lo_key] == "edited-lo" and rows[hi_key] == "edited-hi"
 
 
 def test_partial_cow_vacuum_keeps_referenced_files(spark, tmpdir_path):

@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--update-txns", type=int, default=2500000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--n4", type=int, default=8)
+    # Paired fresh-JVM draws: the box's run-to-run variance is ±35% per leg
+    # (same code, same feed), so a single draw's per-leg efficiency whipsaws;
+    # the median over >=3 paired draws is the number BASELINE.md records.
+    ap.add_argument("--draws", type=int, default=1)
     args = ap.parse_args()
 
     # warm the shared feed cache once so neither run pays generation
@@ -60,13 +64,19 @@ def main():
     benchmod.feed_cache_dir(args.txns, 0.0)
     benchmod.feed_cache_dir(args.update_txns, 0.0)  # update feed
 
-    r_n = run_bench(args.n, args.txns, args.update_txns)
-    r_4n = run_bench(args.n4, args.txns, args.update_txns)
+    draws = []
+    for i in range(max(args.draws, 1)):
+        r_n = run_bench(args.n, args.txns, args.update_txns)
+        r_4n = run_bench(args.n4, args.txns, args.update_txns)
+        draws.append((r_n, r_4n))
+    r_n, r_4n = draws[-1]  # "runs" shows the last draw verbatim
 
     report = {
         "methodology": (
             "same deterministic feed (seed=42) at two parallelism levels, "
-            "fresh JVM each, 16g heap, shuffle+spill on tmpfs "
+            "fresh JVM each; efficiency per leg = median over the paired "
+            "draws (n_draws; single-draw legs swing +-35% on this box), "
+            "16g heap, shuffle+spill on tmpfs "
             "(spark.local.dir=/dev/shm), spark.sql.shuffle.partitions=64 "
             "fixed across levels, codegen warmed, machine otherwise idle"
         ),
@@ -82,15 +92,25 @@ def main():
         "update_txns": args.update_txns,
         "runs": {"N": r_n, "4N": r_4n}, "efficiency": {}}
     rows = []
+    factor = args.n4 / args.n
+    per_draw: dict[str, list[float]] = {}
     for key in ("events_per_sec_parse_assemble", "events_per_sec_full_merge",
                 "events_per_sec_skewed", "update_events_per_sec_mor",
                 "update_events_per_sec_cow"):
-        tn, t4 = r_n.get(key), r_4n.get(key)
-        if not tn or not t4:
+        effs = [
+            (d4[key] / dn[key]) / factor
+            for dn, d4 in draws
+            if dn.get(key) and d4.get(key)
+        ]
+        if not effs:
             continue
-        eff = (t4 / tn) / (args.n4 / args.n)
-        report["efficiency"][key] = round(eff, 3)
-        rows.append((key, tn, t4, round(eff, 3)))
+        per_draw[key] = [round(e, 3) for e in sorted(effs)]
+        med = per_draw[key][len(effs) // 2]
+        report["efficiency"][key] = med
+        tn, t4 = r_n.get(key), r_4n.get(key)
+        rows.append((key, tn, t4, med))
+    report["n_draws"] = len(draws)
+    report["efficiency_per_draw_sorted"] = per_draw
 
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(report, f, indent=1)
