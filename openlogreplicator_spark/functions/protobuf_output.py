@@ -60,6 +60,11 @@ def _tag(field: int, wire: int) -> bytes:
     return _varint((field << 3) | wire)
 
 
+# One-byte varints (n < 0x80) — the common case for tags, small lengths,
+# op codes; indexing a precomputed table beats a function call + loop.
+_SMALL = [bytes([i]) for i in range(0x80)]
+
+
 def field_varint(field: int, v: int, keep_zero: bool = False) -> bytes:
     """Wire type 0.  proto3 omits zero-valued scalars UNLESS the field is
     inside a oneof (presence-tracked) — callers pass keep_zero there."""
@@ -240,41 +245,128 @@ def build_protobuf_messages(
     def encode_iter(batches):
         import pandas as pd
 
+        # Fast wire assembly, byte-identical to the encode_payload/
+        # encode_redo_response composition (field order op(1) schema(2)
+        # rid(3) before(4)* after(5)* ddl(6); response code/scn/tm/xid/db/
+        # payload/attrs) — round-trip + fuzz property tests pin the format.
+        # The per-message layout is fixed, so tag bytes are literal
+        # constants, per-name Value prefixes and per-table Schema fields
+        # are memoized across rows, and each message builds in ONE
+        # bytearray (bytes += re-copies the whole message per field).
+        varint = _varint
+        small = _SMALL
+        db_b = field_string(8, db_name)
+        op_field = {o: (b"" if c == 0 else b"\x08" + small[c])
+                    for o, c in OP_ENUM.items()}
+        owner_field = field_string(1, owner)
+        name_cache: dict[str, bytes] = {}
+        schema_cache: dict[str, bytes] = {}
+
+        def name_prefix(n: str) -> bytes:
+            b = name_cache.get(n)
+            if b is None:
+                nb = n.encode("utf-8")
+                ln = len(nb)
+                b = b"\x0a" + (small[ln] if ln < 0x80 else varint(ln)) + nb
+                name_cache[n] = b
+            return b
+
+        def schema_field(t: str) -> bytes:
+            b = schema_cache.get(t)
+            if b is None:
+                body = owner_field + field_string(2, t)
+                ln = len(body)
+                b = b"\x12" + (small[ln] if ln < 0x80 else varint(ln)) + body
+                schema_cache[t] = b
+            return b
+
+        def enc_value(n: str, v) -> bytes:
+            # Value message body: name(1) + oneof datum — int arm(2) /
+            # string arm(5) / NO arm for SQL NULL (same as encode_value)
+            body = name_prefix(n)
+            if isinstance(v, bool):
+                return body + b"\x10" + small[int(v)]
+            if isinstance(v, int):
+                return (body + b"\x10" + small[v]) if 0 <= v < 0x80 \
+                    else body + b"\x10" + varint(v)
+            if v is None:
+                return body
+            s = v.encode("utf-8") if type(v) is str else str(v).encode("utf-8")
+            ln = len(s)
+            return body + b"\x2a" + (small[ln] if ln < 0x80 else varint(ln)) + s
+
+        cols = ("scn", "tm", "xid", "op", "table_name", "rid", "conv_id",
+                "turn_idx", "before", "after", "changed_cols", "attrs",
+                "ddl_stmt")
         for pdf in batches:
             msgs = []
-            for r in pdf.itertuples(index=False):
+            append = msgs.append
+            for (scn, tm, xid, op, table, rid, conv, tidx, before, after,
+                 changed, attrs, ddl) in zip(*(pdf[c].tolist() for c in cols)):
                 # key columns ride the Value lists like any table column
                 # (the reference emits the full column set incl. keys with
                 # supplemental logging) — this is what makes the message
                 # self-contained for a chained consumer; rid stays a
                 # derived locator
-                key_cols = [
-                    ("conv_id", r.conv_id),
-                    ("turn_idx", None if r.turn_idx is None else int(r.turn_idx)),
-                ]
-                after_cols = None
-                if r.op in ("ins", "upd"):
-                    changed = [] if r.changed_cols is None else list(r.changed_cols)
-                    img = r.after or {}
-                    after_cols = key_cols + [(c, img.get(c)) for c in changed]
-                before_cols = None
-                if r.op in ("upd", "del"):
-                    undo = r.before or {}
-                    before_cols = key_cols + [
-                        (k, v)
-                        for k, v in undo.items()
-                        if v is not None and k not in ("conv_id", "turn_idx")
-                    ]
-                payload = encode_payload(
-                    r.op, owner, r.table_name, r.rid, before_cols, after_cols,
-                    ddl=r.ddl_stmt,
-                )
-                msgs.append(
-                    encode_redo_response(
-                        int(r.scn), int(r.tm), r.xid, db_name, [payload],
-                        attributes=r.attrs,
-                    )
-                )
+                kc_conv = enc_value("conv_id", conv)
+                kc_turn = enc_value(
+                    "turn_idx", None if tidx is None else int(tidx))
+                pay = bytearray(op_field[op])
+                if table is not None:
+                    pay += schema_field(table)
+                if rid:
+                    rb = rid.encode("utf-8")
+                    ln = len(rb)
+                    pay += b"\x1a" + (small[ln] if ln < 0x80 else varint(ln))
+                    pay += rb
+                if op == "upd" or op == "del":
+                    vals = [kc_conv, kc_turn]
+                    if before:
+                        vals += [enc_value(k, v) for k, v in before.items()
+                                 if v is not None
+                                 and k != "conv_id" and k != "turn_idx"]
+                    for vb in vals:
+                        ln = len(vb)
+                        pay += b"\x22" + (small[ln] if ln < 0x80
+                                          else varint(ln))
+                        pay += vb
+                if op == "ins" or op == "upd":
+                    vals = [kc_conv, kc_turn]
+                    if changed is not None:
+                        img = after or {}
+                        vals += [enc_value(c, img.get(c)) for c in changed]
+                    for vb in vals:
+                        ln = len(vb)
+                        pay += b"\x2a" + (small[ln] if ln < 0x80
+                                          else varint(ln))
+                        pay += vb
+                if ddl:
+                    dbd = ddl.encode("utf-8")
+                    ln = len(dbd)
+                    pay += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
+                    pay += dbd
+
+                msg = bytearray(b"\x08\x05")  # code = PAYLOAD
+                msg += b"\x10" + varint(int(scn))   # oneof scn_val
+                msg += b"\x20" + varint(int(tm))    # oneof tm_val
+                if xid is not None:
+                    xb = xid.encode("utf-8")
+                    ln = len(xb)
+                    msg += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
+                    msg += xb
+                msg += db_b
+                ln = len(pay)
+                msg += b"\x4a" + (small[ln] if ln < 0x80 else varint(ln))
+                msg += pay
+                if attrs:
+                    for k, v in sorted(attrs.items()):
+                        entry = (field_string(1, k, keep_empty=True)
+                                 + field_string(2, v, keep_empty=True))
+                        ln = len(entry)
+                        msg += b"\x62" + (small[ln] if ln < 0x80
+                                          else varint(ln))
+                        msg += entry
+                append(bytes(msg))
             yield pd.DataFrame(
                 {"scn": pdf["scn"], "idx": pdf["idx"], "message": msgs}
             )
