@@ -59,20 +59,61 @@ def _flat_schema(image_type: T.StructType) -> T.StructType:
     )
 
 
+def _uvarint(buf, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, i
+
+
 def _decode_values(blobs, decode_message) -> list[tuple]:
-    """Value messages → [(name, python value | None)]."""
+    """Value messages → [(name, python value | None)].
+
+    Specialized single-pass parser for the Value layout (name=1
+    len-delimited, oneof value_int=2 varint / value_string=5
+    len-delimited) — this runs once per column per row, the hottest
+    decode loop, so it avoids the generic decoder's per-field dict
+    churn.  Any unexpected field number falls back to the generic
+    decoder for that blob (forward compatibility with producers that
+    fill other datum arms)."""
     out = []
+    append = out.append
     for vb in blobs:
-        vd = decode_message(vb)
-        name = vd.get(1, [b""])[0].decode("utf-8")
-        if 2 in vd:  # value_int (two's-complement varint)
-            raw = vd[2][0]
-            v = raw - (1 << 64) if raw >= (1 << 63) else raw
-        elif 5 in vd:
-            v = vd[5][0].decode("utf-8")
-        else:
-            v = None  # unset oneof = SQL NULL
-        out.append((name, v))
+        name = ""
+        val = None
+        i = 0
+        n = len(vb)
+        while i < n:
+            tag = vb[i]
+            i += 1
+            if tag == 0x0A:  # name (field 1, wire 2)
+                ln, i = _uvarint(vb, i)
+                name = vb[i:i + ln].decode("utf-8")
+                i += ln
+            elif tag == 0x10:  # value_int (field 2, varint)
+                v, i = _uvarint(vb, i)
+                val = v - (1 << 64) if v >= (1 << 63) else v
+            elif tag == 0x2A:  # value_string (field 5, wire 2)
+                ln, i = _uvarint(vb, i)
+                val = vb[i:i + ln].decode("utf-8")
+                i += ln
+            else:  # other datum arm — generic fallback
+                vd = decode_message(vb)
+                name = vd.get(1, [b""])[0].decode("utf-8")
+                if 2 in vd:
+                    raw = vd[2][0]
+                    val = raw - (1 << 64) if raw >= (1 << 63) else raw
+                elif 5 in vd:
+                    val = vd[5][0].decode("utf-8")
+                else:
+                    val = None
+                break
+        append((name, val))
     return out
 
 
@@ -93,25 +134,49 @@ def parse_protobuf_messages(
 
         op_rev = {v: k for k, v in OP_ENUM.items()}
 
+        # per-column coercion functions, resolved once (not per value)
+        def _mk(t):
+            if isinstance(t, T.TimestampType):
+                return lambda v: pd.to_datetime(v, utc=True).to_pydatetime()
+            if isinstance(t, (T.IntegerType, T.LongType)):
+                return int
+            if isinstance(t, T.DoubleType):
+                return float
+            if isinstance(t, T.BooleanType):
+                return lambda v: bool(int(v))
+            return str
+
+        convs = {n: _mk(t) for n, t in field_types.items()}
+
         def conv(name, v):
             """Coerce a wire value to the image column's python type."""
             if v is None:
                 return None
-            t = field_types.get(name)
-            if isinstance(t, T.TimestampType):
-                return pd.to_datetime(v, utc=True).to_pydatetime()
-            if isinstance(t, (T.IntegerType, T.LongType)):
-                return int(v)
-            if isinstance(t, T.DoubleType):
-                return float(v)
-            if isinstance(t, T.BooleanType):
-                return bool(int(v))
-            return str(v)
+            return convs.get(name, str)(v)
 
+        col_names = [f.name for f in out_schema.fields]
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
-                d = decode_message(bytes(r.message))
+            append = rows.append
+            for msg, idx, seq in zip(
+                pdf["message"].tolist(), pdf["idx"].tolist(),
+                pdf["seq"].tolist(),
+            ):
+                d = decode_message(bytes(msg))
+                scn = int(d[2][0])
+                tm = int(d[4][0]) if 4 in d else None
+                # recycled-xid instances disambiguated by commit scn, same
+                # rule as the JSON ingress
+                xid = (f"{d[6][0].decode('utf-8')}@{scn}" if 6 in d
+                       else f"@{scn}")
+                attrs = None
+                if 12 in d:
+                    attrs = {}
+                    for e in d[12]:
+                        ed = decode_message(e)
+                        attrs[ed.get(1, [b""])[0].decode("utf-8")] = (
+                            ed.get(2, [b""])[0].decode("utf-8"))
+                    attrs = attrs or None
                 # RedoResponse.payload is REPEATED (field 9,
                 # OraProtoBuf.proto): a MESSAGE_FORMAT::FULL producer packs
                 # a whole transaction's ops into one response — iterate all
@@ -133,44 +198,27 @@ def parse_protobuf_messages(
                         if op in ("ins", "upd")
                         else None
                     )
-                    attrs = {
-                        decode_message(e).get(1, [b""])[0].decode("utf-8"):
-                        decode_message(e).get(2, [b""])[0].decode("utf-8")
-                        for e in d.get(12, [])
-                    } or None
-                    rows.append(
-                        {
-                            "_scn": int(d[2][0]),
-                            "_idx": int(r.idx) + pos,
-                            "_tm": int(d[4][0]) if 4 in d else None,
-                            # recycled-xid instances disambiguated by commit
-                            # scn, same rule as the JSON ingress
-                            "xid": f"{d[6][0].decode('utf-8')}@{int(d[2][0])}"
-                            if 6 in d
-                            else f"@{int(d[2][0])}",
-                            "attrs": attrs,
-                            "seq": int(r.seq),
-                            "op": op,
-                            "table_name": table.decode("utf-8")
-                            if isinstance(table, bytes)
-                            else table,
-                            "conv_id": kv.get("conv_id"),
-                            "turn_idx": None
-                            if kv.get("turn_idx") is None
-                            else int(kv["turn_idx"]),
-                            "before": img_b,
-                            "after": img_a,
-                            "changed_cols": [n for n, _ in after if n not in _KEYS]
-                            if op in ("ins", "upd")
-                            else None,
-                            "ddl_stmt": (pay.get(6, [None])[0] or b"").decode("utf-8")
-                            if op == "ddl" and 6 in pay
-                            else None,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in out_schema.fields]
-            )
+                    turn = kv.get("turn_idx")
+                    append((
+                        scn,
+                        int(idx) + pos,
+                        tm,
+                        xid,
+                        attrs,
+                        int(seq),
+                        op,
+                        table.decode("utf-8")
+                        if isinstance(table, bytes) else table,
+                        kv.get("conv_id"),
+                        None if turn is None else int(turn),
+                        img_b,
+                        img_a,
+                        [n for n, _ in after if n not in _KEYS]
+                        if op in ("ins", "upd") else None,
+                        (pay.get(6, [None])[0] or b"").decode("utf-8")
+                        if op == "ddl" and 6 in pay else None,
+                    ))
+            yield pd.DataFrame(rows, columns=col_names)
 
     flat = src.select("scn", "idx", "message", "seq").mapInPandas(
         decode_iter, schema=out_schema
