@@ -444,6 +444,40 @@ def q_w7_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t2.read().select("conv_id", "turn_idx", "role", "text")
 
 
+def q_w7_full_roundtrip_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 MESSAGE_FORMAT::FULL — one multi-payload RedoResponse per
+    TRANSACTION on the wire (the reference's format.message=1 dial,
+    Format.h:76-84): egress groups each txn's ops JVM-side
+    (collect_list/array_sort) into a single response, the ingress fans
+    the repeated payloads back out in intra-txn order.  Replaying the
+    FULL wire must converge to the identical final state — same DuckDB
+    replay oracle as the per-op wire (w7_roundtrip_state)."""
+    import tempfile
+
+    from openlogreplicator_spark.functions.json_output import (
+        MSG_FULL,
+        WireFormat,
+    )
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.sources.protobuf_feed import read_protobuf_feed
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+
+    feed = _derived_feed(spark, sf_dir)
+    spool = tempfile.mkdtemp(prefix="olr-pbf-")
+    cols = dict(
+        key_cols=[("conv_id", "string"), ("turn_idx", "int")],
+        value_cols=[("role", "string"), ("text", "string"),
+                    ("tool", "string"), ("ts", "timestamp")],
+        n_buckets=8, overwrite=True,
+    )
+    t1 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-pbf1-"), **cols)
+    apply_epoch(t1, feed, 0, job_id="pbfrt", protobuf_spool_dir=spool,
+                json_format=WireFormat(message=MSG_FULL))
+    t2 = LakeTable.create(spark, tempfile.mkdtemp(prefix="olr-pbf2-"), **cols)
+    apply_epoch(t2, read_protobuf_feed(spark, spool), 0, job_id="pbfrt2")
+    return t2.read().select("conv_id", "turn_idx", "role", "text")
+
+
 def q_w2_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/maintenance — clustered point lookup: the derived feed is
     applied through the REAL lake sink, the table is OPTIMIZEd
@@ -1196,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_full_wire_state": q_w6_full_wire_state,
         "f2_config_condition": q_f2_config_condition,
         "w7_roundtrip_state": q_w7_roundtrip_state,
+        "w7_full_roundtrip_state": q_w7_full_roundtrip_state,
         "mt_multi_table_state": q_mt_multi_table_state,
         "d4_time_travel_as_of": q_d4_time_travel_as_of,
         "d4_catalog_as_of": q_d4_catalog_as_of,
@@ -1852,6 +1887,7 @@ FROM (
     # W7 twin: the binary wire must land the same final state as the
     # JSON wire — identical replay oracle
     sql["w7_roundtrip_state"] = sql["w6_roundtrip_state"]
+    sql["w7_full_roundtrip_state"] = sql["w6_roundtrip_state"]
     # dialed wire (FULL/compact/no-rid) must converge to the same state
     sql["w6_full_wire_state"] = sql["w6_roundtrip_state"]
     # config condition language: the SAME translate_condition output in

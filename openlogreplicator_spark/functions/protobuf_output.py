@@ -208,8 +208,124 @@ _PB_OUT = T.StructType(
 )
 
 
+def _fast_encoder(db_name: str, owner: str):
+    """Shared fast-path closures for the one-op and FULL-mode builders —
+    byte-identical to the encode_payload/encode_redo_response composition
+    (field order op(1) schema(2) rid(3) before(4)* after(5)* ddl(6);
+    response code/scn/tm/xid/db/payload/attrs).  The per-message layout
+    is fixed, so tag bytes are literal constants, per-name Value prefixes
+    and per-table Schema fields are memoized across rows, and each
+    message builds in ONE bytearray (bytes += re-copies the whole message
+    per field)."""
+    varint = _varint
+    small = _SMALL
+    db_b = field_string(8, db_name)
+    op_field = {o: (b"" if c == 0 else b"\x08" + small[c])
+                for o, c in OP_ENUM.items()}
+    owner_field = field_string(1, owner)
+    name_cache: dict[str, bytes] = {}
+    schema_cache: dict[str, bytes] = {}
+
+    def name_prefix(n: str) -> bytes:
+        b = name_cache.get(n)
+        if b is None:
+            nb = n.encode("utf-8")
+            ln = len(nb)
+            b = b"\x0a" + (small[ln] if ln < 0x80 else varint(ln)) + nb
+            name_cache[n] = b
+        return b
+
+    def schema_field(t: str) -> bytes:
+        b = schema_cache.get(t)
+        if b is None:
+            body = owner_field + field_string(2, t)
+            ln = len(body)
+            b = b"\x12" + (small[ln] if ln < 0x80 else varint(ln)) + body
+            schema_cache[t] = b
+        return b
+
+    def enc_value(n: str, v) -> bytes:
+        # Value message body: name(1) + oneof datum — int arm(2) /
+        # string arm(5) / NO arm for SQL NULL (same as encode_value)
+        body = name_prefix(n)
+        if isinstance(v, bool):
+            return body + b"\x10" + small[int(v)]
+        if isinstance(v, int):
+            return (body + b"\x10" + small[v]) if 0 <= v < 0x80 \
+                else body + b"\x10" + varint(v)
+        if v is None:
+            return body
+        s = v.encode("utf-8") if type(v) is str else str(v).encode("utf-8")
+        ln = len(s)
+        return body + b"\x2a" + (small[ln] if ln < 0x80 else varint(ln)) + s
+
+    def enc_payload(op, table, rid, conv, tidx, before, after, changed,
+                    ddl) -> bytearray:
+        kc_conv = enc_value("conv_id", conv)
+        kc_turn = enc_value("turn_idx", None if tidx is None else int(tidx))
+        pay = bytearray(op_field[op])
+        if table is not None:
+            pay += schema_field(table)
+        if rid:
+            rb = rid.encode("utf-8")
+            ln = len(rb)
+            pay += b"\x1a" + (small[ln] if ln < 0x80 else varint(ln))
+            pay += rb
+        if op == "upd" or op == "del":
+            vals = [kc_conv, kc_turn]
+            if before:
+                vals += [enc_value(k, v) for k, v in before.items()
+                         if v is not None
+                         and k != "conv_id" and k != "turn_idx"]
+            for vb in vals:
+                ln = len(vb)
+                pay += b"\x22" + (small[ln] if ln < 0x80 else varint(ln))
+                pay += vb
+        if op == "ins" or op == "upd":
+            vals = [kc_conv, kc_turn]
+            if changed is not None:
+                img = after or {}
+                vals += [enc_value(c, img.get(c)) for c in changed]
+            for vb in vals:
+                ln = len(vb)
+                pay += b"\x2a" + (small[ln] if ln < 0x80 else varint(ln))
+                pay += vb
+        if ddl:
+            dbd = ddl.encode("utf-8")
+            ln = len(dbd)
+            pay += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
+            pay += dbd
+        return pay
+
+    def wrap_response(scn, tm, xid, attrs, payloads) -> bytes:
+        msg = bytearray(b"\x08\x05")  # code = PAYLOAD
+        msg += b"\x10" + varint(int(scn))   # oneof scn_val
+        msg += b"\x20" + varint(int(tm))    # oneof tm_val
+        if xid is not None:
+            xb = xid.encode("utf-8")
+            ln = len(xb)
+            msg += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
+            msg += xb
+        msg += db_b
+        for pay in payloads:
+            ln = len(pay)
+            msg += b"\x4a" + (small[ln] if ln < 0x80 else varint(ln))
+            msg += pay
+        if attrs:
+            for k, v in sorted(attrs.items()):
+                entry = (field_string(1, k, keep_empty=True)
+                         + field_string(2, v, keep_empty=True))
+                ln = len(entry)
+                msg += b"\x62" + (small[ln] if ln < 0x80 else varint(ln))
+                msg += entry
+        return bytes(msg)
+
+    return enc_payload, wrap_response
+
+
 def build_protobuf_messages(
-    committed_dml: DataFrame, db_name: str = "transcripts_feed", owner: str = "APP"
+    committed_dml: DataFrame, db_name: str = "transcripts_feed",
+    owner: str = "APP", full_txn: bool = False,
 ) -> DataFrame:
     """Committed DML events → one encoded ``RedoResponse`` per op with the
     same ordered identity (scn, idx) as the JSON builder (W6) — the
@@ -219,7 +335,14 @@ def build_protobuf_messages(
     before/after Values carry the PRESENT columns only: after = the
     changed_cols set (ins/upd), before = non-null undo-image columns
     (upd/del) — protobuf has no null datum, so presence IS the encoding,
-    exactly like the reference's column lists."""
+    exactly like the reference's column lists.
+
+    ``full_txn`` = MESSAGE_FORMAT::FULL (Format.h:76-84, the same dial
+    the JSON builder honors): ONE RedoResponse per transaction, its ops
+    as the repeated ``payload`` field in intra-txn order, identity
+    (commit scn, min seq) — the grouping is a JVM-side
+    collect_list/array_sort aggregation; Python only encodes.  The
+    ingress already iterates repeated payloads, so FULL wires chain."""
     rid = encode_rowid(
         F.crc32(F.col("table_name")).bitwiseAND(F.lit(0x3FFFF)),
         F.crc32(F.col("conv_id")).bitwiseAND(F.lit(0xFFFFFF)),
@@ -242,131 +365,64 @@ def build_protobuf_messages(
         F.col("ddl_stmt"),
     )
 
+    if full_txn:
+        # MESSAGE_FORMAT::FULL — group ops per transaction JVM-side
+        # (array_sort on the leading seq field keeps intra-txn order),
+        # encode one multi-payload response per group
+        grouped = src.groupBy("xid", "scn").agg(
+            F.min("idx").alias("idx"),
+            F.min("tm").alias("tm"),
+            F.first("attrs", ignorenulls=True).alias("attrs"),
+            F.array_sort(F.collect_list(F.struct(
+                F.col("idx").alias("s"), "op", "table_name", "rid",
+                "conv_id", "turn_idx", "before", "after", "changed_cols",
+                "ddl_stmt"))).alias("ops"),
+        )
+
+        def encode_full_iter(batches):
+            import pandas as pd
+
+            enc_payload, wrap = _fast_encoder(db_name, owner)
+            cols = ("scn", "tm", "xid", "attrs", "ops")
+            for pdf in batches:
+                msgs = [
+                    wrap(scn, tm, xid, attrs, [
+                        enc_payload(o["op"], o["table_name"], o["rid"],
+                                    o["conv_id"], o["turn_idx"],
+                                    o["before"], o["after"],
+                                    o["changed_cols"], o["ddl_stmt"])
+                        for o in ops
+                    ])
+                    for scn, tm, xid, attrs, ops
+                    in zip(*(pdf[c].tolist() for c in cols))
+                ]
+                yield pd.DataFrame(
+                    {"scn": pdf["scn"], "idx": pdf["idx"], "message": msgs}
+                )
+
+        return grouped.mapInPandas(encode_full_iter, _PB_OUT)
+
     def encode_iter(batches):
         import pandas as pd
 
-        # Fast wire assembly, byte-identical to the encode_payload/
-        # encode_redo_response composition (field order op(1) schema(2)
-        # rid(3) before(4)* after(5)* ddl(6); response code/scn/tm/xid/db/
-        # payload/attrs) — round-trip + fuzz property tests pin the format.
-        # The per-message layout is fixed, so tag bytes are literal
-        # constants, per-name Value prefixes and per-table Schema fields
-        # are memoized across rows, and each message builds in ONE
-        # bytearray (bytes += re-copies the whole message per field).
-        varint = _varint
-        small = _SMALL
-        db_b = field_string(8, db_name)
-        op_field = {o: (b"" if c == 0 else b"\x08" + small[c])
-                    for o, c in OP_ENUM.items()}
-        owner_field = field_string(1, owner)
-        name_cache: dict[str, bytes] = {}
-        schema_cache: dict[str, bytes] = {}
-
-        def name_prefix(n: str) -> bytes:
-            b = name_cache.get(n)
-            if b is None:
-                nb = n.encode("utf-8")
-                ln = len(nb)
-                b = b"\x0a" + (small[ln] if ln < 0x80 else varint(ln)) + nb
-                name_cache[n] = b
-            return b
-
-        def schema_field(t: str) -> bytes:
-            b = schema_cache.get(t)
-            if b is None:
-                body = owner_field + field_string(2, t)
-                ln = len(body)
-                b = b"\x12" + (small[ln] if ln < 0x80 else varint(ln)) + body
-                schema_cache[t] = b
-            return b
-
-        def enc_value(n: str, v) -> bytes:
-            # Value message body: name(1) + oneof datum — int arm(2) /
-            # string arm(5) / NO arm for SQL NULL (same as encode_value)
-            body = name_prefix(n)
-            if isinstance(v, bool):
-                return body + b"\x10" + small[int(v)]
-            if isinstance(v, int):
-                return (body + b"\x10" + small[v]) if 0 <= v < 0x80 \
-                    else body + b"\x10" + varint(v)
-            if v is None:
-                return body
-            s = v.encode("utf-8") if type(v) is str else str(v).encode("utf-8")
-            ln = len(s)
-            return body + b"\x2a" + (small[ln] if ln < 0x80 else varint(ln)) + s
-
+        enc_payload, wrap = _fast_encoder(db_name, owner)
         cols = ("scn", "tm", "xid", "op", "table_name", "rid", "conv_id",
                 "turn_idx", "before", "after", "changed_cols", "attrs",
                 "ddl_stmt")
         for pdf in batches:
-            msgs = []
-            append = msgs.append
-            for (scn, tm, xid, op, table, rid, conv, tidx, before, after,
-                 changed, attrs, ddl) in zip(*(pdf[c].tolist() for c in cols)):
-                # key columns ride the Value lists like any table column
-                # (the reference emits the full column set incl. keys with
-                # supplemental logging) — this is what makes the message
-                # self-contained for a chained consumer; rid stays a
-                # derived locator
-                kc_conv = enc_value("conv_id", conv)
-                kc_turn = enc_value(
-                    "turn_idx", None if tidx is None else int(tidx))
-                pay = bytearray(op_field[op])
-                if table is not None:
-                    pay += schema_field(table)
-                if rid:
-                    rb = rid.encode("utf-8")
-                    ln = len(rb)
-                    pay += b"\x1a" + (small[ln] if ln < 0x80 else varint(ln))
-                    pay += rb
-                if op == "upd" or op == "del":
-                    vals = [kc_conv, kc_turn]
-                    if before:
-                        vals += [enc_value(k, v) for k, v in before.items()
-                                 if v is not None
-                                 and k != "conv_id" and k != "turn_idx"]
-                    for vb in vals:
-                        ln = len(vb)
-                        pay += b"\x22" + (small[ln] if ln < 0x80
-                                          else varint(ln))
-                        pay += vb
-                if op == "ins" or op == "upd":
-                    vals = [kc_conv, kc_turn]
-                    if changed is not None:
-                        img = after or {}
-                        vals += [enc_value(c, img.get(c)) for c in changed]
-                    for vb in vals:
-                        ln = len(vb)
-                        pay += b"\x2a" + (small[ln] if ln < 0x80
-                                          else varint(ln))
-                        pay += vb
-                if ddl:
-                    dbd = ddl.encode("utf-8")
-                    ln = len(dbd)
-                    pay += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
-                    pay += dbd
-
-                msg = bytearray(b"\x08\x05")  # code = PAYLOAD
-                msg += b"\x10" + varint(int(scn))   # oneof scn_val
-                msg += b"\x20" + varint(int(tm))    # oneof tm_val
-                if xid is not None:
-                    xb = xid.encode("utf-8")
-                    ln = len(xb)
-                    msg += b"\x32" + (small[ln] if ln < 0x80 else varint(ln))
-                    msg += xb
-                msg += db_b
-                ln = len(pay)
-                msg += b"\x4a" + (small[ln] if ln < 0x80 else varint(ln))
-                msg += pay
-                if attrs:
-                    for k, v in sorted(attrs.items()):
-                        entry = (field_string(1, k, keep_empty=True)
-                                 + field_string(2, v, keep_empty=True))
-                        ln = len(entry)
-                        msg += b"\x62" + (small[ln] if ln < 0x80
-                                          else varint(ln))
-                        msg += entry
-                append(bytes(msg))
+            # key columns ride the Value lists like any table column
+            # (the reference emits the full column set incl. keys with
+            # supplemental logging) — this is what makes the message
+            # self-contained for a chained consumer; rid stays a
+            # derived locator
+            msgs = [
+                wrap(scn, tm, xid, attrs,
+                     [enc_payload(op, table, rid, conv, tidx, before,
+                                  after, changed, ddl)])
+                for (scn, tm, xid, op, table, rid, conv, tidx, before,
+                     after, changed, attrs, ddl)
+                in zip(*(pdf[c].tolist() for c in cols))
+            ]
             yield pd.DataFrame(
                 {"scn": pdf["scn"], "idx": pdf["idx"], "message": msgs}
             )

@@ -59,6 +59,7 @@ def write_protobuf_mirror(
     db_name: str = "transcripts_feed", owner: str = "APP",
     n_files: int | None = None,
     ddls: list[tuple] | None = None,
+    fmt=None,
 ) -> None:
     """Spool one epoch of encoded RedoResponse messages as (scn, idx,
     message) parquet in global (scn, idx) order — the binary twin of
@@ -68,10 +69,19 @@ def write_protobuf_mirror(
     ``ddls``: committed DDL as [(commit_scn, seq_in_txn, stmt)] —
     encoded as op=ddl payloads (Payload.ddl field 6, Op enum 5) and
     interleaved at their commit scn, so a chained protobuf consumer
-    evolves its schema like the JSON chain."""
+    evolves its schema like the JSON chain.
+
+    ``fmt``: optional :class:`~..functions.json_output.WireFormat` — the
+    same per-job format dials the JSON egress honors; the protobuf wire
+    reads its MESSAGE_FORMAT::FULL bit (one multi-payload RedoResponse
+    per transaction, BuilderProtobuf's FULL branch analog).  Other dials
+    are JSON header shapes with no protobuf field, so they don't apply."""
+    from ..functions.json_output import MSG_FULL
     from ..functions.protobuf_output import encode_payload, encode_redo_response
 
-    msgs = build_protobuf_messages(committed_dml, db_name=db_name, owner=owner)
+    full_txn = bool(fmt is not None and fmt.message & MSG_FULL)
+    msgs = build_protobuf_messages(
+        committed_dml, db_name=db_name, owner=owner, full_txn=full_txn)
     spark = committed_dml.sparkSession
     if ddls:
         rows = [

@@ -419,7 +419,7 @@ def apply_epoch(
             from ..sources.network import write_protobuf_mirror
 
             write_protobuf_mirror(mirror_src, protobuf_spool_dir, epoch_id,
-                                  ddls=stats["ddls"])
+                                  ddls=stats["ddls"], fmt=json_format)
 
         # ---- per-shard skip counts, driver-side from the stats job ----
         skip_by = dict(stats["dropped_by_shard"])

@@ -537,3 +537,57 @@ def test_debezium_wire_end_to_end(spark, tmpdir_path):
     assert "usr" in dml  # USER_TYPE::DEBEZIUM (null: no login attr set)
     begin = next(m for m in msgs if m["payload"][0]["op"] == "begin")
     assert begin["c_idx"] == 1 and "scn" in begin and "b_scn" in begin
+
+
+def test_format_message_full_on_protobuf_wire(spark, tmpdir_path):
+    """format {type: protobuf, message: 1} (MESSAGE_FORMAT::FULL): the
+    spool carries one multi-payload RedoResponse per transaction and a
+    chained replica still converges to the source state."""
+    from openlogreplicator_spark.functions.protobuf_output import (
+        decode_message,
+    )
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.sources.network import read_spool_messages
+    from openlogreplicator_spark.sources.protobuf_feed import (
+        read_protobuf_feed,
+    )
+    from openlogreplicator_spark.streaming.apply import apply_epoch
+    from openlogreplicator_spark.streaming.job import create_target
+
+    fb = FeedBuilder()
+    t = fb.begin(attrs={"login username": "USER1"})   # 3-op transaction
+    t.ins("c1", 0, role="user", text="q")
+    t.ins("c1", 1, role="assistant", text="a")
+    t.upd("c1", 0, text="q2")
+    fb.commit(t)
+    t = fb.begin()                                    # 1-op transaction
+    t.ins("c2", 0, role="user", text="solo")
+    fb.commit(t)
+    feed_dir = os.path.join(tmpdir_path, "feed")
+    fb.write_parquet(spark, feed_dir)
+    cfg = _base_cfg(
+        feed_dir, os.path.join(tmpdir_path, "state"),
+        writer={"type": "network", "uri": "127.0.0.1:0"},
+    )
+    cfg["source"][0]["format"] = {"type": "protobuf", "message": 1}
+    table = run_from_config(spark, cfg)
+    srv = getattr(table, "network_server", None)
+    assert srv is not None
+    try:
+        frames = list(read_spool_messages(srv.spool_dir))
+        counts = [len(decode_message(m).get(9, [])) for _, _, m in frames]
+        # FULL mode: at least one frame packs >1 op; every op rides SOME
+        # frame (total payloads == committed DML+DDL op count)
+        assert max(counts) > 1
+
+        replica_path = os.path.join(tmpdir_path, "replica")
+        create_target(spark, replica_path, n_buckets=4)
+        apply_epoch(
+            LakeTable(spark, replica_path),
+            read_protobuf_feed(spark, srv.spool_dir), 0, job_id="chain")
+        src = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        got = {(r.conv_id, r.turn_idx): r.text
+               for r in LakeTable(spark, replica_path).read().collect()}
+        assert got == src and src
+    finally:
+        srv.stop()

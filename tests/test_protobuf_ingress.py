@@ -452,3 +452,50 @@ def test_multi_payload_response_full_mode(spark, tmpdir_path):
            for r in tbl.read().collect()}
     # the upd (payload #2) applied ON TOP of the ins (payload #1)
     assert got == {("c1", 1): ("v2", "user"), ("c2", 0): ("solo", "asst")}
+
+
+def test_protobuf_full_message_mode(spark, tmpdir_path):
+    """MESSAGE_FORMAT::FULL on the protobuf wire: one multi-payload
+    RedoResponse per transaction; a chained replica converges to the same
+    state as the one-op wire (the ingress iterates repeated payloads)."""
+    from openlogreplicator_spark.functions.json_output import (
+        MSG_FULL,
+        WireFormat,
+    )
+    from openlogreplicator_spark.functions.protobuf_output import (
+        build_protobuf_messages,
+        decode_message,
+    )
+
+    fb = FeedBuilder(start_scn=3000)
+    t = fb.begin(attrs={"username": "bob"})
+    t.ins("f1", 0, role="user", text="q", ts=TS)
+    t.ins("f1", 1, role="assistant", text="a", ts=TS)
+    t.upd("f1", 0, text="q2")
+    fb.commit(t)
+    t = fb.begin()
+    t.ins("f2", 0, role="user", text="solo", ts=TS)
+    fb.commit(t)
+
+    dml = _committed_dml(spark, fb)
+    full_msgs = build_protobuf_messages(dml, full_txn=True).collect()
+    # one message per transaction, ops as repeated payloads in seq order
+    assert len(full_msgs) == 2
+    n_payloads = sorted(
+        len(decode_message(bytes(r.message)).get(9, [])) for r in full_msgs
+    )
+    assert n_payloads == [1, 3]
+
+    # the FULL spool replays to the same state as the per-op spool
+    src = create_target(spark, os.path.join(tmpdir_path, "src"), n_buckets=2)
+    apply_epoch(src, fb.to_spark(spark), 0, job_id="j")
+
+    spool = os.path.join(tmpdir_path, "spool_full")
+    write_protobuf_mirror(
+        dml, spool, 0, fmt=WireFormat(message=MSG_FULL))
+
+    dst = create_target(spark, os.path.join(tmpdir_path, "dst"), n_buckets=4)
+    apply_epoch(dst, read_protobuf_feed(spark, spool), 0, job_id="chain")
+    assert _rows(dst) == _rows(src)
+    row = {(r["conv_id"], r["turn_idx"]): r for r in dst.read().collect()}
+    assert row[("f1", 0)]["text"] == "q2"   # intra-txn order preserved
