@@ -47,6 +47,13 @@ ONLY = os.environ.get("BENCH_ONLY", "")  # "cdc" → skip non-CDC queries (scali
 SHUFFLE = int(os.environ.get("BENCH_SHUFFLE", "0"))  # 0 → default (= cpus)
 
 
+def _work_base() -> str:
+    d = os.environ.get("BENCH_WORK_DIR")
+    if d:
+        return d
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None  # type: ignore[return-value]
+
+
 def feed_cache_dir(n_txns: int, skew: float) -> str:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     d = f"{base}/olr_bench_feed_t{n_txns}_s{skew}"
@@ -221,8 +228,14 @@ def run_cdc_group() -> dict:
     warmup()
     _timed(times, "cdc_parse_assemble", parse_assemble, best_of=2)
 
-    # 2) full tail→merge into the lake table (one bounded epoch)
-    work = tempfile.mkdtemp(prefix="olrbench-")
+    # 2) full tail→merge into the lake table (one bounded epoch).
+    # Work dir on tmpfs when available (BENCH_WORK_DIR overrides): the sink
+    # write must land on the same storage tier as the shuffle — on this box
+    # /tmp is a single spinning-rust-speed vda and its flush bandwidth
+    # neither scales with cores nor stays stable across draws; on a real
+    # cluster the sink is distributed storage whose bandwidth scales with
+    # the executor count.
+    work = tempfile.mkdtemp(prefix="olrbench-", dir=_work_base())
 
     # best-of-2: the engine is a long-running streaming job, so the
     # steady-state (warm-JVM) epoch cost is the honest headline — the first
@@ -597,7 +610,7 @@ def run_side_group() -> dict:
             ivf_topk,
         )
 
-        pre_dir = tempfile.mkdtemp(prefix="olrbench-ivf-")
+        pre_dir = tempfile.mkdtemp(prefix="olrbench-ivf-", dir=_work_base())
         assign_ivf_cells(
             emb.filter(F.col("vec_id") >= 10), n_centroids=8, dim=64
         ).write.mode("overwrite").parquet(pre_dir)
@@ -628,7 +641,7 @@ def run_side_group() -> dict:
             sample_vectors_deterministic(emb_path, n=2048),
             n_subspaces=8, n_codes=16, iters=8,
         )
-        pq_dir = tempfile.mkdtemp(prefix="olrbench-pq-")
+        pq_dir = tempfile.mkdtemp(prefix="olrbench-pq-", dir=_work_base())
         pq_encode(
             emb.filter(F.col("vec_id") >= 10), books, dim=64
         ).write.mode("overwrite").parquet(pq_dir)

@@ -65,6 +65,35 @@ PENDING_COMPACT_DIRS = 8
 PENDING_CLOSED_CAP = 50_000
 
 
+def _changes_cache_level():
+    """StorageLevel for the per-epoch collapsed-changes cache.
+
+    The frame is written once (the fused stats job materializes it) and
+    scanned once (the merge) — a 1-write/1-read temp, not a hot cache.
+    Deserialized on-heap rows (Spark's DataFrame default) make that temp
+    O(epoch) JVM objects: GC pause time grows with epoch size and does NOT
+    scale with cores (measured on the 20M-event bench epoch: the merge's
+    extra-over-parse cost scaled at ~0.56 efficiency 2→8 cores while the
+    pure-compute parse scaled ~0.9).  Serialized storage keeps the temp in
+    compact Tungsten bytes off the GC's object graph — the write/read is
+    sequential-bandwidth-bound, which a real cluster scales per-executor.
+
+    OLR_CHANGES_CACHE: ``disk`` (default: DISK_ONLY — spark.local.dir, on
+    tmpfs in the bench/production profile), ``memser`` (MEMORY_AND_DISK
+    serialized), ``deser`` (the old DataFrame default), ``none`` (no cache:
+    the merge recomputes the collapse plan — 2× plan CPU, zero cache
+    traffic)."""
+    from pyspark import StorageLevel
+
+    name = os.environ.get("OLR_CHANGES_CACHE", "disk").lower()
+    return {
+        "disk": StorageLevel.DISK_ONLY,
+        "memser": StorageLevel.MEMORY_AND_DISK,
+        "deser": StorageLevel.MEMORY_AND_DISK_DESER,
+        "none": None,
+    }[name]
+
+
 def _pending_bytes(root: str, manifest: dict) -> int | None:
     """On-disk bytes of the open-transaction carry — the engine's analog of
     the reference's transaction-buffer swap usage (MemoryManager.cpp), fed
@@ -283,11 +312,12 @@ def apply_epoch(
                 tracked_pattern,
             )
             tdml0 = reassemble_chunks(tr0, n_hint=0).filter(F.col("op") != "chunk")
-            changes0 = (
-                collapse_net_changes(tdml0, table.value_names)
-                .withColumn("_bucket", table._bucket_expr())
-                .persist()
+            changes0 = collapse_net_changes(tdml0, table.value_names).withColumn(
+                "_bucket", table._bucket_expr()
             )
+            _lvl = _changes_cache_level()
+            if _lvl is not None:
+                changes0 = changes0.persist(_lvl)
             from .stats import collapse_counts_branch
 
             extra_branches = [collapse_counts_branch(changes0)]
@@ -503,11 +533,12 @@ def apply_epoch(
                 # ONE persisted pass per segment: its single counts collect
                 # feeds both the lineage counters AND the affected-bucket
                 # list (merge skips its own discovery job)
-                changes = (
-                    collapse_net_changes(seg, table.value_names)
-                    .withColumn("_bucket", table._bucket_expr())
-                    .persist()
+                changes = collapse_net_changes(seg, table.value_names).withColumn(
+                    "_bucket", table._bucket_expr()
                 )
+                _lvl = _changes_cache_level()
+                if _lvl is not None:
+                    changes = changes.persist(_lvl)
                 for r in changes.groupBy("_bucket", "last_shard").agg(
                     F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
                     F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),

@@ -76,8 +76,14 @@ def main():
             "same deterministic feed (seed=42) at two parallelism levels, "
             "fresh JVM each; efficiency per leg = median over the paired "
             "draws (n_draws; single-draw legs swing +-35% on this box), "
-            "16g heap, shuffle+spill on tmpfs "
-            "(spark.local.dir=/dev/shm), spark.sql.shuffle.partitions=64 "
+            "16g heap, shuffle+spill AND sink work dir on tmpfs "
+            "(spark.local.dir=/dev/shm, bench work dir /dev/shm) — the "
+            "sink must sit on a storage tier whose bandwidth scales with "
+            "the compute, as a real cluster's distributed store does; the "
+            "single local vda disk's flush bandwidth is flat in cores and "
+            "its async writeback bled into neighbouring measurements "
+            "(round-5 finding: the r4 full-merge draw bimodality), "
+            "spark.sql.shuffle.partitions=64 "
             "fixed across levels, codegen warmed, machine otherwise idle"
         ),
         "single_box_ceiling_note": (
