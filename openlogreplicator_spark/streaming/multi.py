@@ -59,8 +59,21 @@ from ..operators.assemble import (
 )
 from ..operators.collapse import collapse_net_changes
 from ..schema import CHANGE_EVENT_SCHEMA
-from .apply import plan_pending_update, plan_pending_update_large
+from .apply import (
+    _changes_cache_level,
+    plan_pending_update,
+    plan_pending_update_large,
+)
 from .stats import epoch_stats
+
+
+def _persist_changes(df: DataFrame) -> DataFrame:
+    """Persist a per-epoch collapsed-changes temp at the shared policy
+    (apply._changes_cache_level: DISK_ONLY default — serialized Tungsten
+    bytes off the GC object graph; deser on-heap rows made the 1-write/
+    N-read temp a GC bottleneck that did not scale with cores)."""
+    lvl = _changes_cache_level()
+    return df if lvl is None else df.persist(lvl)
 
 
 def parse_ddl(stmt: str, default_table: str | None) -> tuple:
@@ -266,10 +279,9 @@ def apply_epoch_multi(
             F.xxhash64(F.col("conv_id")),
             F.element_at(F.create_map(*nbp0), F.col("table_name")),
         ).cast("int")
-        changes0 = (
+        changes0 = _persist_changes(
             collapse_net_changes(tdml0, ucols0, extra_group=["table_name"])
             .withColumn("_bucket", bucket0)
-            .persist()
         )
         from .stats import collapse_counts_branch
 
@@ -532,14 +544,13 @@ def apply_epoch_multi(
                     F.xxhash64(F.col("conv_id")),
                     F.element_at(F.create_map(*nb_pairs), F.col("table_name")),
                 ).cast("int")
-                changes_all = (
+                changes_all = _persist_changes(
                     collapse_net_changes(
                         seg.filter(F.col("table_name").isin(live)),
                         union_cols,
                         extra_group=["table_name"],
                     )
                     .withColumn("_bucket", bucket)
-                    .persist()
                 )
                 for r in changes_all.groupBy("table_name", "_bucket", "last_shard").agg(
                     F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
@@ -589,12 +600,11 @@ def apply_epoch_multi(
             # always uses the default keys)
             for name in live:
                 table = table_objs[name]
-                changes = (
+                changes = _persist_changes(
                     collapse_net_changes(
                         seg.filter(F.col("table_name") == name), table.value_names
                     )
                     .withColumn("_bucket", table._bucket_expr())
-                    .persist()
                 )
                 affected_t: set = set()
                 for r in changes.groupBy("_bucket", "last_shard").agg(
