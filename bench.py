@@ -461,6 +461,7 @@ def run_cdc_group() -> dict:
         extra["stateful_events_per_sec"] = round(
             n_st / times["cdc_stateful_assemble"], 1
         )
+        extra["n_stateful_events"] = n_st
 
     # 3d) wire chaining: JSON mirror egress write + full ingress parse
     # (read_json_feed → events, noop sink) over the ~1M-event feed's
@@ -835,8 +836,9 @@ def _merge_cdc_draws(draws: list[dict]) -> dict:
             out["update_events_per_sec_cow"] = round(n_upd / times["cdc_update_epoch_cow"], 1)
         if "cdc_update_epoch_mor" in times:
             out["update_events_per_sec_mor"] = round(n_upd / times["cdc_update_epoch_mor"], 1)
-        if "cdc_stateful_assemble" in times:
-            out["stateful_events_per_sec"] = round(n_upd / times["cdc_stateful_assemble"], 1)
+    n_st = out.get("n_stateful_events")
+    if n_st and "cdc_stateful_assemble" in times:
+        out["stateful_events_per_sec"] = round(n_st / times["cdc_stateful_assemble"], 1)
     if n_wire and "cdc_json_wire_parse" in times:
         out["wire_events_per_sec_parse"] = round(n_wire / times["cdc_json_wire_parse"], 1)
     if "cdc_multi_table_merge_t8" in times and "cdc_multi_table_merge" in times:
