@@ -229,3 +229,28 @@ def test_pending_compaction_bounds_delta_chain(spark, tmpdir_path):
         assert pend.count() == 6  # begin + 5 ins survive compaction
     finally:
         apply_mod.PENDING_COMPACT_DIRS = old
+
+
+def test_changes_cache_levels_state_equivalent(spark, tmpdir_path):
+    """The OLR_CHANGES_CACHE dial (disk/memser/deser/none) only moves the
+    per-epoch collapsed-changes temp between storage tiers — final table
+    state must be identical under every level, including 'none' (merge
+    recomputes the collapse plan instead of reading a cache)."""
+    import openlogreplicator_spark.streaming.apply as apply_mod
+
+    fb = _committed_feed(n_txns=8)
+    want = replay(fb.rows)
+    want_rows = normalize_rows(want.as_records(), want.columns)
+    for level in ("disk", "memser", "deser", "none"):
+        os.environ["OLR_CHANGES_CACHE"] = level
+        try:
+            table = create_target(
+                spark, os.path.join(tmpdir_path, f"tbl_{level}"), n_buckets=4
+            )
+            apply_epoch(table, fb.to_spark(spark), 0, job_id=f"j_{level}")
+            got = normalize_rows(
+                [r.asDict() for r in table.read().collect()], table.value_names
+            )
+            assert got == want_rows, f"state diverged under OLR_CHANGES_CACHE={level}"
+        finally:
+            os.environ.pop("OLR_CHANGES_CACHE", None)
