@@ -26,9 +26,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cpus: int, txns: int, update_txns: int) -> dict:
+    # ONE internal CDC draw per leg: draw pairing (N leg then 4N leg, same
+    # feed, fresh JVMs) is THIS harness's job via --draws; bench.py's own
+    # median-of-3 default would nest 3 unpaired draws inside each leg and
+    # blow the subprocess timeout at the 2-core level.
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_TXNS=str(txns),
                BENCH_ONLY="cdc", BENCH_SKIP_SKEW="1", BENCH_SHUFFLE="64",
-               BENCH_UPDATE="1", BENCH_UPDATE_TXNS=str(update_txns))
+               BENCH_UPDATE="1", BENCH_UPDATE_TXNS=str(update_txns),
+               BENCH_CDC_DRAWS="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
