@@ -35,10 +35,32 @@ in one pass, gate in the projection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 KEY = ["conv_id", "turn_idx"]
+
+
+def _collapse_mode() -> str:
+    """``onesort`` (default) pre-partitions the DML by the group key so the
+    aggregation plans as ONE complete SortAggregate after the exchange —
+    the partial/final split would SORT the full text-heavy frame twice
+    (map side + reduce side) to save only the ~10% of shuffle bytes that
+    map-side combine removes at the typical ~2 events/key.  Measured on the
+    25M-event update epoch (tools/exp_*): 2→8-core stage efficiency 0.59 →
+    0.83 and −23% wall at 8 cores; sorts get cache-miss-bound as cores
+    grow, exchanges keep scaling.
+
+    ``combine`` restores the partial+final map-side-combine plan: the
+    pathological-skew armor.  A key carrying more than ~1/n_partitions of
+    the epoch's events serializes one reducer under ``onesort``; combine
+    collapses it to one row per map partition before the shuffle.  The
+    bench's skew=2.0 feed puts ~1% on the hottest key — far below a task's
+    average share — so onesort is the right default; flip this dial for
+    feeds where single conversations dominate whole epochs."""
+    return os.environ.get("OLR_COLLAPSE_MODE", "onesort").lower()
 
 
 def _ord():
@@ -73,6 +95,14 @@ def collapse_net_changes(
     universe = [
         c for c in dml.schema["after"].dataType.names
     ]
+    gkey_pre = (extra_group or []) + KEY
+    if _collapse_mode() == "onesort":
+        # hash-exchange on the group key BEFORE aggregating: the agg then
+        # plans as one COMPLETE SortAggregate (single sort) instead of
+        # partial+final (two full-data sorts) — see _collapse_mode.  No
+        # partition count pinned: spark.sql.shuffle.partitions + AQE size
+        # it (small streaming epochs coalesce, big replays spread).
+        dml = dml.repartition(*gkey_pre)
     d = dml.withColumn("_ord", _ord())
     is_write = F.col("op").isin("ins", "upd")
 

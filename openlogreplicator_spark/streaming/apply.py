@@ -78,14 +78,17 @@ def _changes_cache_level():
     compact Tungsten bytes off the GC's object graph — the write/read is
     sequential-bandwidth-bound, which a real cluster scales per-executor.
 
-    OLR_CHANGES_CACHE: ``disk`` (default: DISK_ONLY — spark.local.dir, on
-    tmpfs in the bench/production profile), ``memser`` (MEMORY_AND_DISK
-    serialized), ``deser`` (the old DataFrame default), ``none`` (no cache:
-    the merge recomputes the collapse plan — 2× plan CPU, zero cache
-    traffic)."""
+    OLR_CHANGES_CACHE: ``memser`` (default: MEMORY_AND_DISK, serialized
+    columnar in storage memory with graceful disk spill — measured best on
+    every path of the 25M-event update epoch AND the 50M-event full merge,
+    round-5 tools/exp_update_epoch.py: MoR 313k vs disk's 288k ev/s at 8
+    cores, ties at 2), ``disk`` (DISK_ONLY — spark.local.dir; the all-disk
+    variant when executor storage memory is committed elsewhere), ``deser``
+    (the old DataFrame default), ``none`` (no cache: the merge recomputes
+    the collapse plan — 2× plan CPU, zero cache traffic)."""
     from pyspark import StorageLevel
 
-    name = os.environ.get("OLR_CHANGES_CACHE", "disk").lower()
+    name = os.environ.get("OLR_CHANGES_CACHE", "memser").lower()
     return {
         "disk": StorageLevel.DISK_ONLY,
         "memser": StorageLevel.MEMORY_AND_DISK,
