@@ -270,6 +270,23 @@ def run_cdc_group() -> dict:
         extra["skew_ratio"] = round(
             extra["events_per_sec_skewed"] / extra["events_per_sec_full_merge"], 3
         )
+        # same skewed feed under the documented skew dial (map-side-combine
+        # collapse): the hot-feed operator setting, reported side by side —
+        # default stays whatever OLR_COLLAPSE_MODE says (onesort)
+        prev_mode = os.environ.get("OLR_COLLAPSE_MODE")
+        os.environ["OLR_COLLAPSE_MODE"] = "combine"
+        try:
+            times["cdc_full_merge_skewed_combine"] = round(
+                min(merge_once(skew_feed, "_skc_w0"), merge_once(skew_feed, "_skc")), 3
+            )
+        finally:
+            if prev_mode is None:
+                os.environ.pop("OLR_COLLAPSE_MODE", None)
+            else:
+                os.environ["OLR_COLLAPSE_MODE"] = prev_mode
+        extra["events_per_sec_skewed_combine"] = round(
+            n_skew / times["cdc_full_merge_skewed_combine"], 1
+        )
 
     # 3a) multi-table replication: the same 10M events routed to TWO
     # tracked tables (conv-hash split) through the Catalog fan-out — the
