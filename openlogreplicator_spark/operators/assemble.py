@@ -35,6 +35,8 @@ see also collapse_net_changes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,12 +96,30 @@ def assemble_transactions(
         )
     payload = events.filter(F.col("op").isin("ins", "upd", "del", "prollback", "chunk", "ddl"))
 
-    # status has one row per txn. No forced broadcast hint: with millions
-    # of transactions per batch a forced broadcast builds a multi-hundred-MB
-    # hash relation serially on the driver; AQE converts the join to
-    # broadcast-hash at runtime whenever the status side is actually small
-    # (the common case) and keeps a scalable shuffle join when it isn't.
+    # status has one row per txn.  Strategy (guide §3.1, measured r6):
+    # a shuffle join here exchanges the WIDE payload (text and all) by xid
+    # — on the 10M-event bench that is a ~450 MB compressed shuffle plus
+    # two sorts, only to re-exchange the same rows by the collapse key one
+    # stage later.  Broadcasting the status removes the wide xid exchange
+    # outright (one wide shuffle per epoch instead of two).  The decision
+    # is driver-side and job-free: the planner's scan-bytes estimate of
+    # the input bounds the txn count (status rows ≤ control events ≤
+    # input/~30B), so feeds under OLR_STATUS_BCAST_CAP (default 4g ≈ a
+    # worst-case few-hundred-MB hash relation) broadcast; bigger epochs
+    # keep the scalable shuffle join.  OLR_STATUS_JOIN=shuffle|bcast
+    # overrides either way.
     st = status
+    mode = os.environ.get("OLR_STATUS_JOIN", "auto")
+    if mode == "bcast":
+        st = F.broadcast(status)
+    elif mode == "auto":
+        cap = int(os.environ.get("OLR_STATUS_BCAST_CAP", str(4 << 30)))
+        try:
+            est = int(events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = cap + 1
+        if est <= cap:
+            st = F.broadcast(status)
     joined = payload.join(st, "xid", "left")
 
     closed = F.col("txn_commit_scn").isNotNull() | F.col("rolled_back").isNotNull()
@@ -121,7 +141,11 @@ def assemble_transactions(
         "xid",
         "left_anti",
     )
-    return {"committed": committed, "open": open_events, "dropped": dropped}
+    # "status" (the possibly-broadcast frame) rides along so the fused
+    # stats job (streaming/stats.py fast path) can reuse the SAME exchange
+    # or broadcast instead of re-deriving txn state per counter branch.
+    return {"committed": committed, "open": open_events, "dropped": dropped,
+            "status": st}
 
 
 def match_partial_rollbacks(

@@ -51,6 +51,17 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime broadcast conversion from MEASURED stage size (guide §3.1):
+        # the txn-status side of the assemble join is an aggregate whose
+        # planner ESTIMATE is the whole feed scan (no CBO stats), so the
+        # static threshold never fires; AQE sees the built side's actual
+        # bytes and converts SMJ→BHJ when it is really small.  256m is the
+        # executor-memory bound, not a local[32] tune: epochs whose status
+        # side exceeds it keep the scalable shuffle join at any scale.
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AQE_BROADCAST", "256m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

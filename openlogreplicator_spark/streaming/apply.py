@@ -338,6 +338,7 @@ def apply_epoch(
             extra_branches=extra_branches,
             pending_events=events.filter(F.col("_pend")),
             dml_type_counts=registry is not None,
+            events=events,
         )
         use_fused = (
             changes0 is not None

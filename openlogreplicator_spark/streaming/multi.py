@@ -295,6 +295,7 @@ def apply_epoch_multi(
         extra_branches=extra_branches,
         pending_events=events.filter(F.col("_pend")),
         dml_type_counts=registry is not None,
+        events=events,
     )
     # adaptive-schema mode (reference: REDO_FLAGS::SCHEMALESS +
     # Metadata::loadAdaptiveSchema, Metadata.cpp:676-706 — here the

@@ -100,6 +100,7 @@ def main():
                 pending_flag="_pend",
                 extra_branches=[collapse_counts_branch(changes0)],
                 pending_events=events.filter(F.col("_pend")),
+                events=events,
             )
             t_stats = time.perf_counter() - t0
 
