@@ -45,11 +45,117 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id") -> DataFrame:
-    """Exact top-k by cosine for each query vector.  The query side is
-    broadcast (small); ties broken by neighbor id for determinism."""
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    """Exact top-k by cosine for each query vector; ties broken by neighbor
+    id for determinism.
+
+    Execution (r6, guide §4.2): the final ranking is the SAME JVM
+    expression as always — ``round(cosine(n_vec, q_vec), 6)`` + per-query
+    window — but it runs over a small candidate set pre-selected by a
+    vectorized numpy pass (mapInPandas) instead of the full Q×N cross
+    join.  The Catalyst higher-order-function fold evaluates interpreted
+    per element (~dim × Q steps per row); the numpy pass reproduces the
+    EXACT fold arithmetic (explicit per-dimension loop — same IEEE
+    multiply/add order as the sequential fold, no BLAS/FMA reassociation)
+    and keeps, per batch and query, every row whose unrounded cosine is
+    within 1.01e-6 of the batch's k-th best.  Because two reals ≥1e-6
+    apart can never round-to-6-decimals to the same value, any row outside
+    that band is strictly dominated by k rows in the rounded order
+    regardless of id tie-breaks — the candidate set provably contains the
+    true rounded top-k, and the JVM recompute makes the emitted values
+    bit-identical to the old plan.  Degenerate rows (length mismatch,
+    nulls, non-finite values) bypass the pruning entirely and flow to the
+    JVM phase, which ranks them exactly as before."""
+    q_rows = queries.select(F.col(q_id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"))
+        c0 = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+        j0 = c0.crossJoin(F.broadcast(q))
+        sim0 = F.round(cosine(F.col("n_vec"), F.col("q_vec")), 6).alias("cos_sim")
+        scored0 = j0.select(q_id_col, "n_id", sim0).filter(F.col("n_id").isNotNull())
+        w0 = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+        return scored0.withColumn("rank", F.row_number().over(w0)).filter(F.col("rank") <= k)
+
+    import numpy as np
+
+    q_vecs = [None if r[1] is None else list(r[1]) for r in q_rows]
+    narrow = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    id_t = narrow.schema["n_id"].dataType.simpleString()
+    vec_t = narrow.schema["n_vec"].dataType.simpleString()
+    out_schema = f"`n_id` {id_t}, `n_vec` {vec_t}"
+    qmats = []
+    for qv in q_vecs:
+        if qv is None or any(v is None for v in qv):
+            qmats.append(None)
+        else:
+            arr = np.asarray(qv, dtype=np.float64)
+            qmats.append(arr if np.isfinite(arr).all() else None)
+
+    def gen(batches):
+        for b in batches:
+            vecs = b["n_vec"]
+            n = len(b)
+            lens = np.fromiter(
+                ((len(v) if v is not None else -1) for v in vecs),
+                dtype=np.int64, count=n,
+            )
+            keep = set()
+            # rows the exact fold can't score finitely (null/ragged/NaN)
+            # bypass pruning; plus the k smallest ids as null-sim fill
+            # insurance so "fewer than k scoreable rows" cases rank
+            # exactly as the full cross join would
+            try:
+                order = np.argsort(b["n_id"].to_numpy(), kind="stable")[:k]
+                keep.update(order.tolist())
+            except TypeError:
+                keep.update(range(min(k, n)))
+            for L in np.unique(lens):
+                idx = np.flatnonzero(lens == L)
+                if L <= 0:
+                    keep.update(idx.tolist())
+                    continue
+                try:
+                    m = np.stack(vecs.iloc[idx].to_numpy()).astype(np.float64)
+                except (TypeError, ValueError):
+                    keep.update(idx.tolist())
+                    continue
+                finite = np.isfinite(m).all(axis=1)
+                if not finite.all():
+                    keep.update(idx[~finite].tolist())
+                    idx = idx[finite]
+                    m = m[finite]
+                if not len(idx):
+                    continue
+                # exact fold arithmetic: per-dimension loop — the same
+                # IEEE multiply/add order as the Catalyst aggregate fold
+                # (no BLAS dot, which reassociates)
+                nrm2 = np.zeros(len(idx))
+                for jd in range(int(L)):
+                    cl = m[:, jd]
+                    nrm2 += cl * cl
+                nrm = np.sqrt(nrm2)
+                for qv in qmats:
+                    if qv is None or len(qv) != L:
+                        continue  # cos is NULL for these pairs — never top
+                    dot = np.zeros(len(idx))
+                    for jd in range(int(L)):
+                        dot += m[:, jd] * qv[jd]
+                    qn2 = 0.0
+                    for jd in range(int(L)):
+                        qn2 += qv[jd] * qv[jd]
+                    denom = np.maximum(nrm * np.sqrt(qn2), 1e-12)
+                    cos = dot / denom
+                    if len(cos) <= k:
+                        keep.update(idx.tolist())
+                        continue
+                    kth = np.partition(cos, len(cos) - k)[len(cos) - k]
+                    keep.update(idx[cos >= kth - 1.01e-6].tolist())
+            if not keep:
+                continue
+            yield b.iloc[sorted(keep)][["n_id", "n_vec"]]
+
+    cand = narrow.mapInPandas(gen, out_schema)
     q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"))
-    j = c.crossJoin(F.broadcast(q))
+    j = cand.crossJoin(F.broadcast(q))
     sim = F.round(cosine(F.col("n_vec"), F.col("q_vec")), 6).alias("cos_sim")
     scored = j.select(q_id_col, "n_id", sim).filter(F.col("n_id").isNotNull())
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
