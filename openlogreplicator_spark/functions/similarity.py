@@ -196,7 +196,7 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     planes = plane_matrix(n_planes, dim)
     out = F.lit(0)
     for p in range(n_planes):
-        lits = F.array(*[F.lit(w) for w in planes[p]])
+        lits = _arr_lit(planes[p])
         proj = F.aggregate(
             F.zip_with(vec, lits, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -253,6 +253,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = j.select(q_id_col, "n_id", sim)
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _arr_lit(vals) -> Column:
+    """array<double> literal built in ONE py4j call.
+
+    ``F.array(*[F.lit(w) for w in vals])`` costs a py4j round trip per
+    element (~0.5 ms each); a 256-centroid probe frame is ~16k elements —
+    measured >10 s of pure DRIVER wall building the 10M-vector query's
+    plan, more than its whole cluster execution.  Parsing the SQL text
+    yields the identical CreateArray(Literal…) tree (repr round-trips
+    doubles exactly), ~100× faster to construct."""
+    return F.expr("array(" + ",".join(f"{float(w)!r}D" for w in vals) + ")")
+
+
+def _arr_lit2(rows) -> Column:
+    """array<array<double>> literal, one py4j call."""
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(w)!r}D" for w in r) + ")" for r in rows
+        ) + ")"
+    )
+
+
+_SHORTLIST_BROADCAST_ROWS = 4_000_000
+
+
+def _broadcast_if_bounded(df: DataFrame, n_q: int, per_query: int) -> DataFrame:
+    """Broadcast a rerank shortlist when its provable row bound
+    (n_q × per_query) is small; huge query batches keep the shuffle join."""
+    if n_q * max(per_query, 1) <= _SHORTLIST_BROADCAST_ROWS:
+        return F.broadcast(df)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +382,7 @@ def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(w) for w in c]),
+                    _arr_lit(c),
                     lambda x, w: x.cast("double") * w,
                 ),
                 F.lit(0.0),
@@ -435,41 +467,35 @@ def _probe_frame(queries: DataFrame, cents: list[list[float]], n_probe: int,
     n_probe ≥ 4).  Tie-break (equal score → smaller index) matches the
     DuckDB oracle's repeated list_position-of-max, which also takes the
     first (= smallest-index) maximum."""
-    q0 = queries.select(
-        F.col(q_id_col),
-        F.col(vec_col).alias("q_vec"),
-        (F.size(F.col(vec_col)) == dim).alias("_ok"),
-        *[
-            sc.alias(f"_s{j}")
-            for j, sc in enumerate(
-                [
-                    F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col),
-                            F.array(*[F.lit(w) for w in cent]),
-                            lambda x, w: x.cast("double") * w,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                    for cent in cents
-                ]
-            )
-        ],
+    # whole projection as SQL text: one py4j call instead of ~10 per
+    # centroid (at 256 centroids the Column-by-Column construction cost
+    # ~4 s of pure driver wall per query; the parsed tree is identical)
+    def arr_sql(vals):
+        return "array(" + ",".join(f"{float(w)!r}D" for w in vals) + ")"
+
+    score_sqls = [
+        f"aggregate(zip_with(`{vec_col}`, {arr_sql(cent)}, "
+        "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
+        f" AS _s{j}"
+        for j, cent in enumerate(cents)
+    ]
+    q0 = queries.selectExpr(
+        f"`{q_id_col}`",
+        f"`{vec_col}` AS q_vec",
+        f"(size(`{vec_col}`) = {int(dim)}) AS _ok",
+        *score_sqls,
     )
-    pairs = F.array(
-        *[
-            F.struct((-F.col(f"_s{j}")).alias("ns"), F.lit(j + 1).alias("j"))
-            for j in range(len(cents))
-        ]
+    pairs_sql = "array(" + ",".join(
+        f"struct(-_s{j} AS ns, {j + 1} AS j)" for j in range(len(cents))
+    ) + ")"
+    probes_sql = (
+        f"transform(slice(array_sort({pairs_sql}), 1, {int(n_probe)}), "
+        "x -> CAST(x.j AS INT))"
     )
-    probes = F.transform(
-        F.slice(F.array_sort(pairs), 1, n_probe), lambda x: x["j"].cast("int")
-    )
-    return q0.select(
-        F.col(q_id_col),
-        F.col("q_vec"),
-        F.when(F.col("_ok"), probes).alias("_probes"),
+    return q0.selectExpr(
+        f"`{q_id_col}`",
+        "q_vec",
+        f"CASE WHEN _ok THEN {probes_sql} END AS _probes",
     ).select(q_id_col, "q_vec", F.explode("_probes").alias("cid"))
 
 
@@ -595,7 +621,7 @@ def _pq_subscores(vec: Column, book_m: list[list[float]], lo: int) -> Column:
             F.aggregate(
                 F.zip_with(
                     sub,
-                    F.array(*[F.lit(w) for w in cw]),
+                    _arr_lit(cw),
                     lambda x, w: x.cast("double") * w,
                 ),
                 F.lit(0.0),
@@ -682,14 +708,168 @@ def _pq_encode_numpy(df: DataFrame, codebooks: list[list[list[float]]],
     return df.mapInPandas(gen, out_schema)
 
 
+_ADC_PRUNE_QUERY_CAP = 10_000
+
+
+def _adc_prune(encoded: DataFrame, q_rows, codebooks, keep_n: int, dim: int,
+               probes_by_q: "list | None") -> DataFrame | None:
+    """Vectorized ADC candidate pre-selection for :func:`pq_topk` /
+    :func:`ivf_pq_topk` (same technique as brute_force_topk's pruning
+    pass): reproduce the JVM's reconstruct+cosine fold bit-exactly in
+    numpy (explicit per-dimension loop, float64, no BLAS) and keep per
+    batch only rows within 1.01e-6 of each query's ``keep_n``-th best
+    unrounded ADC cosine — a band two round-to-6-decimals values cannot
+    share — plus every row the fold cannot score cleanly.  The unchanged
+    JVM expression then ranks the candidates, so shortlists (and with
+    them the final reranked rows) are identical to the unpruned plan.
+
+    ``encoded`` columns: n_id, _code (+ cid when ``probes_by_q`` is set).
+    ``probes_by_q``: per-query probe cell arrays (IVF composition) — a
+    row competes for a query only when its cid is probed, mirroring the
+    equi-join.  Returns None when any input is degenerate (non-finite
+    query, bad codebook shape) — the caller keeps the unpruned plan."""
+    import numpy as np
+
+    m = len(codebooks)
+    d0 = len(codebooks[0][0])
+    n_codes = len(codebooks[0])
+    if m * d0 != dim:
+        return None
+    books = np.asarray(codebooks, dtype=np.float64)          # (m, K, d0)
+    if not np.isfinite(books).all():
+        return None
+    qs = []
+    for i, r in enumerate(q_rows):
+        qv = r[1]
+        if qv is None or len(qv) != dim or any(v is None for v in qv):
+            continue  # probes/sim NULL in the JVM plan — query matches nothing
+        arr = np.asarray([float(v) for v in qv], dtype=np.float64)
+        if not np.isfinite(arr).all():
+            return None  # NaN ranks FIRST under desc — prune unsafely
+        qs.append((arr, None if probes_by_q is None else probes_by_q[i]))
+    if probes_by_q is None and len(qs) != len(q_rows):
+        # pure-PQ path: a degenerate query still ranks null sims by id in
+        # the unpruned plan — keep that plan rather than emulate it
+        return None
+    if not qs:
+        return encoded.limit(0)
+    has_cid = probes_by_q is not None
+    cols = ["n_id", "_code"] + (["cid"] if has_cid else [])
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in encoded.select(*cols).schema.fields
+    )
+    all_cells = None
+    if has_cid:
+        all_cells = np.unique(np.concatenate([p for _, p in qs])) if qs else None
+
+    def gen(batches):
+        for b in batches:
+            codes = b["_code"]
+            n = len(b)
+            keep = set()
+            notna = ~codes.isna().to_numpy()  # null codes: JVM filter drops
+            nn = np.flatnonzero(notna)
+            ok = np.zeros(n, dtype=bool)
+            cm = None
+            if len(nn):
+                try:
+                    # fast path: every non-null code is a clean length-m
+                    # int array (the pq_encode contract)
+                    stacked = np.stack(codes.iloc[nn].to_numpy())
+                    if stacked.ndim == 2 and stacked.shape[1] == m:
+                        good = (
+                            np.isfinite(stacked.astype(np.float64)).all(axis=1)
+                            & (stacked >= 1).all(axis=1)
+                            & (stacked <= n_codes).all(axis=1)
+                        )
+                        ok[nn[good]] = True
+                        keep.update(nn[~good].tolist())
+                        cm = np.zeros((n, m), dtype=np.int64)
+                        cm[nn[good]] = stacked[good].astype(np.int64)
+                    else:
+                        keep.update(nn.tolist())
+                except (TypeError, ValueError):
+                    # ragged / None-element codes: validate row by row
+                    cm = np.zeros((n, m), dtype=np.int64)
+                    for i in nn.tolist():
+                        cv = codes.iloc[i]
+                        if len(cv) != m or any(
+                            x is None or x < 1 or x > n_codes for x in cv
+                        ):
+                            keep.add(i)
+                            continue
+                        ok[i] = True
+                        cm[i] = cv
+            idx = np.flatnonzero(ok)
+            if has_cid:
+                cids = b["cid"].to_numpy()
+                idx = idx[np.isin(cids[idx], all_cells)]
+            if len(idx):
+                # reconstruction = per-subspace codeword gather; cosine =
+                # the exact sequential fold (loop over dimensions)
+                rec = books[np.arange(m)[None, :], cm[idx] - 1, :].reshape(
+                    len(idx), dim)
+                nr2 = np.zeros(len(idx))
+                for jd in range(dim):
+                    cl = rec[:, jd]
+                    nr2 += cl * cl
+                nrm = np.sqrt(nr2)
+                for qv, probes in qs:
+                    if has_cid:
+                        sel = np.isin(cids[idx], probes)
+                        sidx = idx[sel]
+                        srec, snrm = rec[sel], nrm[sel]
+                    else:
+                        sidx, srec, snrm = idx, rec, nrm
+                    if not len(sidx):
+                        continue
+                    dotv = np.zeros(len(sidx))
+                    for jd in range(dim):
+                        dotv += qv[jd] * srec[:, jd]
+                    qn2 = 0.0
+                    for jd in range(dim):
+                        qn2 += qv[jd] * qv[jd]
+                    cos = dotv / np.maximum(snrm * np.sqrt(qn2), 1e-12)
+                    if len(cos) <= keep_n:
+                        keep.update(sidx.tolist())
+                        continue
+                    kth = np.partition(cos, len(cos) - keep_n)[len(cos) - keep_n]
+                    keep.update(sidx[cos >= kth - 1.01e-6].tolist())
+            if keep:
+                yield b.iloc[sorted(keep)][cols]
+
+    return encoded.select(*cols).mapInPandas(gen, schema)
+
+
+def _numpy_probes(q_rows, cents, n_probe: int, dim: int):
+    """Per-query probe cells mirroring :func:`_probe_frame` bit-exactly:
+    sequential-fold scores, order by (score desc, index asc)."""
+    import numpy as np
+
+    cmat = np.asarray(cents, dtype=np.float64)               # (K, dim)
+    if not np.isfinite(cmat).all():
+        return None
+    out = []
+    for r in q_rows:
+        qv = r[1]
+        if qv is None or len(qv) != dim or any(v is None for v in qv):
+            out.append(np.array([], dtype=np.int64))
+            continue
+        arr = np.asarray([float(v) for v in qv], dtype=np.float64)
+        if not np.isfinite(arr).all():
+            return None
+        acc = np.zeros(len(cmat))
+        for jd in range(dim):
+            acc += arr[jd] * cmat[:, jd]
+        order = np.lexsort((np.arange(len(cmat)), -acc))
+        out.append((order[:n_probe] + 1).astype(np.int64))
+    return out
+
+
 def pq_codebook_literal(codebooks: list[list[list[float]]]) -> Column:
     """The codebooks as one array<array<array<double>>> literal."""
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(w)) for w in cw]) for cw in book])
-            for book in codebooks
-        ]
-    )
+    return F.array(*[_arr_lit2(book) for book in codebooks])
 
 
 def pq_reconstruct(code: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -741,8 +921,20 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             F.col(id_col).alias("n_id"), "_code"
         )
     q = queries.select(F.col(q_id_col), F.col(vec_col).alias("q_vec"))
-    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+    n_q = queries.limit(broadcast_query_limit + 1).count()
+    if n_q <= broadcast_query_limit:
         q = F.broadcast(q)
+    if precomputed_code_col is not None and 0 < n_q <= _ADC_PRUNE_QUERY_CAP:
+        # ADC scoring is an interpreted reconstruct+fold per (row, query)
+        # pair — pre-prune candidates with the bit-exact numpy pass
+        # (identical shortlists; see _adc_prune)
+        keep_n = (rerank * k) if rerank is not None else k
+        pruned = _adc_prune(
+            c, queries.select(F.col(q_id_col), F.col(vec_col)).collect(),
+            codebooks, keep_n, dim, None,
+        )
+        if pruned is not None:
+            c = pruned
     rec = pq_reconstruct(F.col("_code"), codebooks)
     sim = F.round(cosine(F.col("q_vec"), rec), 6).alias("adc_sim")
     scored = c.filter(F.col("_code").isNotNull()).crossJoin(q).select(
@@ -760,8 +952,13 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("_arank") <= rerank * k)
         .select(q_id_col, "q_vec", "n_id")
     )
+    # shortlist is ≤ n_q·rerank·k rows BY CONSTRUCTION (the window keeps
+    # rerank·k per query) — but the planner only sees the corpus-scan
+    # estimate and picks a sort-merge join that shuffles the WHOLE raw
+    # vector table by id (measured: ~12 s of the 10M-vector query).
+    # Broadcast it whenever the bound is provably small (guide §3.1).
+    shortlist = _broadcast_if_bounded(shortlist, n_q, rerank * k)
     raw = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    # shortlist is R·k rows per query — AQE broadcasts it to the raw scan
     exact = shortlist.join(raw, "n_id").select(
         q_id_col,
         "n_id",
@@ -812,8 +1009,21 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         )
 
     q = _probe_frame(queries, cents, n_probe, dim, q_id_col, vec_col)
-    if queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit:
+    n_q = queries.limit(broadcast_query_limit + 1).count()
+    if n_q <= broadcast_query_limit:
         q = F.broadcast(q)
+    if (
+        precomputed_code_col is not None
+        and precomputed_cell_col is not None
+        and 0 < n_q <= _ADC_PRUNE_QUERY_CAP
+    ):
+        q_rows = queries.select(F.col(q_id_col), F.col(vec_col)).collect()
+        probes = _numpy_probes(q_rows, cents, n_probe, dim)
+        if probes is not None:
+            keep_n = (rerank * k) if rerank is not None else k
+            pruned = _adc_prune(c, q_rows, codebooks, keep_n, dim, probes)
+            if pruned is not None:
+                c = pruned
     j = c.filter(F.col("_code").isNotNull()).join(q, "cid")
     rec = pq_reconstruct(F.col("_code"), codebooks)
     sim = F.round(cosine(F.col("q_vec"), rec), 6).alias("adc_sim")
@@ -830,6 +1040,10 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("_arank") <= rerank * k)
         .select(q_id_col, "q_vec", "n_id")
     )
+    # bounded at n_q·rerank·k rows by construction — broadcast so the
+    # rerank join streams the raw vector scan instead of shuffling it
+    # (see pq_topk; measured ~12 s saved on the 10M-vector pair)
+    shortlist = _broadcast_if_bounded(shortlist, n_q, rerank * k)
     raw = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     exact = shortlist.join(raw, "n_id").select(
         q_id_col,
