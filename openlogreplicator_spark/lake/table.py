@@ -487,6 +487,7 @@ class LakeTable:
         affected: list[int] | None = None,
         lineage_rows: list[tuple] | None = None,
         pending_update: dict | None = None,
+        n_changes: int | None = None,
     ) -> bool:
         """Apply one epoch of net changes atomically; idempotent by epoch.
 
@@ -511,6 +512,11 @@ class LakeTable:
         ``lineage_rows``: lineage tuples (LINEAGE_SCHEMA order) written
         driver-side via pyarrow — a per-epoch lineage append costs zero
         Spark jobs (the rows are O(shards), already on the driver).
+
+        ``n_changes``: the change-row count, when the caller already
+        measured it (the fused counts job) — lets a small CoW epoch swap
+        the full-outer sort-merge of the whole touched base for broadcast
+        probes (see the decomposition in the merge body).
 
         ``pending_update``: incremental pending-state commit (reference
         analog: TransactionBuffer swap-to-disk, MemoryManager.cpp:1-410 —
@@ -624,27 +630,89 @@ class LakeTable:
                     base if deltas is None else self._fold_deltas(base, deltas)
                 )
                 target = folded.withColumn("_bucket", bexpr)
-            # explicit presence flags (join is eqNullSafe → null keys legal)
-            t = target.withColumn("_t", F.lit(True)).alias("t")
-            c = ch.withColumn("_c", F.lit(True)).alias("c")
-            cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key]
-            j = t.join(c, cond, "full_outer")
-
-            has_change = F.col("c._c").isNotNull()
-            has_target = F.col("t._t").isNotNull()
-            keep = ~(has_change & F.col("c.is_delete"))
-
-            def out_col(v: str):
-                set_v = F.array_contains(F.col("c.set_cols"), v)
-                from_change = F.when(set_v, F.col("c.vals").getField(v)).otherwise(
-                    F.when(F.col("c.reset") | ~has_target, F.lit(None)).otherwise(
-                        F.col(f"t.{v}")
+            # flat unique names so the small-changes decomposition below
+            # can union the two join legs (eqNullSafe → null keys legal)
+            t = target.select(
+                *[F.col(k).alias(f"_tk{i}") for i, k in enumerate(key)],
+                *[F.col(v).alias(f"_tv_{v}") for v in vals],
+                F.lit(True).alias("_t"),
+                F.col("_bucket").alias("_tb"),
+            )
+            c = ch.select(
+                *[F.col(k).alias(f"_ck{i}") for i, k in enumerate(key)],
+                "is_delete", "reset", "set_cols", "vals",
+                F.lit(True).alias("_c"),
+                F.col("_bucket").alias("_cb"),
+            )
+            cond = [
+                F.col(f"_tk{i}").eqNullSafe(F.col(f"_ck{i}"))
+                for i in range(len(key))
+            ]
+            small_cap = int(os.environ.get("OLR_MERGE_BCAST_ROWS", "200000"))
+            if n_changes is not None and n_changes <= small_cap:
+                # A full_outer join can NEVER broadcast, so a point epoch
+                # (a handful of changed keys) sort-merge-shuffles the whole
+                # touched-bucket base.  With the change-row count known
+                # (the fused counts job already measured it), decompose:
+                #   A = target LEFT OUTER broadcast(changes)   (all target
+                #       rows, with their matching change if any)
+                #   M = target LEFT SEMI broadcast(changes)    (keys that
+                #       matched — ≤ n_changes rows)
+                #   B = changes LEFT ANTI broadcast(M)         (pure
+                #       inserts: change keys absent from the target)
+                # A ∪ B is row-for-row the full_outer output, and every
+                # join is a broadcast probe over the base scan — zero
+                # shuffle/sort of the base (guide §3.1; the 100-key
+                # localized epoch's merge was one big sort before this).
+                cb = F.broadcast(c)
+                a_leg = t.join(cb, cond, "left_outer")
+                m = F.broadcast(
+                    t.join(cb, cond, "left_semi").select(
+                        *[F.col(f"_tk{i}") for i in range(len(key))]
                     )
                 )
-                return F.when(has_change, from_change).otherwise(F.col(f"t.{v}")).alias(v)
+                b_anti = c.join(
+                    m,
+                    [
+                        F.col(f"_ck{i}").eqNullSafe(F.col(f"_tk{i}"))
+                        for i in range(len(key))
+                    ],
+                    "left_anti",
+                )
+                kdts = dict(zip([f"_tk{i}" for i in range(len(key))],
+                                [f.dataType for f in target.select(*key).schema.fields]))
+                vdts = {v: target.schema[v].dataType for v in vals}
+                b_leg = b_anti.select(
+                    *[F.lit(None).cast(kdts[f"_tk{i}"]).alias(f"_tk{i}")
+                      for i in range(len(key))],
+                    *[F.lit(None).cast(vdts[v]).alias(f"_tv_{v}") for v in vals],
+                    F.lit(None).cast("boolean").alias("_t"),
+                    F.lit(None).cast("int").alias("_tb"),
+                    *b_anti.columns,
+                )
+                j = a_leg.unionByName(b_leg)
+            else:
+                j = t.join(c, cond, "full_outer")
 
-            out_key = [F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k) for k in key]
-            out_bucket = F.coalesce(F.col("t._bucket"), F.col("c._bucket")).alias("_bucket")
+            has_change = F.col("_c").isNotNull()
+            has_target = F.col("_t").isNotNull()
+            keep = ~(has_change & F.col("is_delete"))
+
+            def out_col(v: str):
+                set_v = F.array_contains(F.col("set_cols"), v)
+                from_change = F.when(set_v, F.col("vals").getField(v)).otherwise(
+                    F.when(F.col("reset") | ~has_target, F.lit(None)).otherwise(
+                        F.col(f"_tv_{v}")
+                    )
+                )
+                return F.when(has_change, from_change).otherwise(
+                    F.col(f"_tv_{v}")).alias(v)
+
+            out_key = [
+                F.coalesce(F.col(f"_tk{i}"), F.col(f"_ck{i}")).alias(k)
+                for i, k in enumerate(key)
+            ]
+            out_bucket = F.coalesce(F.col("_tb"), F.col("_cb")).alias("_bucket")
             result = j.filter(keep).select(*out_key, *[out_col(v) for v in vals], out_bucket)
 
         if affected and result is not None:

@@ -17,13 +17,19 @@ Sequential-apply equivalence, per key over ops ordered by
 * the net op is delete iff the last op is ``del``;
 * ``reset`` (row replace, not coalesce-with-target) iff a boundary exists.
 
-Skew design (north-star requirement): hot conversations must not serialize.
-This stage is ONE ALGEBRAIC AGGREGATION — no window, no join.  Every
-aggregate (conditional max over a struct order) supports partial
-aggregation, so Spark's map-side combine collapses a hot key's traffic to
-one row per input partition *before* the shuffle: the built-in equivalent
-of salted two-level aggregation.  A window formulation would ship every
-row of the hot key to a single reducer; this ships O(partitions).
+Skew design: this stage is ONE ALGEBRAIC AGGREGATION — no window, no
+join.  The shipped default (``onesort``) pre-partitions by the group key
+and plans a single complete SortAggregate: one sort instead of the
+partial+final pair's two full-data sorts, measured faster and
+better-scaling on realistic (~2 events/key) feeds.  The TRADE-OFF is
+that onesort disables map-side combine, so a pathological hot key (one
+key carrying more than ~1/n_partitions of an epoch) serializes one
+reducer; ``OLR_COLLAPSE_MODE=combine`` restores the partial+final
+map-side-combine plan — the built-in equivalent of salted two-level
+aggregation, collapsing a hot key to one row per input partition before
+the shuffle — at the cost of the second sort.  Either way a window
+formulation would be worse: it ships AND sorts every row of the hot key
+on one reducer with no combine option at all.
 
 Single-pass boundary gating: the boundary test ("setter must be at/after
 the last ins/del") can be applied AFTER aggregation, because a column's
@@ -60,7 +66,15 @@ def _collapse_mode() -> str:
     bench's skew=2.0 feed puts ~1% on the hottest key — far below a task's
     average share — so onesort is the right default; flip this dial for
     feeds where single conversations dominate whole epochs."""
-    return os.environ.get("OLR_COLLAPSE_MODE", "onesort").lower()
+    mode = os.environ.get("OLR_COLLAPSE_MODE", "onesort").lower()
+    if mode not in ("onesort", "combine"):
+        import warnings
+
+        warnings.warn(
+            f"unknown OLR_COLLAPSE_MODE {mode!r}; using 'combine' plan "
+            "(valid: onesort, combine)", stacklevel=2,
+        )
+    return mode
 
 
 def _ord():

@@ -523,12 +523,14 @@ def apply_epoch(
                 seg = seg.filter(F.col("txn_commit_scn") <= hi)
             final = hi is None
             affected = set()
+            n_changes = 0
             if use_fused:
                 # the stats job already materialized the collapse cache AND
                 # collected its counters — zero extra jobs here
                 changes = changes0
                 for (_t, s, b), (ni, nu, nd) in stats["counts"].items():
                     affected.add(b)
+                    n_changes += ni + nu + nd
                     acc = seg_counts.setdefault(s, [0, 0, 0])
                     acc[0] += ni
                     acc[1] += nu
@@ -549,6 +551,7 @@ def apply_epoch(
                     F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
                 ).collect():
                     affected.add(r["_bucket"])
+                    n_changes += r["n_ins"] + r["n_upd"] + r["n_del"]
                     acc = seg_counts.setdefault(r["last_shard"], [0, 0, 0])
                     acc[0] += r["n_ins"]
                     acc[1] += r["n_upd"]
@@ -577,6 +580,7 @@ def apply_epoch(
                 pending_update=pending_update if final else None,
                 lineage_rows=lineage_rows,
                 shard_frontier=frontier if final else None,
+                n_changes=n_changes,
             )
             changes.unpersist()
             if applied:

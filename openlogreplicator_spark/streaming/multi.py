@@ -516,12 +516,14 @@ def apply_epoch_multi(
         live = sorted(n for n in names_at[i] if table_objs.get(n) is not None)
         if live and fused_ok:
             affected: dict[str, set] = {n: set() for n in live}
+            n_changes_t: dict[str, int] = {n: 0 for n in live}
             if use_fused0:
                 # stats job already materialized the all-tables collapse
                 # cache AND collected its counters — zero extra jobs
                 changes_all = changes0
                 for (t_, s_, b_), (ni, nu, nd) in stats["counts"].items():
                     affected.setdefault(t_, set()).add(b_)
+                    n_changes_t[t_] = n_changes_t.get(t_, 0) + ni + nu + nd
                     acc = seg_counts.setdefault((t_, s_), [0, 0, 0])
                     acc[0] += ni
                     acc[1] += nu
@@ -559,6 +561,10 @@ def apply_epoch_multi(
                     F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
                 ).collect():
                     affected[r["table_name"]].add(r["_bucket"])
+                    n_changes_t[r["table_name"]] = (
+                        n_changes_t.get(r["table_name"], 0)
+                        + r["n_ins"] + r["n_upd"] + r["n_del"]
+                    )
                     acc = seg_counts.setdefault((r["table_name"], r["last_shard"]), [0, 0, 0])
                     acc[0] += r["n_ins"]
                     acc[1] += r["n_upd"]
@@ -580,6 +586,7 @@ def apply_epoch_multi(
                     epoch_id=f"{epoch_id}:{i}",
                     job_id=job_id,
                     affected=sorted(affected[name]),
+                    n_changes=n_changes_t.get(name, 0),
                 )
 
             # pool width (OLR_MULTI_WRITE_POOL dials it): measured on the
@@ -608,12 +615,14 @@ def apply_epoch_multi(
                     .withColumn("_bucket", table._bucket_expr())
                 )
                 affected_t: set = set()
+                n_ch = 0
                 for r in changes.groupBy("_bucket", "last_shard").agg(
                     F.sum(F.when(~F.col("is_delete") & F.col("reset"), 1).otherwise(0)).alias("n_ins"),
                     F.sum(F.when(~F.col("is_delete") & ~F.col("reset"), 1).otherwise(0)).alias("n_upd"),
                     F.sum(F.when(F.col("is_delete"), 1).otherwise(0)).alias("n_del"),
                 ).collect():
                     affected_t.add(r["_bucket"])
+                    n_ch += r["n_ins"] + r["n_upd"] + r["n_del"]
                     acc = seg_counts.setdefault((name, r["last_shard"]), [0, 0, 0])
                     acc[0] += r["n_ins"]
                     acc[1] += r["n_upd"]
@@ -623,6 +632,7 @@ def apply_epoch_multi(
                     epoch_id=f"{epoch_id}:{i}",
                     job_id=job_id,
                     affected=sorted(affected_t),
+                    n_changes=n_ch,
                 )
                 changes.unpersist()
                 if applied:

@@ -77,14 +77,11 @@ def test_projection_prunes_parquet_columns(spark):
     assert_column_pruned(two, "l_extendedprice")
 
 
-def test_collapse_plan_shape(spark, tmpdir_path):
-    """The collapse stage must stay JVM-side (no Python eval nodes), be a
-    SINGLE shuffle over the key (one Exchange beyond the broadcast), and
-    aggregate with a partial/final pair (map-side combine = the skew
-    defense: a hot key ships one row per input partition, not every row)."""
+def _collapse_plan(spark, tmpdir_path, mode, monkeypatch):
     from openlogreplicator_spark.operators.assemble import assemble_transactions
     from openlogreplicator_spark.operators.collapse import collapse_net_changes
 
+    monkeypatch.setenv("OLR_COLLAPSE_MODE", mode)
     feed = _feed_on_disk(spark, tmpdir_path)
     committed = assemble_transactions(feed)["committed"]
     net = collapse_net_changes(
@@ -92,21 +89,45 @@ def test_collapse_plan_shape(spark, tmpdir_path):
         ["role", "text", "tool", "ts"],
     )
     net.collect()  # AQE finalizes the plan (status join → runtime broadcast)
-    plan = plan_string(net)
+    return plan_string(net)
+
+
+def _assert_collapse_common(plan):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "isFinalPlan=true" in plan
-    # the payload shuffles exactly once for the key groupBy; the status
-    # join goes broadcast at runtime (small side), so no payload exchange
-    # for the join survives in the final plan
+    # the status join goes broadcast (small side / size-capped hint), so
+    # no payload exchange for the join survives in the final plan
     assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan, plan[:1500]
-    # partial + final aggregate pair (map-side combine = the skew defense:
-    # a hot key ships one row per input partition, not every row)
+
+
+def test_collapse_plan_shape(spark, tmpdir_path, monkeypatch):
+    """Shipped default (onesort): JVM-side only, broadcast status join,
+    and the collapse aggregation runs COMPLETE after one key exchange —
+    a single sort, no separate partial/final full-data sort pair."""
+    plan = _collapse_plan(spark, tmpdir_path, "onesort", monkeypatch)
+    _assert_collapse_common(plan)
     tree = plan.split("(1) ")[0]
     n_aggs = sum(
         1 for line in tree.splitlines()
         if "SortAggregate" in line or "HashAggregate" in line
     )
-    assert n_aggs >= 4, tree  # 2 for status agg + 2 for collapse agg
+    assert n_aggs >= 3, tree  # 2 for status agg + >=1 for the collapse agg
+    # onesort pins its explicit pre-agg key exchange
+    assert "REPARTITION_BY_COL" in plan, plan[:2000]
+
+
+def test_collapse_plan_shape_combine(spark, tmpdir_path, monkeypatch):
+    """Combine dial: the partial+final aggregate pair must survive (map-
+    side combine = the pathological-skew armor: a hot key ships one row
+    per input partition, not every row)."""
+    plan = _collapse_plan(spark, tmpdir_path, "combine", monkeypatch)
+    _assert_collapse_common(plan)
+    tree = plan.split("(1) ")[0]
+    n_aggs = sum(
+        1 for line in tree.splitlines()
+        if "SortAggregate" in line or "HashAggregate" in line
+    )
+    assert n_aggs >= 4, tree  # 2 for status agg + partial & final collapse
 
 
 def test_prollback_keyset_broadcasts_when_small(spark, tmpdir_path):

@@ -55,7 +55,7 @@ def main():
     spark = build_session("olr-exp-phase", cores=args.cores,
                           shuffle_partitions=64)
     feed = read_feed_batch(spark, benchmod.feed_cache_dir(UPD_TXNS, 0.0))
-    base = f"/dev/shm/olrexp_upd_c8/base_mor"
+    base = f"/dev/shm/olrexp_upd_c{args.cores}/base_mor"
     tbl = LakeTable(spark, base)
 
     out = {"cores": args.cores, "cache": args.cache}
