@@ -78,9 +78,48 @@ def _frames(spark):
 
     out["dedup_minhash_pairs"] = minhash
 
+    def _wire_dml():
+        from bench import feed_cache_dir
+        from openlogreplicator_spark.sources.feed import read_feed_batch
+
+        wf = read_feed_batch(spark, feed_cache_dir(max(N_TXNS // 10, 1000), 0.0))
+        return match_partial_rollbacks(
+            assemble_transactions(wf)["committed"]
+        ).filter(F.col("op").isin("ins", "upd", "del"))
+
+    def _mirror_dirs():
+        """Build (once per process) the same wire mirrors bench.py builds,
+        in /dev/shm, so the parse frames exist."""
+        import shutil as _sh
+
+        from openlogreplicator_spark.functions.json_output import write_json_mirror
+        from openlogreplicator_spark.sources.network import write_protobuf_mirror
+
+        base = "/dev/shm/olr_bx_wire" if os.path.isdir("/dev/shm") else "/tmp/olr_bx_wire"
+        mdir, pdir = os.path.join(base, "mirror"), os.path.join(base, "spool")
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            _sh.rmtree(base, ignore_errors=True)
+            wdml = _wire_dml()
+            write_json_mirror(wdml, mdir, 0)
+            write_protobuf_mirror(wdml, pdir, 0)
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+        return mdir, pdir
+
     def json_wire_parse():
-        # parse plan only (needs a mirror dir — time mode builds one)
-        return None
+        from openlogreplicator_spark.sources.json_feed import read_json_feed
+
+        mdir, _ = _mirror_dirs()
+        return read_json_feed(spark, mdir)
+
+    out["cdc_json_wire_parse"] = json_wire_parse
+
+    def pb_wire_parse():
+        from openlogreplicator_spark.sources.protobuf_feed import read_protobuf_feed
+
+        _, pdir = _mirror_dirs()
+        return read_protobuf_feed(spark, pdir)
+
+    out["cdc_protobuf_wire_parse"] = pb_wire_parse
 
     def brute_small():
         from openlogreplicator_spark.functions.similarity import brute_force_topk
@@ -135,6 +174,49 @@ def time_queries(names):
     print(times)
 
 
+def time_wire_writes():
+    """Isolated wire-egress timings (the writes ARE the action — no noop):
+    same frames and best-of-2 discipline as bench.py's 3d block."""
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bench import feed_cache_dir
+    from openlogreplicator_spark.functions.json_output import write_json_mirror
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+    from openlogreplicator_spark.sources.feed import read_feed_batch
+    from openlogreplicator_spark.sources.network import write_protobuf_mirror
+
+    spark = _spark()
+    wf = read_feed_batch(spark, feed_cache_dir(max(N_TXNS // 10, 1000), 0.0))
+    wdml = match_partial_rollbacks(
+        assemble_transactions(wf)["committed"]
+    ).filter(F.col("op").isin("ins", "upd", "del"))
+    base = tempfile.mkdtemp(prefix="olr-bx-w-",
+                            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    times = {}
+    try:
+        for name, fn in (
+            ("cdc_json_wire_write",
+             lambda: write_json_mirror(wdml, os.path.join(base, "m"), 0)),
+            ("cdc_protobuf_wire_write",
+             lambda: write_protobuf_mirror(wdml, os.path.join(base, "s"), 0)),
+        ):
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                times.setdefault(name, []).append(
+                    round(time.perf_counter() - t0, 3))
+            print(name, times[name])
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+    print(times)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "explain"
     if mode == "explain":
@@ -142,5 +224,7 @@ if __name__ == "__main__":
                    only=set(sys.argv[3:]) or None)
     elif mode == "time":
         time_queries(sys.argv[2:])
+    elif mode == "timew":
+        time_wire_writes()
     elif mode == "all":
         dump_plans(sys.argv[2] if len(sys.argv) > 2 else "before")

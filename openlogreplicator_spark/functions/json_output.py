@@ -517,42 +517,56 @@ def write_json_mirror(
         )
     n = n_files or spark.sparkContext.defaultParallelism
     epoch_dir = os.path.join(out_dir, f"epoch={int(epoch_id):06d}")
-    (
-        msgs.repartitionByRange(n, "scn", "idx")
-        .sortWithinPartitions("scn", "idx")
-        .select("message")
-        .write.mode("overwrite")
-        .text(epoch_dir)
-    )
-    # checkpoint scn WITHOUT a second pass over the (unpersisted) message
-    # DAG: the stream is globally (scn, idx)-sorted across part files, so
-    # the max commit scn is the last line of the last non-empty part file —
-    # one tiny driver-side file read instead of recomputing the whole
-    # assemble→collapse plan for an agg.  Shape-sensitive fast path only:
-    # if a compression codec or a changed part-naming scheme breaks the
-    # plain-text read, fall back to the shape-agnostic aggregation.
-    import glob
+    # repartitionByRange SAMPLES its input to pick range bounds — an extra
+    # full evaluation of the assemble→to_json plan before the real pass.
+    # Persist the built messages for the duration of the write so the
+    # upstream plan runs ONCE (sampling and the shuffle both read the
+    # cache); serialized level keeps the temp off the GC object graph
+    # (guide §1.2 — same rationale as the collapsed-changes cache).
+    from pyspark import StorageLevel
 
-    max_scn = None
+    msgs = msgs.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        for path in sorted(glob.glob(os.path.join(epoch_dir, "part-*")), reverse=True):
-            last = None
-            with open(path, encoding="utf-8") as pf:
-                for line in pf:
-                    if line.strip():
-                        last = line
-            if last is not None:
-                max_scn = json.loads(last)["scn"]
-                if isinstance(max_scn, str):  # SCN_FORMAT::TEXT_HEX dial
-                    max_scn = int(max_scn, 16)
-                break
-    except (UnicodeDecodeError, json.JSONDecodeError, KeyError, OSError,
-            ValueError, TypeError):
+        (
+            msgs.repartitionByRange(n, "scn", "idx")
+            .sortWithinPartitions("scn", "idx")
+            .select("message")
+            .write.mode("overwrite")
+            .text(epoch_dir)
+        )
+        # checkpoint scn WITHOUT a second pass over the message DAG: the
+        # stream is globally (scn, idx)-sorted across part files, so the
+        # max commit scn is the last line of the last non-empty part file —
+        # one tiny driver-side file read instead of recomputing the whole
+        # assemble→collapse plan for an agg.  Shape-sensitive fast path
+        # only: if a compression codec or a changed part-naming scheme
+        # breaks the plain-text read, fall back to the shape-agnostic
+        # aggregation (which reads the still-warm cache).
+        import glob
+
         max_scn = None
-    if max_scn is None:
-        # unreadable part files OR none matched the naming assumption OR a
-        # genuinely empty epoch — the agg distinguishes (None only when empty)
-        max_scn = msgs.agg(F.max("scn").alias("m")).first()["m"]
+        try:
+            for path in sorted(glob.glob(os.path.join(epoch_dir, "part-*")),
+                               reverse=True):
+                last = None
+                with open(path, encoding="utf-8") as pf:
+                    for line in pf:
+                        if line.strip():
+                            last = line
+                if last is not None:
+                    max_scn = json.loads(last)["scn"]
+                    if isinstance(max_scn, str):  # SCN_FORMAT::TEXT_HEX dial
+                        max_scn = int(max_scn, 16)
+                    break
+        except (UnicodeDecodeError, json.JSONDecodeError, KeyError, OSError,
+                ValueError, TypeError):
+            max_scn = None
+        if max_scn is None:
+            # unreadable part files OR none matched the naming assumption OR
+            # a genuinely empty epoch (agg distinguishes: None only if empty)
+            max_scn = msgs.agg(F.max("scn").alias("m")).first()["m"]
+    finally:
+        msgs.unpersist()
     chkpt = {
         "scn": int(max_scn) if max_scn is not None else None,
         "db": db_name,

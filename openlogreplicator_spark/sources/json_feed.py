@@ -166,67 +166,74 @@ def flat_to_events(
     after, changed_cols, ddl_stmt) — to CHANGE_EVENT_SCHEMA rows with one
     synthesized ``begin`` and ``commit`` control row per (xid, _scn)
     transaction instance.  Shared tail of the JSON and protobuf
-    ingresses (sources/protobuf_feed.py)."""
+    ingresses (sources/protobuf_feed.py).
+
+    SINGLE-PASS shape: the old dml ∪ begin ∪ commit union evaluated the
+    upstream parse THREE times (the subtrees are not deduped across union
+    arms) — for the protobuf ingress that was three full Python decode
+    passes, for JSON three ``from_json`` passes.  Instead, the per-txn
+    control values (min/max idx, commit tm/seq, attrs) ride a window over
+    (xid, _scn) and ONE row per group explodes into [begin, dml, commit]:
+    one upstream evaluation plus one narrow-keyed exchange (guide §2.4)."""
     image_type = image_type or IMAGE_TYPE
-    d = flat
-    dml = d.select(
-        (F.col("_scn") * _LSN_SHIFT + F.col("_idx")).alias("lsn"),
-        F.lit(0).alias("shard"),
-        F.col("seq"),
-        F.col("_scn").alias("scn"),
-        F.lit(None).cast("long").alias("commit_scn"),
-        F.col("xid"),
-        F.col("_idx").alias("seq_in_txn"),
-        F.col("op"),
-        F.col("table_name"),
-        F.col("conv_id"),
-        F.col("turn_idx"),
-        F.col("before"),
-        F.col("after"),
-        F.col("changed_cols"),
-        F.lit(None).cast("int").alias("chunk_no"),
-        F.lit(None).cast("string").alias("chunk_text"),
-        F.lit(0).alias("schema_version"),
-        F.col("ddl_stmt"),
-        F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
-        F.col("attrs"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("xid", "_scn")
+    d = (
+        flat.withColumn("_lo", F.min("_idx").over(w))
+        .withColumn("_hi", F.max("_idx").over(w))
+        .withColumn("_ctm", F.max("_tm").over(w))
+        .withColumn("_cseq", F.max("seq").over(w))
+        .withColumn("_cattrs", F.first("attrs", ignorenulls=True).over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy(F.col("_idx"))))
     )
 
-    # one begin + one commit control row per (xid, scn) transaction
-    ctl = d.groupBy("xid", "_scn").agg(
-        F.min("_idx").alias("_lo"),
-        F.max("_idx").alias("_hi"),
-        F.max("_tm").alias("_tm"),
-        F.max("seq").alias("seq"),
-        F.first("attrs", ignorenulls=True).alias("attrs"),
-    )
-
-    def _ctl_row(kind: str):
-        slot = F.col("_lo") - 1 if kind == "begin" else F.lit(_LSN_SHIFT - 1)
-        return ctl.select(
-            (F.col("_scn") * _LSN_SHIFT + slot).alias("lsn"),
+    def _ev(kind: str):
+        """CHANGE_EVENT struct for one output row kind (identical field
+        set/order/types across kinds so the explode array is well-typed)."""
+        if kind == "dml":
+            lsn = F.col("_scn") * _LSN_SHIFT + F.col("_idx")
+            commit_scn = F.lit(None).cast("long")
+            seq_in_txn = F.col("_idx")
+            op = F.col("op")
+            seq, tm, attrs = F.col("seq"), F.col("_tm"), F.col("attrs")
+        else:
+            slot = F.col("_lo") - 1 if kind == "begin" else F.lit(_LSN_SHIFT - 1)
+            lsn = F.col("_scn") * _LSN_SHIFT + slot
+            commit_scn = (
+                F.col("_scn") if kind == "commit" else F.lit(None)
+            ).cast("long")
+            seq_in_txn = F.col("_lo") - 1 if kind == "begin" else F.col("_hi") + 1
+            op = F.lit(kind)
+            seq, tm, attrs = F.col("_cseq"), F.col("_ctm"), F.col("_cattrs")
+        ctl = kind != "dml"
+        return F.struct(
+            lsn.cast("long").alias("lsn"),
             F.lit(0).alias("shard"),
-            F.col("seq"),
+            seq.cast("long").alias("seq"),
             F.col("_scn").alias("scn"),
-            (F.col("_scn") if kind == "commit" else F.lit(None)).cast("long").alias("commit_scn"),
-            F.col("xid"),
-            (F.col("_lo") - 1 if kind == "begin" else F.col("_hi") + 1).alias("seq_in_txn"),
-            F.lit(kind).alias("op"),
-            F.lit(None).cast("string").alias("table_name"),
-            F.lit(None).cast("string").alias("conv_id"),
-            F.lit(None).cast("int").alias("turn_idx"),
-            F.lit(None).cast(image_type).alias("before"),
-            F.lit(None).cast(image_type).alias("after"),
-            F.lit(None).cast("array<string>").alias("changed_cols"),
+            commit_scn.alias("commit_scn"),
+            F.col("xid").alias("xid"),
+            seq_in_txn.cast("int").alias("seq_in_txn"),
+            op.alias("op"),
+            (F.lit(None).cast("string") if ctl else F.col("table_name")).alias("table_name"),
+            (F.lit(None).cast("string") if ctl else F.col("conv_id")).alias("conv_id"),
+            (F.lit(None).cast("int") if ctl else F.col("turn_idx")).alias("turn_idx"),
+            (F.lit(None).cast(image_type) if ctl else F.col("before")).alias("before"),
+            (F.lit(None).cast(image_type) if ctl else F.col("after")).alias("after"),
+            (F.lit(None).cast("array<string>") if ctl else F.col("changed_cols")).alias("changed_cols"),
             F.lit(None).cast("int").alias("chunk_no"),
             F.lit(None).cast("string").alias("chunk_text"),
             F.lit(0).alias("schema_version"),
-            F.lit(None).cast("string").alias("ddl_stmt"),
-            F.to_timestamp(F.from_unixtime(F.col("_tm"))).alias("ts"),
-            F.col("attrs"),
+            (F.lit(None).cast("string") if ctl else F.col("ddl_stmt")).alias("ddl_stmt"),
+            F.to_timestamp(F.from_unixtime(tm)).alias("ts"),
+            attrs.alias("attrs"),
         )
 
-    return dml.unionByName(_ctl_row("begin")).unionByName(_ctl_row("commit"))
+    rows = F.when(
+        F.col("_rn") == 1, F.array(_ev("begin"), _ev("dml"), _ev("commit"))
+    ).otherwise(F.array(_ev("dml")))
+    return d.select(F.explode(rows).alias("_e")).select("_e.*")
 
 
 def read_json_lines_stream(

@@ -100,12 +100,23 @@ def write_protobuf_mirror(
             spark.createDataFrame(rows, "scn long, idx int, message binary")
         )
     n = n_files or spark.sparkContext.defaultParallelism
-    (
-        msgs.repartitionByRange(n, "scn", "idx")
-        .sortWithinPartitions("scn", "idx")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, f"epoch={int(epoch_id):06d}"))
-    )
+    # repartitionByRange samples its input for range bounds — without a
+    # cache that is a SECOND full pass through the Python encoder (the
+    # mapInPandas plan is opaque, nothing prunes).  Persist the encoded
+    # frames for the duration of the write so encode runs once (guide
+    # §4.1/§1.2); serialized storage, dropped as soon as the files land.
+    from pyspark import StorageLevel
+
+    msgs = msgs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            msgs.repartitionByRange(n, "scn", "idx")
+            .sortWithinPartitions("scn", "idx")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={int(epoch_id):06d}"))
+        )
+    finally:
+        msgs.unpersist()
 
 
 def read_spool_messages(out_dir: str, after_scn: int = 0):

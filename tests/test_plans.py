@@ -249,3 +249,46 @@ def test_fused_stats_union_reuses_status_shuffle(spark):
         assert plan.lower().count("reusedexchange") >= 2, plan[:3000]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_wire_ingress_single_decode_pass(spark, tmpdir_path):
+    """The wire ingresses must evaluate their expensive decode ONCE.
+
+    flat_to_events used to synthesize begin/commit control rows as two
+    extra union arms over the same parsed subtree — union arms are not
+    deduped, so the protobuf ingress ran its Python decode (and the JSON
+    ingress its from_json) three times per read.  The single-pass
+    window+explode shape pins: exactly one decode node in each plan."""
+    from openlogreplicator_spark.functions.json_output import write_json_mirror
+    from openlogreplicator_spark.operators.assemble import (
+        assemble_transactions,
+        match_partial_rollbacks,
+    )
+    from openlogreplicator_spark.sources.json_feed import read_json_feed
+    from openlogreplicator_spark.sources.network import write_protobuf_mirror
+    from openlogreplicator_spark.sources.protobuf_feed import read_protobuf_feed
+
+    fb = FeedBuilder()
+    for i in range(3):
+        t = fb.begin()
+        t.ins(f"c{i}", 0, role="user", text=f"m{i}")
+        t.upd(f"c{i}", 0, text=f"m{i}'")
+        fb.commit(t)
+    dml = match_partial_rollbacks(
+        assemble_transactions(fb.to_spark(spark))["committed"]
+    ).filter(F.col("op").isin("ins", "upd", "del"))
+    mdir = os.path.join(tmpdir_path, "mirror")
+    sdir = os.path.join(tmpdir_path, "spool")
+    write_json_mirror(dml, mdir, 0)
+    write_protobuf_mirror(dml, sdir, 0)
+
+    # simple mode prints each operator exactly once (formatted mode lists
+    # a node twice: tree + details)
+    pb_plan = plan_string(read_protobuf_feed(spark, sdir), "simple")
+    assert pb_plan.count("MapInPandas") == 1, pb_plan[:3000]
+
+    # from_json appears as several expressions inside the ONE projection
+    # (runtime subexpression elimination dedups them); the union shape it
+    # replaced showed up as three separate text scans — pin one scan.
+    js_plan = plan_string(read_json_feed(spark, mdir), "simple")
+    assert js_plan.count("Scan text") == 1, js_plan[:3000]
