@@ -97,23 +97,29 @@ def assemble_transactions(
     payload = events.filter(F.col("op").isin("ins", "upd", "del", "prollback", "chunk", "ddl"))
 
     # status has one row per txn.  Strategy (guide §3.1, measured r6):
-    # a shuffle join here exchanges the WIDE payload (text and all) by xid
-    # — on the 10M-event bench that is a ~450 MB compressed shuffle plus
-    # two sorts, only to re-exchange the same rows by the collapse key one
-    # stage later.  Broadcasting the status removes the wide xid exchange
-    # outright (one wide shuffle per epoch instead of two).  The decision
-    # is driver-side and job-free: the planner's scan-bytes estimate of
-    # the input bounds the txn count (status rows ≤ control events ≤
-    # input/~30B), so feeds under OLR_STATUS_BCAST_CAP (default 4g ≈ a
-    # worst-case few-hundred-MB hash relation) broadcast; bigger epochs
-    # keep the scalable shuffle join.  OLR_STATUS_JOIN=shuffle|bcast
-    # overrides either way.
+    # for SMALL epochs (streaming micro-batches, update epochs) the
+    # broadcast hint removes the wide payload-by-xid exchange outright —
+    # the payload never shuffles for this join at all.  For BIG epochs the
+    # hint is a net LOSS: the status side is O(txns) rows, the static
+    # BroadcastExchange collects it single-threaded on the driver (6.6 s
+    # for 1M txns, measured), the hint does not reach cached subplans
+    # (the persisted collapse build keeps its sort-merge join either way),
+    # and AQE's runtime SMJ→BHJ conversion (session.py sets
+    # spark.sql.adaptive.autoBroadcastJoinThreshold=256m) already converts
+    # the un-hinted join from the MEASURED status stage size without the
+    # driver collect.  Measured on the 10M-event feed: hint cost the
+    # multi-table epoch +45% wall and bought the single-table merge ≤3%.
+    # The decision is driver-side and job-free: the planner's scan-bytes
+    # estimate of the input bounds the txn count, so feeds under
+    # OLR_STATUS_BCAST_CAP (default 128m ≈ a ~1M-event epoch) broadcast;
+    # bigger epochs keep the shuffle join + AQE runtime conversion.
+    # OLR_STATUS_JOIN=shuffle|bcast overrides either way.
     st = status
     mode = os.environ.get("OLR_STATUS_JOIN", "auto")
     if mode == "bcast":
         st = F.broadcast(status)
     elif mode == "auto":
-        cap = int(os.environ.get("OLR_STATUS_BCAST_CAP", str(4 << 30)))
+        cap = int(os.environ.get("OLR_STATUS_BCAST_CAP", str(128 << 20)))
         try:
             est = int(events._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         except Exception:
