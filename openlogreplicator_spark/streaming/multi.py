@@ -290,12 +290,21 @@ def apply_epoch_multi(
     from .prometheus import get_registry
 
     registry = get_registry()
+    # NOTE: the multi path deliberately keeps the LEGACY branch-union
+    # stats (no ``events=`` fast path).  The narrow single-pass's level-1
+    # aggregation keys on (xid, shard, table_name); with T tracked tables
+    # a transaction's ops spread across tables, so the group count grows
+    # ~T× (measured: T=8 epoch cost 1.5-1.8× the T=2 epoch, minutes of
+    # hash-agg CPU at ~8M groups).  The legacy branches each aggregate
+    # straight to O(shards·tables) rows with map-side combine over the
+    # ReuseExchange'd status join — T-independent (r5-measured T8/T2 ≈
+    # 1.04).  The single-table path keeps the narrow pass, where the
+    # (xid, shard) grouping is bounded by the txn count.
     stats = epoch_stats(
         batch_df, parts, pending_flag="_pend", per_table_dml=True,
         extra_branches=extra_branches,
         pending_events=events.filter(F.col("_pend")),
         dml_type_counts=registry is not None,
-        events=events,
     )
     # adaptive-schema mode (reference: REDO_FLAGS::SCHEMALESS +
     # Metadata::loadAdaptiveSchema, Metadata.cpp:676-706 — here the
